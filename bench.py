@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec}, "sf"}.
+
+Each query is materialized through the noop sink so timing covers the full
+distributed computation but not driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+    from ds_ga1004_bigdata_project_spark.session import get_session
+
+    spark = get_session(app_name="engine-bench", master=f"local[{cpus}]",
+                        shuffle_partitions=min(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once so per-query numbers measure the plan, not
+    # first-run classloading.
+    REGISTRY["q01_top_parts"].build(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        try:
+            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench line emitting even on a bad query
+            times[name] = -1.0
+            print(f"bench error {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "engine_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Text-analysis function library (training-data-pipeline surface).
+
+Language-ID, quality scoring, token counting, shingling, and fingerprinting as
+pure Catalyst expressions over the ``documents`` table — no Python in the row
+path, so these run at full whole-stage-codegen speed over 100 TB of text.
+
+Heavier NLP (real language models, BPE tokenizers) would be Arrow-batched
+pandas UDFs; the operators here are the JVM-side heuristics a data pipeline
+runs FIRST, at full scan speed, to cheaply filter/route the bulk of a corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lexicons for the n-gram/stopword-hit heuristic
+#: language-ID. Deliberately small: the point is the operator shape (vector of
+#: per-language scores → argmax with deterministic tie-break), not the lexicon.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "in", "is"),
+    "es": ("el", "la", "de", "los", "que", "es"),
+    "fr": ("le", "la", "les", "des", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+#: English stopwords for quality scoring.
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "or", "in", "on", "is", "are", "to")
+
+WORD_RE = r"[A-Za-z0-9']+"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(col, r"\s+")
+
+
+def word_tokens(col: Column) -> Column:
+    """Regex word tokenization (BPE-ish pre-tokenizer: alnum+apostrophe runs)."""
+    return F.regexp_extract_all(col, F.lit(WORD_RE), 0)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def word_count(col: Column) -> Column:
+    """Regex word-token count."""
+    return F.size(word_tokens(col))
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-token shingles: ``transform(sequence(0, size-n), i -> slice-join)``.
+
+    Distinct shingle sets feed Jaccard dedup (exact or MinHash); all array
+    higher-order functions, zero UDFs."""
+    return F.when(F.size(tokens) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        )
+    )
+
+
+def punct_ratio(col: Column, scale: int = 4) -> Column:
+    """Fraction of characters that are not alnum/whitespace."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.round(F.length(stripped) / F.nullif(F.length(col), F.lit(0)), scale)
+
+
+def stopword_ratio(tokens: Column, stopwords=STOPWORDS_EN, scale: int = 4) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.round(hits / F.nullif(F.size(tokens), F.lit(0)), scale)
+
+
+def distinct_token_ratio(tokens: Column, scale: int = 4) -> Column:
+    """Lexical diversity: |distinct tokens| / |tokens| — near-0 flags
+    boilerplate/spam repetition."""
+    return F.round(F.size(F.array_distinct(tokens)) /
+                   F.nullif(F.size(tokens), F.lit(0)), scale)
+
+
+def mean_token_len(tokens: Column, scale: int = 4) -> Column:
+    """Average token length (garbage text skews far from ~4-6)."""
+    total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.nullif(F.size(tokens), F.lit(0)), scale)
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    """Per-language lexicon-hit counts over distinct lowercase tokens."""
+    distinct = F.array_distinct(F.transform(tokens, F.lower))
+    return {
+        lang: F.size(F.array_intersect(distinct, F.array(*[F.lit(w) for w in lex])))
+        for lang, lex in sorted(LANG_LEXICONS.items())
+    }
+
+
+def lang_id(tokens: Column) -> Column:
+    """Heuristic language-ID: argmax of lexicon-hit scores, ties broken by
+    language code ascending (deterministic). Implemented as
+    ``max(struct(score, reversed-lang))`` over a literal array — single
+    projection, no shuffle, no UDF."""
+    scores = lang_scores(tokens)
+    # argmax with ties → lexicographically FIRST language: invert the lang code
+    # ordering inside the struct comparison by using a negative rank.
+    langs = sorted(scores)  # e.g. de,en,es,fr,zh
+    entries = [
+        F.struct(scores[lang].alias("s"), F.lit(-i).alias("r"), F.lit(lang).alias("l"))
+        for i, lang in enumerate(langs)
+    ]
+    return F.array_max(F.array(*entries)).getField("l")
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over the sorted distinct lowercase word-token
+    bag. Invariant to word order and duplication — a cheap canonical-content
+    key for exact-ish dedup at scan speed."""
+    canon = F.array_join(
+        F.sort_array(F.array_distinct(F.transform(word_tokens(F.lower(col)),
+                                                  lambda t: t))),
+        " ",
+    )
+    return F.md5(canon)

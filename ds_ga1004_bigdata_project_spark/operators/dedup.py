@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — a 100 TB corpus runs them as a funnel:
+
+1. :func:`exact_dedup` — hash-groupBy on md5(text): one shuffle of (hash, id).
+2. :func:`fingerprint_dedup` — md5 of the canonical token bag: catches
+   reorder/duplicate-word near-copies at the same cost as exact.
+3. :func:`ngram_jaccard_pairs` — inverted-index candidate join on shared
+   shingles + exact Jaccard. No O(n²): only docs sharing a shingle ever meet.
+4. :func:`minhash_lsh_pairs` / :func:`simhash` — sketch-based: constant-size
+   signatures per doc, banding buckets as join keys. The only tier whose cost
+   is independent of document length at compare time.
+
+All tiers emit (smaller_id, larger_id) candidate pairs or keep-lists; a final
+connected-components / min-id-per-group step picks survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import content_fingerprint, word_shingles, ws_tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Exact duplicate groups via hash-groupBy (one shuffle of 16-byte keys).
+
+    Returns one row per distinct content: (content_hash, keep_id = min id,
+    dup_cnt). At scale: only (hash, id) pairs shuffle, never the text."""
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.trim(c))
+    return (
+        df.select(F.md5(c).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Bag-of-words-canonical dedup: same shuffle shape as exact_dedup but
+    invariant to token order/repetition (see
+    :func:`~..functions.text.content_fingerprint`)."""
+    return (
+        df.select(content_fingerprint(F.col(text_col)).alias("fingerprint"),
+                  F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, candidate-generated
+    through an inverted-index self-join (docs meet only on shared shingles).
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle
+    (AQE handles hot shingles via skew-join splitting; stopword-like shingles
+    can be pre-filtered by document frequency) → count intersections per pair
+    → join per-doc set sizes → jaccard = inter / (|a|+|b|-inter).
+
+    Output: (a, b, inter_cnt, a_cnt, b_cnt, jaccard) with a < b. Exact — no
+    sketch error; cost scales with shared-shingle pair count, not n²."""
+    tokens = ws_tokens(F.col(text_col))
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens, n)).alias("shingles"),
+    )
+    sizes = shingled.select("id", F.size("shingles").alias("set_size"))
+    posting = shingled.select("id", F.explode("shingles").alias("shingle"))
+
+    a, b = posting.alias("a"), posting.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    out = (
+        pairs
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("set_size", "a_cnt"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("set_size", "b_cnt"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter_cnt") /
+                    (F.col("a_cnt") + F.col("b_cnt") - F.col("inter_cnt")), 6),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out.select("a", "b", "inter_cnt", "a_cnt", "b_cnt", "jaccard")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, num_hashes: int = 32,
+                      max_jaccard_distance: float = 0.8, seed: int = 42) -> DataFrame:
+    """Approximate near-dup pairs via MinHash + LSH banding
+    (``pyspark.ml.feature.MinHashLSH`` over a HashingTF shingle vector).
+
+    The scale path when even the inverted-index join is too big: signatures are
+    ``num_hashes`` ints per doc regardless of length, and
+    ``approxSimilarityJoin`` only compares docs sharing an LSH band bucket.
+    Seeded → deterministic, but hash-specific → rows-only harness check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    tokens = ws_tokens(F.col(text_col))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hashes, seed=seed)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, max_jaccard_distance,
+                                        distCol="jaccard_distance")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("a"),
+            F.col("datasetB.id").alias("b"),
+            F.round(1 - F.col("jaccard_distance"), 6).alias("approx_jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 60) -> DataFrame:
+    """Per-document SimHash signature (≤60 bits so it fits a signed int64).
+
+    Each distinct token hashes to ``bits`` bits via xxhash64; the signature bit
+    b is 1 iff more token-hashes have bit b set than not. Pure higher-order
+    array expressions: per doc, fold token hash values into a bit-vote array of
+    length ``bits``, then reassemble. Hamming-close signatures → near-dups.
+
+    Grouping by signature (or banded substrings of it for hamming tolerance)
+    gives the cheapest content-clustering shuffle possible: 8 bytes per doc."""
+    tokens = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                                        1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(votes, F.sequence(F.lit(0), F.lit(bits - 1)),
+                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b))
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact-signature SimHash grouping (hamming distance 0): one 8-byte-key
+    shuffle. For hamming≤k, band the signature into k+1 chunks and union the
+    per-chunk groupings (pigeonhole) — same plan shape, k+1 shuffles."""
+    sigs = simhash(df, text_col, id_col)
+    return sigs.groupBy("simhash").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )

@@ -1,0 +1,145 @@
+"""Relational operator library (SURVEY.md §2.2, §2.3, §2.5-2.7).
+
+Thin, named, composable wrappers that compile to DataFrame plans. The scale
+rewrites the reference needed are encoded here once (SURVEY.md §4):
+
+- driver-side set algebra → distributed semi/anti joins (J4/J5 rewrite of
+  ``sample_indexer.py:28-39``'s collect + Python sets + giant ``isin``)
+- small-side joins broadcast explicitly (J1, ``param_train_1st.py:60``)
+- top-k-per-group as a window (W1 relational form of ``recommendForUserSubset``)
+- global top-N as orderBy+limit → Spark's TakeOrderedAndProject (O4)
+
+Every function returns a lazy DataFrame; Catalyst handles pushdown, pruning,
+join selection, and AQE handles runtime re-planning. Nothing here collects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- joins (J1-J5)
+
+def broadcast_inner_join(big: DataFrame, small: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Equi-join with an explicit broadcast of the small side (J1).
+
+    The reference broadcast the per-user truth table into the prediction join
+    (``one_train.py:48``). At 100 TB this is the difference between a shuffle
+    of the fact table and a map-side hash join: always hint dimensions."""
+    return big.join(F.broadcast(small), on, how)
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on) -> DataFrame:
+    """Keep rows of ``df`` whose key appears in ``keys`` (J5).
+
+    Scalable rewrite of the reference's ``isin(collected_list)`` (P4,
+    ``sample_indexer.py:39``): the key set stays distributed; Catalyst picks
+    broadcast vs shuffle by size, and no multi-MB In-predicate ships to
+    executors."""
+    return df.join(keys, on, "left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on) -> DataFrame:
+    """Keep rows of ``df`` whose key does NOT appear in ``keys`` (J4).
+
+    Scalable rewrite of driver-side ``set.difference`` after ``collect()``
+    (``sample_indexer.py:28-33``)."""
+    return df.join(keys, on, "left_anti")
+
+
+def join_chain(base: DataFrame, *links: tuple[DataFrame, object]) -> DataFrame:
+    """Inner-join a chain of relations (J2): ``join_chain(f, (d1, k1), (d2, k2))``.
+
+    Dimension sides below the broadcast threshold are picked up by AQE; callers
+    can pre-wrap with ``F.broadcast``."""
+    out = base
+    for other, on in links:
+        out = out.join(other, on, "inner")
+    return out
+
+
+# ---------------------------------------------------- windows / top-k (W1, W2)
+
+def topk_per_group(df: DataFrame, partition_by: Sequence[str],
+                   order_by: Sequence[Column], k: int,
+                   rank_col: str = "rn", keep_rank: bool = False) -> DataFrame:
+    """Top-k rows per group via ``row_number`` (W1 relational analog of
+    ``recommendForUserSubset(users, 500)``, ``param_train_1st.py:57``).
+
+    ``order_by`` must be a total order (append a unique tiebreak column) or the
+    result is nondeterministic under shuffle. Physical plan: one hash shuffle
+    on ``partition_by``, per-partition sort — no global sort."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def rank_in_group(df: DataFrame, partition_by: Sequence[str],
+                  order_by: Sequence[Column], rank_col: str = "rank",
+                  dense: bool = False) -> DataFrame:
+    """SQL ``rank()``/``dense_rank()`` over a window (W2; the reference did
+    pandas ``.rank()``, ``Exploration-EDA.ipynb#cell86``)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by) if partition_by \
+        else Window.orderBy(*order_by)
+    fn = F.dense_rank() if dense else F.rank()
+    return df.withColumn(rank_col, fn.over(w))
+
+
+def global_topn(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame:
+    """Global top-N (O4): orderBy+limit compiles to TakeOrderedAndProject —
+    each task keeps an N-row heap, the driver merges heaps; no full sort."""
+    return df.orderBy(*order_by).limit(n)
+
+
+# ------------------------------------------------------------- set ops (U1-U3)
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Distributed rewrite of driver-side ``set.union`` (U1)."""
+    return a.unionByName(b).distinct()
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Row-bag union by column name (U3); no shuffle at all."""
+    return a.unionByName(b)
+
+
+def difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set difference (U2): distributed rewrite of ``set.difference``."""
+    return a.exceptAll(b)
+
+
+def intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (free surface per SURVEY §2.7)."""
+    return a.intersect(b)
+
+
+# ------------------------------------------------- projections/filters helpers
+
+def filter_in_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Range predicate (P7) — pushes to the parquet scan as min/max filters."""
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def null_if_sentinel(df: DataFrame, col: str, sentinel) -> DataFrame:
+    """Sentinel→null normalization (P6): the reference's ``year.replace(0, NaN)``
+    (``Exploration-EDA.ipynb#cell46``) as a catalyst expression."""
+    return df.withColumn(col, F.when(F.col(col) == sentinel, None).otherwise(F.col(col)))
+
+
+# ------------------------------------------------------- physical layout (X1-X3)
+
+def repartition_by_key(df: DataFrame, num_partitions: int, *cols: str) -> DataFrame:
+    """Hash repartition by key before a write or iterated reuse (X1). The
+    reference dropped the result (``sample_indexer.py:50`` no-op bug); the
+    engine returns it so callers can't lose it."""
+    return df.repartition(num_partitions, *cols)
+
+
+def persisted(df: DataFrame):
+    """MEMORY_AND_DISK persist around reuse points (X2) — the reference left
+    this commented out and re-read parquet every sweep iteration."""
+    from pyspark import StorageLevel
+    return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,58 @@
+"""Sampling operators (SURVEY.md §2.9, R1-R4).
+
+The reference sampled *user ids on the driver* with ``random.sample`` over a
+collected list (``sample_indexer.py:36-38``) — O(users) driver memory. The
+scalable rewrite samples the key relation distributedly and semi-joins it back
+(R3 → J5), so nothing ever collects.
+
+All entry points take an explicit seed (R4) so runs are reproducible; seeded
+sampling is engine-specific, hence these are rows-only checks in the harness
+(FIXTURES.md "Harness notes").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import semi_join
+
+#: Engine-level default seed threaded through all sampling ops (R4; the
+#: reference pinned sample seed=66 and ALS seed=123).
+DEFAULT_SEED = 42
+
+
+def bernoulli_sample(df: DataFrame, fraction: float, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Seeded row-level Bernoulli sample (R1/R2,
+    ``Exploration-EDA.ipynb#cell43``). Per-partition and streaming-friendly:
+    no shuffle, no driver involvement."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def sample_keys(df: DataFrame, key_cols: Sequence[str], fraction: float,
+                seed: int = DEFAULT_SEED) -> DataFrame:
+    """Sample the *key space*: distinct keys → Bernoulli sample. The building
+    block of stratified-by-key sampling (R3 rewrite)."""
+    return df.select(*key_cols).distinct().sample(False, fraction, seed)
+
+
+def stratified_key_sample(df: DataFrame, key_cols: Sequence[str], fraction: float,
+                          seed: int = DEFAULT_SEED) -> DataFrame:
+    """Keep ALL rows of a sampled subset of keys (the reference's user-level
+    downsampling, ``sample_indexer.py:36-39``, without the driver round-trip):
+    sample keys distributedly, then left-semi join back. Two shuffles max
+    (distinct + join build side, usually broadcast by AQE)."""
+    keys = sample_keys(df, key_cols, fraction, seed)
+    return semi_join(df, keys, list(key_cols))
+
+
+def deterministic_hash_sample(df: DataFrame, key_cols: Sequence[str],
+                              fraction: float, salt: int = DEFAULT_SEED) -> DataFrame:
+    """Content-deterministic sample: keep rows where a hash of the key lands
+    under ``fraction``. Unlike ``sample()``, the SAME keys are kept on every
+    engine and every partitioning — this variant IS oracle-expressible and is
+    the right tool for reproducible train/validation splits at 100 TB."""
+    h = F.abs(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(salt)))
+    return df.filter((h % 1_000_000) < int(fraction * 1_000_000))

@@ -1,0 +1,165 @@
+"""Vector-similarity operators over ``array<float>`` embedding columns.
+
+The reference's latent-factor tables (``(id, features: array<float>)``, ALS
+rank 10-150 — SURVEY §1.1.3) generalize to the ``embeddings`` test table. Two
+paths, per the standard ANN playbook:
+
+- **Brute-force top-k** (:func:`cosine_topk`): broadcast the (small) query set
+  against the full corpus; exact. Per-row work is a fused JVM higher-order
+  expression (zip_with/aggregate), no Python. At 100 TB this is the *verifier*
+  and the small-query-set path — cost |Q|·|corpus|, embarrassingly parallel,
+  zero shuffle beyond the final per-query top-k.
+- **LSH-bucketed** (:func:`brp_lsh_neighbors`) and **IVF-style coarse
+  quantization** (:func:`ivf_topk`): candidate generation via bucket equi-join
+  so each query only scores a partition of the corpus.
+
+Dot products run on doubles (exact float32 widening) and fold left-to-right,
+making results bit-reproducible across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, scale: int | None = 6) -> Column:
+    c = dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+    return F.round(c, scale) if scale is not None else c
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              norm_col: str = "_norm") -> DataFrame:
+    """Precompute norms once — brute-force scoring then pays one dot per pair."""
+    return df.withColumn(norm_col, l2_norm(F.col(vec_col)))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: broadcast queries ⨯ corpus → per-query top-k window.
+
+    Output: (query_id, neighbor_id, cosine_sim), self-matches excluded,
+    ties broken by neighbor_id ascending (total order → deterministic)."""
+    c = with_norm(corpus.select(F.col(id_col).alias("n_id"),
+                                F.col(vec_col).alias("n_vec")), "n_vec", "n_norm")
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("q_vec")), "q_vec", "q_norm")
+    scored = (
+        c.join(F.broadcast(q), F.col("n_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("n_id").alias("neighbor_id"),
+            F.round(dot(F.col("q_vec"), F.col("n_vec")) /
+                    F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+                    6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b) above ``threshold``.
+
+    Brute-force all-pairs — the exactness baseline. The 100 TB path is
+    :func:`brp_lsh_neighbors` (bucketed candidates) with this as verifier on
+    candidate pairs only."""
+    a = with_norm(df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("a_vec")),
+                  "a_vec", "a_norm")
+    b = with_norm(df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("b_vec")),
+                  "b_vec", "b_norm")
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.round(dot(F.col("a_vec"), F.col("b_vec")) /
+                        F.nullif(F.col("a_norm") * F.col("b_norm"), F.lit(0.0)),
+                        6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def brp_lsh_neighbors(df: DataFrame, threshold_l2: float, id_col: str = "vec_id",
+                      vec_col: str = "embedding", bucket_length: float = 2.0,
+                      num_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Approximate L2-neighbor pairs via BucketedRandomProjectionLSH: docs only
+    meet when they share a projection bucket. Seeded, ml-native; rows-only
+    harness check (hash-specific)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(F.col(id_col).alias("id"),
+                     array_to_vector(F.col(vec_col)).alias("features"))
+    lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
+                                      bucketLength=bucket_length,
+                                      numHashTables=num_tables, seed=seed)
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, threshold_l2, distCol="l2_dist")
+    return (joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+            .select(F.col("datasetA.id").alias("a"),
+                    F.col("datasetB.id").alias("b"),
+                    F.round("l2_dist", 6).alias("l2_dist")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer assigns corpus vectors to cells;
+    each query scores only its ``n_probe`` nearest cells' vectors.
+
+    Plan: centroids broadcast (tiny), corpus gets a cell id at scan time (can
+    be persisted/bucketed once), query→candidate join is an equi-join on
+    cell id — |corpus|/n_cells · n_probe work per query instead of |corpus|."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corp = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                         array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(corp)
+    corp_cells = with_norm(model.transform(corp).select("n_id", "n_vec", "cell"),
+                           "n_vec", "n_norm")
+
+    # Broadcast centroids to the query side, pick n_probe nearest cells each.
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, c_vec array<double>")
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("q_vec")), "q_vec", "q_norm")
+    qc = (
+        q.join(F.broadcast(cent_df))
+        .withColumn("c_dist", -dot(F.col("q_vec"), F.col("c_vec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_dist").asc(), F.col("cell").asc())
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe)
+              .select("query_id", "q_vec", "q_norm", "cell"))
+
+    scored = (
+        corp_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("query_id"))
+        .select("query_id", F.col("n_id").alias("neighbor_id"),
+                F.round(dot(F.col("q_vec"), F.col("n_vec")) /
+                        F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+                        6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))

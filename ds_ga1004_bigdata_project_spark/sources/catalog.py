@@ -1,0 +1,102 @@
+"""Catalog / IO layer (SURVEY.md §2.1, S1-S8).
+
+The reference reads Parquet fact tables (``sample_indexer.py:22-24``), SQLite
+dimension tables via pandas (``Exploration-EDA.ipynb#cell24``), and header-less
+CSVs (``#cell23``). The engine generalizes this into a named catalog over a
+directory of Parquet tables, registered as SQL temp views so both the DataFrame
+API and ``spark.sql`` address the same relations.
+
+Paths are scheme-agnostic (S8): ``/local``, ``hdfs://``, ``s3a://`` all work,
+because ``spark.read`` resolves the filesystem from the URI.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: The driver-supplied star schema (TESTDATA.md) — one parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar Parquet scan (S1). Schema comes from the footer; Catalyst
+    pushes predicates/column pruning into this scan automatically.
+
+    Nanosecond-precision parquet timestamps (e.g. ``events.ts``, written by
+    pandas/pyarrow) are illegal for Spark 4's reader by default; we read them
+    as raw int64 nanos (legacy conf) and truncate to a microsecond timestamp —
+    the same truncation DuckDB applies, so oracle comparisons agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view (SQLite-side-table analog, S4) so
+    ``spark.sql`` queries match the DuckDB oracle's pre-registered views."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Parquet sink (S2, ``sample_indexer.py:51``). ``partition_by`` gives
+    directory-partitioned output for partition-pruned downstream scans."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str,
+             header: bool = False, sep: str = ",") -> DataFrame:
+    """Header-less CSV source with an explicit schema (S5) — the reference
+    assigned names post-hoc in pandas (``Exploration-EDA.ipynb#cell23``); here
+    the schema is declared so the scan never pays inference."""
+    return spark.read.csv(path, schema=schema, header=header, sep=sep)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False,
+              mode: str = "overwrite") -> None:
+    """CSV sink (S6). ``single_file`` coalesces to one partition — only for
+    driver-scale exports (the reference's ``dominant_trackgenre.csv``)."""
+    (df.coalesce(1) if single_file else df).write.mode(mode).option("header", True).csv(path)
+
+
+class Catalog:
+    """Convenience handle over one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_all(self) -> None:
+        register_views(self.spark, self.sf_dir)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
