@@ -120,8 +120,5 @@ def content_fingerprint(col: Column) -> Column:
     bag. Invariant to word order and duplication — a cheap canonical-content
     key for exact-ish dedup at scan speed."""
     canon = F.array_join(
-        F.sort_array(F.array_distinct(F.transform(word_tokens(F.lower(col)),
-                                                  lambda t: t))),
-        " ",
-    )
+        F.sort_array(F.array_distinct(word_tokens(F.lower(col)))), " ")
     return F.md5(canon)

@@ -1,0 +1,3 @@
+from . import als, indexing, metrics
+
+__all__ = ["als", "indexing", "metrics"]

@@ -143,23 +143,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Grouping by signature (or banded substrings of it for hamming tolerance)
     gives the cheapest content-clustering shuffle possible: 8 bytes per doc."""
     tokens = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                                        1).otherwise(-1),
-        ),
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens, lambda t: F.xxhash64(t)).alias("_h"),
     )
-    sig = F.aggregate(
-        F.zip_with(votes, F.sequence(F.lit(0), F.lit(bits - 1)),
-                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b))
-                   .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    # Per-bit majority vote; the shift amount must be a Python literal
+    # (Spark's shiftright takes int, not Column), so unroll the bit loop here —
+    # still one projection, fully codegen'd.
+    def _vote(bit: int):
+        # closure factory: the lambda must take exactly (acc, h) — a default
+        # parameter would be mistaken for a third lambda variable by pyspark
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(F.col("_h"), F.lit(0), _vote(b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return hashed.select("id", sig.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text",

@@ -550,3 +550,475 @@ def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("new_session").alias("n_sessions"))
+
+
+# =====================================================================
+# Training-data pipeline: text analysis & deduplication (documents)
+# =====================================================================
+
+@_register(
+    "q30_dedup_exact",
+    survey="dedup-exact (hash-groupBy; LLM-pipeline op, BASELINE.json north star)",
+    oracle="""
+        SELECT md5(lower(trim(text))) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS dup_cnt
+        FROM documents GROUP BY 1
+    """,
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: only (16-byte hash, id) pairs cross the shuffle — the
+    100 TB-safe shape (text never shuffles)."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.exact_dedup(cat.documents)
+
+
+@_register(
+    "q31_dedup_fingerprint",
+    survey="dedup-canonical (order/duplication-invariant content fingerprint)",
+    oracle="""
+        SELECT md5(array_to_string(
+                 list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9'']+'))),
+                 ' ')) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS dup_cnt
+        FROM documents GROUP BY 1
+    """,
+)
+def q31_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return dedup.fingerprint_dedup(cat.documents)
+
+
+@_register(
+    "q32_ngram_jaccard_topk",
+    survey="dedup-jaccard (inverted-index candidate join + exact n-gram Jaccard)",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingles
+          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)),
+        sizes AS (SELECT id, len(shingles) AS set_size FROM sh),
+        posting AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+        pairs AS (
+          SELECT p1.id AS a, p2.id AS b, count(*) AS inter_cnt
+          FROM posting p1 JOIN posting p2
+            ON p1.shingle = p2.shingle AND p1.id < p2.id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT a, b, inter_cnt, sa.set_size AS a_cnt, sb.set_size AS b_cnt,
+                 round(inter_cnt / CAST(sa.set_size + sb.set_size - inter_cnt AS DOUBLE), 6) AS jaccard
+          FROM pairs JOIN sizes sa ON pairs.a = sa.id
+                     JOIN sizes sb ON pairs.b = sb.id)
+        SELECT a, b, inter_cnt, a_cnt, b_cnt, jaccard
+        FROM j ORDER BY jaccard DESC, a ASC, b ASC LIMIT 50
+    """,
+)
+def q32_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-similar doc pairs by exact trigram Jaccard. Candidates come
+    from an inverted-index self-join (docs only meet on shared shingles) — the
+    exact-dedup scale path; never O(n²)."""
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(cat.documents, n=3)
+    return rel.global_topn(
+        pairs, [F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()], 50)
+
+
+def _duck_lang_sql() -> str:
+    """DuckDB twin of functions.text.lang_id: per-language lexicon-hit scores
+    over distinct lowercase ws-tokens, argmax with ties → first language code."""
+    from .functions.text import LANG_LEXICONS
+
+    langs = sorted(LANG_LEXICONS)
+    score_exprs = ",\n".join(
+        f"len(list_intersect(toks, {list(LANG_LEXICONS[lang])})) AS s_{lang}"
+        for lang in langs
+    )
+    # argmax with ties to earliest lang: lang_i wins iff its score >= all later
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        if i < len(langs) - 1:
+            conds = " AND ".join(f"s_{lang} >= s_{later}" for later in langs[i + 1:])
+            case += f"WHEN {conds} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' END"
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(string_split_regex(text, '\\s+'),
+                                              x -> lower(x))) AS toks
+          FROM documents),
+        s AS (SELECT doc_id, lang, {score_exprs} FROM t)
+        SELECT doc_id, lang AS actual_lang, {case} AS pred_lang,
+               {greatest} AS best_score
+        FROM s
+    """
+
+
+@_register(
+    "q33_lang_id",
+    survey="text-langid (n-gram/stopword heuristic; LLM-pipeline op)",
+    oracle=_duck_lang_sql(),
+)
+def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    scores = T.lang_scores(toks)
+    return cat.documents.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        T.lang_id(toks).alias("pred_lang"),
+        F.greatest(*scores.values()).alias("best_score"),
+    )
+
+
+@_register(
+    "q34_text_quality",
+    survey="text-quality (length/stopword/diversity ratios; LLM-pipeline op)",
+    oracle="""
+        WITH t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w
+                   FROM documents)
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               round(list_sum(list_transform(w, x -> len(x))) / CAST(len(w) AS DOUBLE), 4)
+                 AS mean_tok_len,
+               round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) AS distinct_ratio,
+               round(len(list_filter(w, x -> list_contains(
+                       ['the','a','an','of','and','or','in','on','is','are','to'],
+                       lower(x)))) / CAST(len(w) AS DOUBLE), 4) AS stopword_ratio,
+               round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     / CAST(len(text) AS DOUBLE), 4) AS punct_ratio
+        FROM t
+    """,
+)
+def q34_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    return cat.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        T.mean_token_len(toks).alias("mean_tok_len"),
+        T.distinct_token_ratio(toks).alias("distinct_ratio"),
+        T.stopword_ratio(toks).alias("stopword_ratio"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+
+
+@_register(
+    "q35_token_stats",
+    survey="text-tokencount (ws + regex word tokenization; LLM-pipeline op)",
+    oracle="""
+        SELECT doc_id,
+               len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS n_word_tokens,
+               len(text) AS len_chars
+        FROM documents
+    """,
+)
+def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        T.word_count(F.col("text")).alias("n_word_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+# =====================================================================
+# Training-data pipeline: vector similarity (embeddings)
+# =====================================================================
+
+_DUCK_COS = """
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+"""
+
+
+@_register(
+    "q40_ann_cosine_topk",
+    survey="similarity-ann (brute-force cosine top-k baseline; factors fixture F5)",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                   WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+        scored AS (
+          SELECT query_id, n_id,
+                 round({_DUCK_COS.format(a='qv', b='nv')} /
+                       nullif(sqrt({_DUCK_COS.format(a='qv', b='qv')}) *
+                              sqrt({_DUCK_COS.format(a='nv', b='nv')}), 0.0),
+                       6) AS cosine_sim
+          FROM q, c WHERE n_id <> query_id)
+        SELECT query_id, n_id AS neighbor_id, cosine_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, n_id ASC) AS rn
+          FROM scored) WHERE rn <= 5
+    """,
+)
+def q40_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast queries ⨯
+    corpus, JVM higher-order dot product, per-query top-k window."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
+    "q41_cosine_neardup_pairs",
+    survey="dedup-embedding (cosine near-dup pairs; brute-force verifier tier)",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        p AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round({_DUCK_COS.format(a='x.embedding', b='y.embedding')} /
+                       nullif(sqrt({_DUCK_COS.format(a='x.embedding', b='x.embedding')}) *
+                              sqrt({_DUCK_COS.format(a='y.embedding', b='y.embedding')}), 0.0),
+                       6) AS cosine_sim
+          FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        SELECT a, b, cosine_sim FROM p WHERE cosine_sim >= 0.3
+    """,
+)
+def q41_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return dedup_pairs_03(cat.embeddings)
+
+
+def dedup_pairs_03(emb: DataFrame) -> DataFrame:
+    return sim.cosine_neardup_pairs(emb, threshold=0.3)
+
+
+# =====================================================================
+# ML / recsys layer (SURVEY §2.11) + sampling + sketches + multimodal
+# =====================================================================
+
+@_register(
+    "q50_string_index_sql",
+    survey="M1 (frequency-ordered dense codes, SQL path of StringIndexer)",
+    oracle="""
+        WITH m AS (
+          SELECT c_mktsegment,
+                 dense_rank() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1
+                   AS c_mktsegment_idx
+          FROM customer GROUP BY c_mktsegment)
+        SELECT c.c_custkey, c.c_mktsegment, m.c_mktsegment_idx
+        FROM customer c JOIN m USING (c_mktsegment)
+    """,
+)
+def q50_string_index_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer's frequency-ordered dense codes as a pure-SQL fit +
+    join-based transform — the driver-memory-independent path
+    (``ml.indexing``; tie-break by value ascending, deterministic)."""
+    from .ml import indexing as IX
+    cat = Catalog(spark, sf_dir)
+    mapping = IX.fit_sql_indexer(cat.customer, "c_mktsegment")
+    return IX.transform_sql_indexer(cat.customer, mapping, "c_mktsegment") \
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_idx")
+
+
+@_register(
+    "q51_interactions_table",
+    survey="M2-input (implicit-feedback fact table build; instructions.md:50-61 shape)",
+    oracle="""
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS cnt
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """,
+)
+def q51_interactions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.join(cat.orders.select("o_orderkey", "o_custkey"),
+                          F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("user_id"),
+                 F.col("l_partkey").alias("item_id"))
+        .agg(agg.exact_sum("l_quantity", "cnt"))
+    )
+
+
+def _duck_ranking_sql(k: int = 5) -> str:
+    """DuckDB twin of the full ranking-metrics pipeline over deterministic
+    pred/truth lists derived from lineitem (pred = top-k parts per order by
+    quantity; truth = returned parts). IDCG is inlined as a CASE over
+    min(|truth|, k) so no correlated subquery is needed."""
+    import math
+    idcg_case = "CASE least(truth_size, {k}) ".format(k=k)
+    for m in range(1, k + 1):
+        s = " + ".join(f"1.0/log2({i + 2}.0)" for i in range(m))
+        idcg_case += f"WHEN {m} THEN ({s}) "
+    idcg_case += "ELSE NULL END"
+    return f"""
+        WITH pred AS (
+          SELECT l_orderkey AS u, l_partkey AS item,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_quantity DESC, l_partkey ASC) - 1 AS pos
+          FROM lineitem QUALIFY pos < {k}),
+        truth AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS item
+                  FROM lineitem WHERE l_returnflag = 'R'),
+        tsize AS (SELECT u, count(*) AS truth_size FROM truth GROUP BY u),
+        joined AS (
+          SELECT p.u, p.pos,
+                 CASE WHEN t.item IS NULL THEN 0 ELSE 1 END AS hit
+          FROM pred p LEFT JOIN truth t ON p.u = t.u AND p.item = t.item),
+        scored AS (
+          SELECT u, pos, hit,
+                 sum(hit) OVER (PARTITION BY u ORDER BY pos) AS hits_cum
+          FROM joined),
+        per_user AS (
+          SELECT u,
+                 sum(hit * hits_cum / CAST(pos + 1 AS DOUBLE)) AS ap_num,
+                 sum(CASE WHEN pos < {k} THEN hit ELSE 0 END) AS hits_at_k,
+                 sum(CASE WHEN pos < {k} THEN hit / log2(pos + 2.0) ELSE 0.0 END) AS dcg
+          FROM scored GROUP BY u),
+        pu AS (
+          SELECT p.*, coalesce(t.truth_size, 0) AS truth_size
+          FROM per_user p LEFT JOIN tsize t ON p.u = t.u),
+        fin AS (
+          SELECT CASE WHEN truth_size > 0 THEN ap_num / truth_size ELSE 0.0 END AS ap,
+                 hits_at_k / {k}.0 AS p_at_k,
+                 coalesce(dcg / ({idcg_case}), 0.0) AS ndcg
+          FROM pu)
+        SELECT round(avg(ap), 6) AS map,
+               round(avg(p_at_k), 6) AS precision_at_k,
+               round(avg(ndcg), 6) AS ndcg_at_k,
+               count(*) AS n_users
+        FROM fin
+    """
+
+
+@_register(
+    "q52_ranking_metrics",
+    survey="M6,A10,B1-fix (DataFrame-native MAP/P@k/NDCG@k; one_train.py:48-54)",
+    oracle=_duck_ranking_sql(5),
+)
+def q52_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-metric aggregation, oracle-checked: deterministic pred
+    (top-5 parts per order by quantity) vs truth (returned parts), evaluated
+    by ``ml.metrics.ranking_metrics`` — no RDDs, no Python row funcs."""
+    from .ml.metrics import ranking_metrics
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_partkey").asc())
+    pred = (li.withColumn("pos", F.row_number().over(w) - 1)
+            .filter(F.col("pos") < 5)
+            .groupBy(F.col("l_orderkey").alias("user"))
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("pos"), F.col("l_partkey").alias("item")))),
+                lambda s: s.getField("item")).alias("pred_items")))
+    truth = (li.filter(F.col("l_returnflag") == "R")
+             .groupBy(F.col("l_orderkey").alias("user"))
+             .agg(F.collect_set("l_partkey").alias("truth_items")))
+    return ranking_metrics(pred, truth, k=5, user_col="user")
+
+
+@_register(
+    "q53_als_recommend",
+    survey="M2,M3,M4 (implicit ALS train + top-k recommend; seeded, rows-only)",
+    oracle=None,
+)
+def q53_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recsys slice on driver tables: build interactions → fit
+    implicit ALS (seed=123) → top-5 per user for 20 users. Seeded-ML output
+    is engine-specific → rows-only check (FIXTURES.md Harness notes)."""
+    from .ml import als as A
+    cat = Catalog(spark, sf_dir)
+    inter = A.interactions_from_orders(cat.lineitem, cat.orders)
+    model = A.train_als(inter, A.ALSConfig(rank=4, max_iter=2, seed=123))
+    users = (inter.select("user_id").distinct()
+             .orderBy("user_id").limit(20))
+    recs = A.recommend_topk(model, users, k=5)
+    return recs.select("user", F.col("pred_items").cast("array<int>").alias("pred_items"))
+
+
+@_register(
+    "q54_stratified_sample",
+    survey="R3-rewrite,J5 (sample keys + semi-join; sample_indexer.py:36-39, rows-only)",
+    oracle=None,
+)
+def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sampled = sampling.stratified_key_sample(cat.lineitem, ["l_orderkey"], 0.1)
+    return sampled.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_register(
+    "q55_hash_sample",
+    survey="R1/R2-deterministic (content-hash sampling — reproducible splits, rows-only)",
+    oracle=None,
+)
+def q55_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    sampled = sampling.deterministic_hash_sample(cat.events, ["event_id"], 0.2)
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_register(
+    "q56_minhash_pairs",
+    survey="dedup-minhash (MinHashLSH banding; sketch path, rows-only)",
+    oracle=None,
+)
+def q56_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(cat.documents, num_hashes=8,
+                                   max_jaccard_distance=0.95)
+
+
+@_register(
+    "q57_simhash_groups",
+    survey="dedup-simhash (bit-vote signature grouping; rows-only)",
+    oracle=None,
+)
+def q57_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return dedup.simhash_dup_groups(cat.documents)
+
+
+@_register(
+    "q58_ivf_topk",
+    survey="similarity-ivf (KMeans coarse-quantized ANN; scale path, rows-only)",
+    oracle=None,
+)
+def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_cells=8, n_probe=3)
+
+
+@_register(
+    "q59_brp_lsh_neighbors",
+    survey="similarity-lsh (BucketedRandomProjectionLSH neighbor pairs, rows-only)",
+    oracle=None,
+)
+def q59_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return sim.brp_lsh_neighbors(cat.embeddings, threshold_l2=8.0,
+                                 bucket_length=4.0, num_tables=2)
+
+
+@_register(
+    "q60_multimodal_features",
+    survey="multimodal (binary payloads + mapInPandas feature extraction)",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+    """,
+)
+def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: text-bytes stand in for media
+    payloads, features extracted via Arrow-batched ``mapInPandas``. The
+    byte-level outputs (length, md5) ARE oracle-checkable even though the
+    decode itself is stubbed — proving the Python batch path computes exactly
+    what the SQL engine says it should."""
+    from .operators import multimodal as MM
+    cat = Catalog(spark, sf_dir)
+    payloads = MM.attach_payload(cat.documents)
+    feats = MM.extract_features(payloads, fake=True)
+    return feats.select("doc_id", "modality", "n_bytes", "digest")

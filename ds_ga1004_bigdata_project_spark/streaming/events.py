@@ -1,0 +1,71 @@
+"""Structured Streaming surface over the events schema.
+
+The reference is batch-only (SURVEY §2.13), so this is net-new engine surface
+built so every batch aggregation in ``queries.py`` has a streaming twin with
+IDENTICAL transformation code: the same ``F.window``/groupBy expressions run
+under ``readStream`` with a watermark. Batch query q22_hourly_window and
+:func:`hourly_counts` share semantics by construction.
+
+Late data: event-time watermarks bound state (without one, a windowed agg's
+state grows forever at 100 TB/day); sessionization uses the native
+``session_window`` (gap-based, state pruned by watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events.parquet schema with µs timestamps (see sources.catalog for the
+#: nanos handling on the batch path; streaming file sources declare this).
+EVENTS_DDL = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      fmt: str = "parquet") -> DataFrame:
+    """File-based event stream: picks up files appearing under ``path``.
+    Swap for kafka by changing format/options — downstream code is agnostic."""
+    return (spark.readStream.format(fmt).schema(EVENTS_DDL).load(path))
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q22_hourly_window: tumbling 1h event-time windows,
+    per event type. Watermark bounds window state; output mode 'append' emits
+    each window once it can no longer receive late rows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+             .alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Native gap-based session windows per user (the streaming analog of the
+    batch lag/cumsum sessionization in q24): state is one open session per
+    user, pruned by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"), "n_events")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "complete") -> None:
+    """Drain everything currently available through the streaming engine into
+    an in-memory table named ``query_name`` — the batch-parity test hook.
+
+    ``availableNow`` processes all existing input then stops (deterministic);
+    'complete' mode emits every window including ones the watermark hasn't
+    closed, which is what a finite-input parity check wants."""
+    handle = (stream_df.writeStream.format("memory").queryName(query_name)
+              .outputMode(output_mode).trigger(availableNow=True).start())
+    handle.awaitTermination()

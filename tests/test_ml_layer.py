@@ -1,0 +1,69 @@
+"""End-to-end recsys protocol test (SURVEY §5: "StringIndex → ALS(seed) →
+top-k → metrics on a synthetic interaction table, asserting metric
+determinism") on the driver tables at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from ds_ga1004_bigdata_project_spark.ml import als as A
+from ds_ga1004_bigdata_project_spark.ml import indexing as IX
+from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def interactions(spark):
+    cat = Catalog(spark, SF_SMOKE)
+    df = A.interactions_from_orders(cat.lineitem, cat.orders)
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_sql_indexer_matches_ml_indexer_on_frequencies(spark, interactions):
+    # Frequency-ordered codes: most frequent value gets idx 0 in both paths.
+    ids = interactions.select(interactions.user_id.cast("string").alias("u"))
+    mapping = IX.fit_sql_indexer(ids, "u")
+    _, ml_out = IX.ml_string_indexer(ids, ["u"])
+    sql_out = IX.transform_sql_indexer(ids, mapping, "u")
+    # Same frequency ⇒ StringIndexer tie order is also alphabetical asc
+    # (stringOrderType='frequencyDesc' documents alphabetical tiebreak).
+    a = {r["u"]: r["u_idx"] for r in sql_out.distinct().collect()}
+    b = {r["u"]: int(r["u_idx"]) for r in ml_out.distinct().collect()}
+    assert a == b
+
+
+def test_skip_semantics_drop_unseen(spark):
+    train = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    test = spark.createDataFrame([("a",), ("c",)], "k string")
+    mapping = IX.fit_sql_indexer(train, "k")
+    out = IX.transform_sql_indexer(test, mapping, "k")
+    assert {r["k"] for r in out.collect()} == {"a"}  # 'c' dropped (skip)
+
+
+def test_als_end_to_end_deterministic(spark, interactions):
+    cfg = A.ALSConfig(rank=4, max_iter=3, seed=123)
+    model = A.train_als(interactions, cfg)
+    uf = model.userFactors
+    assert uf.schema["features"].dataType.simpleString() == "array<float>"
+
+    m1 = A.evaluate_model(model, interactions, k=5).collect()[0]
+    assert m1["n_users"] > 0
+    assert 0.0 <= m1["precision_at_k"] <= 1.0
+    assert 0.0 <= m1["map"] <= 1.0
+
+    # Same seed, same input → identical metrics (R4 reproducibility contract).
+    model2 = A.train_als(interactions, cfg)
+    m2 = A.evaluate_model(model2, interactions, k=5).collect()[0]
+    assert m1.asDict() == m2.asDict()
+
+
+def test_recommend_topk_shape(spark, interactions):
+    model = A.train_als(interactions, A.ALSConfig(rank=4, max_iter=2))
+    users = interactions.select("user_id").distinct().limit(10)
+    recs = A.recommend_topk(model, users, k=7)
+    rows = recs.collect()
+    assert rows and all(len(r["pred_items"]) <= 7 for r in rows)

@@ -1,0 +1,58 @@
+"""Structured Streaming parity: the streaming hourly windows over the events
+files must equal the batch q22 aggregation on the same data (same
+transformation code path, read vs readStream)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+from ds_ga1004_bigdata_project_spark.streaming import events as SE
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def event_dir(tmp_path, spark):
+    # Stream sources need a directory; rewrite events as µs timestamps (the
+    # streaming schema can't use the nanos legacy path).
+    cat = Catalog(spark, SF_SMOKE)
+    out = str(tmp_path / "events_stream")
+    cat.events.write.parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_hourly_matches_batch(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    SE.run_available_now(SE.hourly_counts(stream), "hourly_test")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("hourly_test").collect()
+    }
+
+    # batch twin: same aggregation expressions on a batch read
+    from pyspark.sql import functions as F
+    bdf = (spark.read.parquet(event_dir)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+                .alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "sum_value"))
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in bdf.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sessionization_runs(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir)
+    SE.run_available_now(SE.sessionized_counts(stream), "sessions_test")
+    rows = spark.table("sessions_test").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
