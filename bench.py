@@ -25,10 +25,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from ds_ga1004_bigdata_project_spark.queries import REGISTRY
-    from ds_ga1004_bigdata_project_spark.session import get_session
+    from ds_ga1004_bigdata_project_spark.session import get_local_session
 
-    spark = get_session(app_name="engine-bench", master=f"local[{cpus}]",
-                        shuffle_partitions=min(cpus, 32))
+    spark = get_local_session(cpus, app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen once so per-query numbers measure the plan, not

@@ -52,16 +52,22 @@ def word_count(col: Column) -> Column:
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """n-token shingles: ``transform(sequence(0, size-n), i -> slice-join)``.
+    """n-token shingles as zipped shifted arrays: O(len) per document.
 
-    Distinct shingle sets feed Jaccard dedup (exact or MinHash); all array
-    higher-order functions, zero UDFs."""
-    return F.when(F.size(tokens) < n, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-        )
-    )
+    The naive form — ``transform(sequence(0, size-n), i -> slice+join)`` — is
+    O(len·n) *interpreted* work (higher-order functions don't codegen) and
+    dominated whole dedup pipelines. Zipping ``n`` shifted views and
+    concat_ws'ing each struct touches every token once.
+
+    Distinct shingle sets feed Jaccard dedup (exact or MinHash); all JVM-side,
+    zero UDFs."""
+    shifted = [F.slice(tokens, i + 1, 1 << 30) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)  # null-padded to len(tokens)
+    sh = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]))
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")) \
+        .otherwise(F.slice(sh, 1, F.size(tokens) - n + 1))
 
 
 def punct_ratio(col: Column, scale: int = 4) -> Column:

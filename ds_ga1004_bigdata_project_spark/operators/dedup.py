@@ -70,6 +70,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens, n)).alias("shingles"),
     )
+    # The shingle projection (interpreted higher-order fns) feeds three plan
+    # branches (sizes + both self-join sides); persist so it computes once.
+    from pyspark import StorageLevel
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingled.select("id", F.size("shingles").alias("set_size"))
     posting = shingled.select("id", F.explode("shingles").alias("shingle"))
 
@@ -129,6 +133,74 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             F.round(1 - F.col("jaccard_distance"), 6).alias("approx_jaccard"),
         )
     )
+
+
+def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 5,
+                         bands: int = 3, rows_per_band: int = 3,
+                         min_jaccard: float = 0.0, seed: int = 42) -> DataFrame:
+    """Native MinHash + LSH banding in pure DataFrame ops (no ml, no UDF).
+
+    Classic construction: k = bands·rows_per_band minhashes per doc
+    (min over shingles of seeded xxhash64); each band of ``rows_per_band``
+    signature values hashes to one bucket key; docs sharing ANY band bucket
+    become candidates (P[candidate] ≈ 1-(1-j^r)^b); candidates are then
+    verified with EXACT Jaccard over their shingle sets.
+
+    Plan shape at scale: per-doc signature is k longs (constant, regardless of
+    document length); the candidate join shuffles (band_idx, band_hash, id) —
+    24-byte rows; only verified candidate pairs ever touch shingle arrays
+    again. This is the 100 TB dedup tier: cost is O(docs·k + candidate_pairs),
+    never O(n²)."""
+    from pyspark import StorageLevel
+
+    k = bands * rows_per_band
+    tokens = ws_tokens(F.col(text_col))
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _minhash(i: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed + i)))
+        ).alias(f"mh_{i}")
+
+    sigs = shingled.select("id", *[_minhash(i) for i in range(k)])
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    posting = sigs.select(
+        "id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = posting.alias("a"), posting.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "a").join(sh_b, "b")
+        .withColumn("inter_cnt", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter_cnt") /
+                    (F.size("sh_a") + F.size("sh_b") - F.col("inter_cnt")), 6))
+        .select("a", "b", "jaccard")
+    )
+    if min_jaccard > 0:
+        verified = verified.filter(F.col("jaccard") >= min_jaccard)
+    return verified
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

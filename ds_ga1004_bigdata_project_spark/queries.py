@@ -552,6 +552,101 @@ def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").alias("n_sessions"))
 
 
+@_register(
+    "q25_nested_projection",
+    survey="P2,P3,A1 (array-of-struct dot-path projection; param_train_1st.py:57-58 shape)",
+    oracle="""
+        WITH nested AS (
+          SELECT l_orderkey,
+                 list(struct_pack(item := l_partkey, qty := l_quantity)
+                      ORDER BY l_quantity DESC, l_partkey ASC) AS recs
+          FROM lineitem WHERE l_orderkey % 200 = 0 GROUP BY l_orderkey)
+        SELECT l_orderkey,
+               array_to_string(list_transform(recs, s -> CAST(s.item AS VARCHAR)), ',')
+                 AS items,
+               len(recs) AS n_recs
+        FROM nested
+    """,
+)
+def q25_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's recommendation-result shape: build an ordered
+    array<struct<item,qty>> per key, then dot-path-project the nested field
+    out (``col('recommendations.track_idx')``)."""
+    cat = Catalog(spark, sf_dir)
+    nested = (cat.lineitem.filter(F.col("l_orderkey") % 200 == 0)
+              .groupBy("l_orderkey")
+              .agg(F.array_sort(
+                  F.collect_list(F.struct(
+                      F.col("l_partkey").alias("item"),
+                      F.col("l_quantity").alias("qty"))),
+                  lambda a, b: F.when(a.getField("qty") > b.getField("qty"), -1)
+                  .when(a.getField("qty") < b.getField("qty"), 1)
+                  .when(a.getField("item") < b.getField("item"), -1)
+                  .when(a.getField("item") > b.getField("item"), 1)
+                  .otherwise(0)).alias("recs")))
+    # dot-path projection on the array-of-struct column (P2)
+    return nested.select(
+        "l_orderkey",
+        F.array_join(F.col("recs.item").cast("array<string>"), ",").alias("items"),
+        F.size("recs").alias("n_recs"))
+
+
+@_register(
+    "q26_map_aggregation",
+    survey="A5,A11,F6 (map-building agg + map_keys/values/argmax; EDA #cell36,#cell96)",
+    oracle="""
+        WITH seg AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+          FROM customer GROUP BY 1, 2)
+        SELECT c_nationkey,
+               string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               max(cnt) AS max_cnt,
+               count(*) AS n_segments
+        FROM seg GROUP BY c_nationkey
+    """,
+)
+def q26_map_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-track tag→score dict as a first-class MapType: build
+    ``map<segment,count>`` per nation via map_from_entries, then consume it
+    with map_keys / map_values / array_max — the genre-argmax pattern."""
+    cat = Catalog(spark, sf_dir)
+    seg = cat.customer.groupBy("c_nationkey", "c_mktsegment") \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = agg.map_agg(seg, ["c_nationkey"], "c_mktsegment", "cnt", alias="m")
+    return mapped.select(
+        "c_nationkey",
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("segments"),
+        F.array_max(F.map_values("m")).alias("max_cnt"),
+        F.size(F.map_keys("m")).alias("n_segments"))
+
+
+@_register(
+    "q27_rmse_native",
+    survey="A9,M5 (RMSE as native aggregate; replaces RegressionEvaluator)",
+    oracle="""
+        SELECT round(sqrt(avg(pow(l.l_extendedprice - p.p_retailprice * l.l_quantity, 2))), 4)
+                 AS rmse,
+               count(*) AS n
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q27_rmse_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE between actual line price and a naive retail-price prediction —
+    the (label, prediction) aggregate shape of ``one_train.py:57-58`` kept
+    entirely in Catalyst."""
+    from .ml.metrics import rmse
+    cat = Catalog(spark, sf_dir)
+    joined = rel.broadcast_inner_join(
+        cat.lineitem.select("l_partkey", "l_extendedprice", "l_quantity"),
+        cat.part.select("p_partkey", "p_retailprice"),
+        F.col("l_partkey") == F.col("p_partkey"))
+    scored = joined.select(
+        F.col("l_extendedprice").alias("label"),
+        (F.col("p_retailprice") * F.col("l_quantity")).alias("pred"))
+    return rmse(scored, "label", "pred").select(
+        F.round("rmse", 4).alias("rmse"), "n")
+
+
 # =====================================================================
 # Training-data pipeline: text analysis & deduplication (documents)
 # =====================================================================
@@ -780,12 +875,11 @@ def q40_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS tier of embedding near-dup (broadcast matrix + per-partition
+    matmul); the pure-expression tier (``sim.cosine_neardup_pairs``) computes
+    the same thing JVM-side and stays available as the no-collect fallback."""
     cat = Catalog(spark, sf_dir)
-    return dedup_pairs_03(cat.embeddings)
-
-
-def dedup_pairs_03(emb: DataFrame) -> DataFrame:
-    return sim.cosine_neardup_pairs(emb, threshold=0.3)
+    return sim.cosine_neardup_pairs_blas(cat.embeddings, threshold=0.3)
 
 
 # =====================================================================
@@ -925,8 +1019,12 @@ def q53_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-specific → rows-only check (FIXTURES.md Harness notes)."""
     from .ml import als as A
     cat = Catalog(spark, sf_dir)
-    inter = A.interactions_from_orders(cat.lineitem, cat.orders)
-    model = A.train_als(inter, A.ALSConfig(rank=4, max_iter=2, seed=123))
+    inter = A.interactions_from_orders(cat.lineitem, cat.orders) \
+        .filter(F.col("user_id") < 500)
+    # few, right-sized factor blocks: tiny inputs across 32×32 default blocks
+    # is pure scheduling overhead (the reference pinned 50×50 for MSD scale)
+    model = A.train_als(inter, A.ALSConfig(rank=4, max_iter=2, seed=123,
+                                           num_blocks=4))
     users = (inter.select("user_id").distinct()
              .orderBy("user_id").limit(20))
     recs = A.recommend_topk(model, users, k=5)
@@ -957,13 +1055,18 @@ def q55_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q56_minhash_pairs",
-    survey="dedup-minhash (MinHashLSH banding; sketch path, rows-only)",
+    survey="dedup-minhash (native MinHash+LSH banding, exact-Jaccard verify; rows-only)",
     oracle=None,
 )
 def q56_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native banded MinHash (pure DataFrame ops — see
+    ``dedup.minhash_banded_pairs``). 5-token shingles: the synthetic corpus
+    has a ~30-word vocabulary, so short shingles collide into giant buckets;
+    n=5 spreads the minima. The ml-based ``dedup.minhash_lsh_pairs`` stays as
+    the pyspark.ml-parity alternative."""
     cat = Catalog(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(cat.documents, num_hashes=8,
-                                   max_jaccard_distance=0.95)
+    return dedup.minhash_banded_pairs(cat.documents, n=5, bands=3,
+                                      rows_per_band=3)
 
 
 @_register(
@@ -994,9 +1097,25 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def q59_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm corpus: random-pair L2 ≈ √2, so 1.2 selects genuinely close
+    neighbors; bucket_length ≈ threshold keeps candidate sets sub-quadratic."""
     cat = Catalog(spark, sf_dir)
-    return sim.brp_lsh_neighbors(cat.embeddings, threshold_l2=8.0,
-                                 bucket_length=4.0, num_tables=2)
+    return sim.brp_lsh_neighbors(cat.embeddings, threshold_l2=1.2,
+                                 bucket_length=1.0, num_tables=3)
+
+
+@_register(
+    "q61_bernoulli_sample",
+    survey="R1,R2,R4 (seeded row sample; Exploration-EDA.ipynb#cell43, rows-only)",
+    oracle=None,
+)
+def q61_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — engine-specific RNG ⇒ rows-only harness
+    check; determinism under a fixed seed is asserted in
+    tests/test_sampling.py."""
+    cat = Catalog(spark, sf_dir)
+    s = sampling.bernoulli_sample(cat.lineitem, 0.1, seed=66)
+    return s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @_register(

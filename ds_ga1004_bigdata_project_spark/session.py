@@ -69,7 +69,20 @@ def get_session(
     return builder.getOrCreate()
 
 
-def get_local_session(cpus: int | None = None, **kw) -> SparkSession:
-    """Local test/bench session: ``local[cpus]`` with matching shuffle width."""
+def get_local_session(cpus: int | None = None, driver_mem: str | None = None,
+                      **kw) -> SparkSession:
+    """Local test/bench session: ``local[cpus]`` with matching shuffle width.
+
+    Spark's local-mode default heap is 1g — far too small for 32 concurrent
+    task threads; size it explicitly (must be set before the JVM launches).
+    ``-Xlog:disable`` keeps JVM unified-logging (GC warnings) off stdout so
+    bench.py's JSON line stays parseable."""
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
-    return get_session(master=f"local[{n}]", shuffle_partitions=min(n, 32), **kw)
+    mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    conf = {
+        "spark.driver.memory": mem,
+        "spark.driver.extraJavaOptions": "-Xlog:disable",
+    }
+    conf.update(kw.pop("extra_conf", {}) or {})
+    return get_session(master=f"local[{n}]", shuffle_partitions=min(n, 32),
+                       extra_conf=conf, **kw)

@@ -1,0 +1,113 @@
+"""Physical-plan guardrails (SURVEY §4): scale properties asserted as tests so
+a regression shows up here, not on a 1000-executor cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    physical_plan,
+    read_schema_width,
+)
+from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+
+from .conftest import SF_ORACLE
+
+
+def _build(spark, name):
+    return REGISTRY[name].build(spark, SF_ORACLE)
+
+
+def test_filters_push_to_parquet(spark):
+    df = _build(spark, "q03_scan_filter_project")
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_quantity,5.0)",
+                          "LessThanOrEqual(l_quantity,10.0)",
+                          "EqualTo(l_returnflag,R)")
+
+
+def test_column_pruning_reaches_scan(spark):
+    # q03 projects 3 columns; the lineitem scan must not read all 16.
+    df = _build(spark, "q03_scan_filter_project")
+    width = read_schema_width(df, "lineitem")
+    assert width <= 4, f"lineitem scan reads {width} columns for a 3-col projection"
+
+
+def test_dimension_joins_broadcast(spark):
+    # The star join must broadcast all four dimension sides (never shuffle
+    # the fact table against a dim).
+    assert_broadcast_join(_build(spark, "q06_join_chain_revenue"), min_count=4)
+    assert_broadcast_join(_build(spark, "q01_top_parts"), min_count=1)
+
+
+def test_single_shuffle_star_join(spark):
+    # With all dims broadcast, the only shuffle is the final groupBy.
+    plan = physical_plan(_build(spark, "q06_join_chain_revenue"))
+    shuffles = [line for line in plan.splitlines()
+                if line.strip().startswith("(") and "Exchange" in line
+                and "Broadcast" not in line]
+    assert len(shuffles) <= 1, f"expected ≤1 shuffle, got {len(shuffles)}:\n{plan}"
+
+
+def test_global_topn_uses_heap_not_sort(spark):
+    # orderBy+limit must compile to TakeOrderedAndProject (per-task heaps),
+    # never a global Sort.
+    plan = physical_plan(_build(spark, "q15_global_topn_orders"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_gets_group_limit_pushdown(spark):
+    # row_number<=k filters get WindowGroupLimit (Spark 3.5+): each task keeps
+    # a k-heap per group before the shuffle.
+    plan = physical_plan(_build(spark, "q14_topk_per_brand"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_cartesian_anywhere(spark):
+    # Pair-generating queries (jaccard, near-dup) must never plan a
+    # CartesianProduct; candidate joins are equi-joins or broadcast-NL.
+    for name in ("q32_ngram_jaccard_topk", "q41_cosine_neardup_pairs",
+                 "q40_ann_cosine_topk"):
+        assert_no_cartesian(_build(spark, name))
+
+
+def test_semi_join_not_in_list(spark):
+    # The isin→semi-join rewrite must plan a real (semi) join, not a giant
+    # In-predicate.
+    plan = physical_plan(_build(spark, "q04_semi_join"))
+    assert "LeftSemi" in plan
+
+
+def test_aggregates_are_partial(spark):
+    # groupBy sums must plan partial (map-side) + final HashAggregate pairs.
+    plan = physical_plan(_build(spark, "q02_pricing_summary"))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    # The dedup shuffle key is the 32-char hash; text must be pruned before
+    # the exchange (only hash + partial-agg state cross the wire), and the
+    # aggregation must be partial+final around it.
+    plan = physical_plan(_build(spark, "q30_dedup_exact"))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if line.startswith("(") and "Exchange" in line:
+            exchange_input = lines[i + 1]
+            assert "text" not in exchange_input, \
+                f"raw text crosses the shuffle: {exchange_input}"
+            break
+    else:
+        raise AssertionError(f"no Exchange found:\n{plan}")
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_no_python_boundary_on_scalar_path(spark):
+    # Scalar-function queries must stay JVM-side (no Python UDF eval node in
+    # the hot path; mapInPandas appears only in the multimodal query).
+    for name in ("q19_scalar_string_funcs", "q33_lang_id", "q34_text_quality",
+                 "q57_simhash_groups"):
+        plan = physical_plan(_build(spark, name))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+            f"{name} crosses into Python:\n{plan}"

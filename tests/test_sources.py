@@ -1,0 +1,57 @@
+"""Catalog/IO layer: sinks + sources round-trips (S2/S5/S6) and
+partition-pruned reads of directory-partitioned output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.plans.inspect import physical_plan
+from ds_ga1004_bigdata_project_spark.sources import catalog as C
+
+from .conftest import SF_SMOKE
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    cat = C.Catalog(spark, SF_SMOKE)
+    out = str(tmp_path / "orders_out")
+    C.write_parquet(cat.orders, out)
+    back = spark.read.parquet(out)
+    assert back.count() == cat.orders.count()
+    assert back.schema == cat.orders.schema
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    cat = C.Catalog(spark, SF_SMOKE)
+    out = str(tmp_path / "orders_by_status")
+    C.write_parquet(cat.orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = physical_plan(back)
+    # partition filter must prune directories, not scan-and-filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    want = cat.orders.filter("o_orderstatus = 'F'").count()
+    assert back.count() == want
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    cat = C.Catalog(spark, SF_SMOKE)
+    out = str(tmp_path / "nation_csv")
+    C.write_csv(cat.nation, out, single_file=True)
+    back = spark.read.csv(out, header=True,
+                          schema="n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(r["n_name"] for r in back.collect()) == \
+        sorted(r["n_name"] for r in cat.nation.collect())
+
+
+def test_headerless_csv_with_declared_schema(spark, tmp_path):
+    # S5: the reference's header-less factor CSVs with post-hoc names
+    p = tmp_path / "factors.csv"
+    p.write_text("0,0.1,0.2\n1,0.3,0.4\n")
+    df = C.read_csv(spark, str(p), schema="id int, f1 double, f2 double")
+    rows = {r["id"]: (r["f1"], r["f2"]) for r in df.collect()}
+    assert rows == {0: (0.1, 0.2), 1: (0.3, 0.4)}
+
+
+def test_register_views_sql_access(spark):
+    C.register_views(spark, SF_SMOKE)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
