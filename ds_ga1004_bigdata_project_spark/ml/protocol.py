@@ -1,0 +1,101 @@
+"""The reference's full evaluation protocol as engine APIs (SURVEY §3, §5).
+
+``sample_indexer.py`` → :func:`make_splits` (distributed rewrite: the
+val/test-user disjointness and train-downsampling invariants via semi/anti
+joins instead of collected Python sets).
+``learning_curve.py`` → :func:`learning_curve` (RMSE/ranking vs sampled user
+fraction, inputs persisted across points).
+``Exploration-EDA.ipynb`` → :func:`export_factors` (ALS factor matrices out to
+the driver/CSV for UMAP — the only place the pipeline legitimately collects).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.relational import anti_join, persisted, semi_join
+from ..operators.sampling import DEFAULT_SEED, sample_keys
+from .als import ALSConfig, evaluate_model, train_als
+from .metrics import rmse
+
+
+@dataclass
+class Splits:
+    train: DataFrame
+    validation: DataFrame
+    test: DataFrame
+
+
+def make_splits(interactions: DataFrame, user_col: str = "user_id",
+                val_frac: float = 0.1, test_frac: float = 0.1,
+                seed: int = DEFAULT_SEED) -> Splits:
+    """Reference split invariants (FIXTURES.md F1): val and test user sets
+    disjoint; train = everyone else's full history. All set algebra stays
+    distributed (J4/J5 rewrites of ``sample_indexer.py:28-39``)."""
+    users = interactions.select(user_col).distinct()
+    val_users = users.sample(False, val_frac, seed)
+    rest = anti_join(users, val_users, user_col)
+    test_users = rest.sample(False, test_frac / max(1 - val_frac, 1e-9), seed + 1)
+
+    val = semi_join(interactions, val_users, user_col)
+    test = semi_join(interactions, test_users, user_col)
+    train = anti_join(interactions,
+                      val_users.unionByName(test_users).distinct(), user_col)
+    return Splits(train=train, validation=val, test=test)
+
+
+def downsample_train_users(train: DataFrame, fraction: float,
+                           user_col: str = "user_id",
+                           seed: int = DEFAULT_SEED) -> DataFrame:
+    """The reference's user-level downsampling (50% chosen from the learning
+    curve, BASELINE.md): sample the user key space, keep whole histories."""
+    keys = sample_keys(train, [user_col], fraction, seed)
+    return semi_join(train, keys, user_col)
+
+
+def learning_curve(interactions: DataFrame, fractions: list[float],
+                   cfg: ALSConfig = ALSConfig(rank=4, max_iter=2), k: int = 5,
+                   user_col: str = "user_id", seed: int = DEFAULT_SEED):
+    """``learning_curve.py`` rewritten: metric-vs-training-fraction sweep with
+    the interaction table persisted ONCE; each point = stratified user sample
+    → fit → RMSE + ranking metrics. Returns [(fraction, metrics dict)]."""
+    cached = persisted(interactions)
+    try:
+        out = []
+        for frac in fractions:
+            sampled = downsample_train_users(cached, frac, user_col, seed)
+            model = train_als(sampled, cfg)
+            scored = model.transform(sampled).filter(F.col("prediction").isNotNull())
+            r = rmse(scored, "count", "prediction").collect()[0]
+            rank_row = evaluate_model(model, sampled, k).collect()[0]
+            out.append((frac, {"rmse": r["rmse"], "n": r["n"],
+                               **rank_row.asDict()}))
+        return out
+    finally:
+        cached.unpersist()
+
+
+def export_factors(model, which: str = "item"):
+    """ALS factor matrices → pandas (Arrow transfer), the UMAP hand-off
+    (``Exploration-EDA.ipynb#cell11,#cell23``). This is the B3 driver
+    boundary: legitimate because UMAP is inherently single-process."""
+    factors = model.itemFactors if which == "item" else model.userFactors
+    return factors.toPandas()
+
+
+def umap_project(factors_pdf, **umap_kwargs):
+    """UMAP projection of factor matrices (reference extension M9,
+    ``Plotting.ipynb#cell2-6``; tuned params in BASELINE.md). The umap library
+    is not installed in this container — gated import, driver-side only."""
+    try:
+        import umap  # type: ignore
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "umap-learn is not installed in this environment; "
+            "export_factors() output is ready for any embedding tool") from exc
+    import numpy as np
+    mat = np.vstack(factors_pdf["features"].to_numpy())
+    return umap.UMAP(**umap_kwargs).fit_transform(mat)

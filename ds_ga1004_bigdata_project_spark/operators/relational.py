@@ -138,6 +138,24 @@ def repartition_by_key(df: DataFrame, num_partitions: int, *cols: str) -> DataFr
     return df.repartition(num_partitions, *cols)
 
 
+def salted_join(big: DataFrame, skewed_small: DataFrame, on: str,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join by key salting: the big side gets a random
+    salt in [0, buckets); the small side is exploded ``buckets``× with every
+    salt value; the join key becomes (key, salt), splitting each hot key's
+    rows across ``buckets`` tasks.
+
+    AQE's skew-join splitting (on by default in the session factory) handles
+    most cases at runtime; explicit salting remains for aggregation-skew and
+    for engines/paths AQE can't rewrite (e.g. a skewed key feeding a window).
+    The salt is not seeded — it balances load, never changes results."""
+    salted_big = big.withColumn("_salt", (F.rand() * salt_buckets).cast("int"))
+    exploded_small = skewed_small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    out = salted_big.join(exploded_small, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def persisted(df: DataFrame):
     """MEMORY_AND_DISK persist around reuse points (X2) — the reference left
     this commented out and re-read parquet every sweep iteration."""

@@ -647,6 +647,55 @@ def q27_rmse_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rmse", 4).alias("rmse"), "n")
 
 
+@_register(
+    "q28_running_total",
+    survey="W3 (window frame specs — rowsBetween; latent surface the reference imported)",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE), 2) AS running_total,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS order_seq
+        FROM orders
+    """,
+)
+def q28_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend: an explicit ROWS frame over an ordered
+    window (decimal-exact so the running sum is engine-independent)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cat.orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(frame)
+                .cast("double"), 2).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"))
+
+
+@_register(
+    "q29_lag_lead_delta",
+    survey="W3 (lag/lead over event time; net-new vs reference)",
+    oracle="""
+        SELECT user_id, event_id,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 2) AS delta_prev,
+               round(lead(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) - value, 2) AS delta_next
+        FROM events
+    """,
+)
+def q29_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return cat.events.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"))
+
+
 # =====================================================================
 # Training-data pipeline: text analysis & deduplication (documents)
 # =====================================================================
@@ -1102,6 +1151,60 @@ def q59_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return sim.brp_lsh_neighbors(cat.embeddings, threshold_l2=1.2,
                                  bucket_length=1.0, num_tables=3)
+
+
+_STREAM_SEQ = iter(range(10_000))
+
+
+@_register(
+    "q62_streaming_hourly",
+    survey="streaming (real Structured Streaming run: readStream → windowed agg → memory sink)",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q62_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLY query that actually runs the streaming engine: events flow
+    through readStream → watermark → tumbling windows → availableNow into a
+    memory sink, and the drained table must match the same DuckDB oracle as
+    the batch twin q22 — batch/stream semantic parity, oracle-certified."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q62_hourly_{next(_STREAM_SEQ)}"
+    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    SE.run_available_now(SE.hourly_counts(stream), name)
+    return (spark.table(name)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+@_register(
+    "q63_stateful_stream",
+    survey="streaming-stateful (applyInPandasWithState custom operator, rows-only)",
+    oracle=None,
+)
+def q63_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user stateful streaming operator end-to-end (final state
+    after draining the whole file = per-user totals)."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q63_state_{next(_STREAM_SEQ)}"
+    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    SE.run_available_now(SE.running_user_totals(stream), name, output_mode="update")
+    # update-mode memory sink may hold one row per user per micro-batch; the
+    # final state per user is the max-n row.
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (t.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("user_id", "n_events", "total_value"))
 
 
 @_register(

@@ -58,6 +58,54 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Event stream over the driver's nanosecond-timestamp parquet: declare
+    ``ts`` as raw int64 nanos (legacy conf) and convert to a µs timestamp in
+    the stream — mirroring the batch catalog's handling."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ddl = ("event_id bigint, ts bigint, user_id bigint, "
+           "event_type string, value double, props string")
+    # File stream sources require a DIRECTORY; point at the parent dir with a
+    # glob filter so only the events file matches.
+    import os
+    directory, fname = os.path.split(path.rstrip("/"))
+    raw = (spark.readStream.format("parquet").schema(ddl)
+           .option("pathGlobFilter", fname).load(directory))
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value sum) state, emitting the updated
+    totals each micro-batch. The state is two numbers per user — the shape
+    Spark's built-in aggs can also do, but this is the extension point for
+    genuinely custom state machines (fraud scoring, CEP, per-entity models)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       output_mode: str = "complete") -> None:
     """Drain everything currently available through the streaming engine into

@@ -1,0 +1,108 @@
+"""The reference's end-to-end protocol (SURVEY §3): splits with invariants →
+downsample → index → ALS → metrics → factor export; plus model persistence
+(S3), salted joins, and the driver-boundary ops (B3, A8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.ml import als as A
+from ds_ga1004_bigdata_project_spark.ml import protocol as P
+from ds_ga1004_bigdata_project_spark.operators.relational import salted_join
+from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def interactions(spark):
+    cat = Catalog(spark, SF_SMOKE)
+    df = A.interactions_from_orders(cat.lineitem, cat.orders).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_split_invariants(spark, interactions):
+    s = P.make_splits(interactions, val_frac=0.2, test_frac=0.2, seed=7)
+    val_u = {r[0] for r in s.validation.select("user_id").distinct().collect()}
+    test_u = {r[0] for r in s.test.select("user_id").distinct().collect()}
+    train_u = {r[0] for r in s.train.select("user_id").distinct().collect()}
+    assert val_u and test_u and train_u
+    assert not val_u & test_u          # disjoint val/test users (F1 invariant)
+    assert not train_u & (val_u | test_u)
+    total = s.train.count() + s.validation.count() + s.test.count()
+    assert total == interactions.count()  # partition of the rows
+
+
+def test_downsample_keeps_whole_users(spark, interactions):
+    down = P.downsample_train_users(interactions, 0.5, seed=7)
+    per_user_full = interactions.groupBy("user_id").count() \
+        .withColumnRenamed("count", "n_full")
+    per_user_down = down.groupBy("user_id").count() \
+        .withColumnRenamed("count", "n_down")
+    broken = per_user_down.join(per_user_full, "user_id") \
+        .filter("n_down <> n_full").count()
+    assert broken == 0
+
+
+def test_learning_curve_two_points(spark, interactions):
+    pts = P.learning_curve(interactions, [0.3, 0.8],
+                           A.ALSConfig(rank=3, max_iter=1, num_blocks=2), k=3)
+    assert [f for f, _ in pts] == [0.3, 0.8]
+    for _, m in pts:
+        assert m["rmse"] >= 0 and m["n_users"] > 0
+
+
+def test_model_persistence_roundtrip(spark, interactions, tmp_path):
+    # S3: persist + reload the fitted model; factors identical after reload.
+    from pyspark.ml.recommendation import ALSModel
+
+    model = A.train_als(interactions, A.ALSConfig(rank=3, max_iter=1,
+                                                  num_blocks=2))
+    path = str(tmp_path / "als_model")
+    model.write().overwrite().save(path)
+    back = ALSModel.load(path)
+    a = sorted((r["id"], tuple(r["features"])) for r in model.itemFactors.collect())
+    b = sorted((r["id"], tuple(r["features"])) for r in back.itemFactors.collect())
+    assert a == b
+
+
+def test_factor_export_arrow(spark, interactions):
+    # B3: the UMAP hand-off — (id, features) to pandas via Arrow.
+    model = A.train_als(interactions, A.ALSConfig(rank=3, max_iter=1,
+                                                  num_blocks=2))
+    pdf = P.export_factors(model, "item")
+    assert list(pdf.columns) == ["id", "features"]
+    assert len(pdf) > 0 and len(pdf["features"].iloc[0]) == 3
+
+
+def test_umap_gated_import(spark, interactions):
+    model = A.train_als(interactions, A.ALSConfig(rank=3, max_iter=1,
+                                                  num_blocks=2))
+    pdf = P.export_factors(model)
+    with pytest.raises(NotImplementedError):
+        P.umap_project(pdf, n_neighbors=5)
+
+
+def test_salted_join_matches_plain_join(spark):
+    cat = Catalog(spark, SF_SMOKE)
+    li = cat.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+    pk = cat.part.select(F.col("p_partkey").alias("l_partkey"), "p_name")
+    plain = li.join(pk, "l_partkey").groupBy("l_partkey") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    salted = salted_join(li, pk, "l_partkey").groupBy("l_partkey") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    a = {(r["l_partkey"], r["n"]) for r in plain.collect()}
+    b = {(r["l_partkey"], r["n"]) for r in salted.collect()}
+    assert a == b
+
+
+def test_summary_stats_driver_boundary(spark):
+    # A8: describe/summary surface.
+    from ds_ga1004_bigdata_project_spark.operators.aggregates import summary_stats
+    cat = Catalog(spark, SF_SMOKE)
+    rows = summary_stats(cat.orders, ["o_totalprice"]).collect()
+    stats = {r["summary"] for r in rows}
+    assert {"count", "mean", "min", "max"} <= stats
