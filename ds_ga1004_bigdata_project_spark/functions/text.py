@@ -83,11 +83,12 @@ def stopword_ratio(tokens: Column, stopwords=STOPWORDS_EN, scale: int = 4) -> Co
     return F.round(hits / F.nullif(F.size(tokens), F.lit(0)), scale)
 
 
-def distinct_token_ratio(tokens: Column, scale: int = 4) -> Column:
+def distinct_token_ratio(tokens: Column, scale: int | None = 4) -> Column:
     """Lexical diversity: |distinct tokens| / |tokens| — near-0 flags
-    boilerplate/spam repetition."""
-    return F.round(F.size(F.array_distinct(tokens)) /
-                   F.nullif(F.size(tokens), F.lit(0)), scale)
+    boilerplate/spam repetition. ``scale=None`` skips rounding (for use in
+    filter predicates where both engines compare the raw double)."""
+    r = F.size(F.array_distinct(tokens)) / F.nullif(F.size(tokens), F.lit(0))
+    return F.round(r, scale) if scale is not None else r
 
 
 def mean_token_len(tokens: Column, scale: int = 4) -> Column:

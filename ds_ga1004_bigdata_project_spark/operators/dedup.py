@@ -203,6 +203,53 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
     return verified
 
 
+def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
+                      max_iters: int = 8) -> DataFrame:
+    """Turn near-duplicate PAIRS into a per-document keep decision via
+    min-label propagation (connected-components-lite).
+
+    Each doc starts labeled with its own id; every iteration each doc takes
+    the min label among itself and its neighbors. Converges in O(diameter)
+    iterations — near-dup clusters are small and dense, so ``max_iters=8``
+    covers chains of length 8+ (typical clusters converge in 2-3). Stops
+    early when an iteration changes nothing.
+
+    Input: ``ids`` (col ``id``), ``pairs`` (cols ``a``,``b``). Output:
+    (id, keep_id, is_kept) — one row per doc, survivor = min id per cluster.
+    All joins/aggs, no driver state: at 100 TB this is iterated
+    shuffle-on-id, each round touching only docs adjacent to a dup edge."""
+    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(pairs.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst"))))
+    labels = ids.select(F.col("id"), F.col("id").alias("keep_id"))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("keep_id").alias("nbr_min")))
+        updated = (labels.join(neighbor_min,
+                               labels.id == neighbor_min.src, "left")
+                   .select(F.col("id"),
+                           F.least(F.col("keep_id"),
+                                   F.coalesce(F.col("nbr_min"),
+                                              F.col("keep_id")))
+                           .alias("keep_id")))
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .filter(F.col("u.keep_id") != F.col("l.keep_id")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.withColumn("is_kept", F.col("id") == F.col("keep_id"))
+
+
+def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup removal: given candidate pairs from ANY tier
+    (jaccard/minhash/simhash/embedding), keep one survivor per duplicate
+    cluster and return the cleaned corpus."""
+    ids = df.select(F.col(id_col).alias("id"))
+    keep = resolve_keep_list(ids, pairs).filter("is_kept").select("id")
+    return df.join(keep, df[id_col] == keep.id, "left_semi")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 60) -> DataFrame:
     """Per-document SimHash signature (≤60 bits so it fits a signed int64).

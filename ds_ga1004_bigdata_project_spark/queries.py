@@ -1153,6 +1153,60 @@ def q59_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  bucket_length=1.0, num_tables=3)
 
 
+@_register(
+    "q36_corpus_clean",
+    survey="pipeline-e2e (quality filter → language route → exact dedup → cleaned corpus)",
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id, text, lang,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens,
+                 len(list_distinct(string_split_regex(text, '\\s+')))
+                   / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS distinct_ratio
+          FROM documents),
+        filtered AS (
+          SELECT * FROM scored
+          WHERE n_tokens >= 20 AND distinct_ratio >= 0.1 AND lang IN ('en','es','fr')),
+        deduped AS (
+          SELECT md5(lower(trim(text))) AS h, min(doc_id) AS doc_id
+          FROM filtered GROUP BY 1)
+        SELECT f.doc_id, f.lang, f.n_tokens
+        FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id
+    """,
+)
+def q36_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data funnel in one query: quality-score → filter →
+    language route → exact dedup (keep min id) → cleaned corpus. Each stage
+    is scan-speed JVM expressions; the only shuffle is the dedup hash-group."""
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    scored = cat.documents.select(
+        "doc_id", "text", "lang",
+        F.size(toks).alias("n_tokens"),
+        T.distinct_token_ratio(toks, scale=None).alias("distinct_ratio"))
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.1)
+        & F.col("lang").isin("en", "es", "fr"))
+    keep = dedup.exact_dedup(filtered).select(F.col("keep_id").alias("doc_id"))
+    return rel.semi_join(filtered, keep, "doc_id") \
+        .select("doc_id", "lang", "n_tokens")
+
+
+@_register(
+    "q64_neardup_corpus",
+    survey="pipeline-e2e (minhash pairs → connected components → survivor corpus, rows-only)",
+    oracle=None,
+)
+def q64_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal end-to-end: banded-MinHash candidate pairs (verified
+    Jaccard ≥ 0.8) → min-label connected components → one survivor per
+    cluster → cleaned corpus summary per language."""
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup.minhash_banded_pairs(cat.documents, n=5, bands=3,
+                                       rows_per_band=3, min_jaccard=0.8)
+    cleaned = dedup.dedup_corpus(cat.documents, pairs)
+    return cleaned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 _STREAM_SEQ = iter(range(10_000))
 
 
