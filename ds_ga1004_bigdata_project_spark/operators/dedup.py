@@ -218,27 +218,40 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
     (id, keep_id, is_kept) — one row per doc, survivor = min id per cluster.
     All joins/aggs, no driver state: at 100 TB this is iterated
     shuffle-on-id, each round touching only docs adjacent to a dup edge."""
+    from pyspark import StorageLevel
+
+    # Materialize the (possibly expensive) pair-finding ONCE — the iteration
+    # must never re-trigger upstream minhash/jaccard pipelines.
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(pairs.select(F.col("b").alias("src"),
-                                       F.col("a").alias("dst"))))
-    labels = ids.select(F.col("id"), F.col("id").alias("keep_id"))
-    for _ in range(max_iters):
-        neighbor_min = (edges.join(labels, edges.dst == labels.id)
-                        .groupBy("src").agg(F.min("keep_id").alias("nbr_min")))
-        updated = (labels.join(neighbor_min,
-                               labels.id == neighbor_min.src, "left")
-                   .select(F.col("id"),
-                           F.least(F.col("keep_id"),
-                                   F.coalesce(F.col("nbr_min"),
-                                              F.col("keep_id")))
-                           .alias("keep_id")))
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "id")
-                   .filter(F.col("u.keep_id") != F.col("l.keep_id")).count())
-        labels = updated
-        if changed == 0:
-            break
-    return labels.withColumn("is_kept", F.col("id") == F.col("keep_id"))
+                                       F.col("a").alias("dst")))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    edges.count()
+
+    labels = ids.select(F.col("id"), F.col("id").alias("keep_id")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                            .groupBy("src").agg(F.min("keep_id").alias("nbr_min")))
+            updated = (labels.join(neighbor_min,
+                                   labels.id == neighbor_min.src, "left")
+                       .select(F.col("id"),
+                               F.least(F.col("keep_id"),
+                                       F.coalesce(F.col("nbr_min"),
+                                                  F.col("keep_id")))
+                               .alias("keep_id"))
+                       .persist(StorageLevel.MEMORY_AND_DISK))
+            changed = (updated.alias("u")
+                       .join(labels.alias("l"), "id")
+                       .filter(F.col("u.keep_id") != F.col("l.keep_id")).count())
+            labels.unpersist()
+            labels = updated
+            if changed == 0:
+                break
+        return labels.withColumn("is_kept", F.col("id") == F.col("keep_id"))
+    finally:
+        edges.unpersist()
 
 
 def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -696,6 +696,115 @@ def q29_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"))
 
 
+@_register(
+    "q43_grouping_sets",
+    survey="net-new rollup surface (multi-granularity aggregation in one pass)",
+    oracle="""
+        WITH g AS (
+          SELECT event_type AS et,
+                 strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+                 count(*) AS n_events,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+          FROM events
+          GROUP BY GROUPING SETS ((et, d), (et), ()))
+        SELECT coalesce(et, 'ALL') AS event_type, coalesce(d, 'ALL') AS day,
+               n_events, sum_value
+        FROM g
+    """,
+)
+def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: (type, day), (type), and grand-total
+    granularities computed in ONE aggregation pass (no three separate scans —
+    the multi-granularity dashboard query at 100 TB)."""
+    # private view name — never clobber a caller's own "events" registration;
+    # coalesce the subtotal NULL markers OUTSIDE the aggregation (inside, the
+    # coalesce becomes part of the grouping expression and the label is lost)
+    cat = Catalog(spark, sf_dir)
+    cat.events.createOrReplaceTempView("_engine_q43_events")
+    return spark.sql("""
+        WITH g AS (
+          SELECT event_type AS et,
+                 date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS d,
+                 count(*) AS n_events,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+          FROM _engine_q43_events
+          GROUP BY GROUPING SETS ((et, d), (et), ()))
+        SELECT coalesce(et, 'ALL') AS event_type, coalesce(d, 'ALL') AS day,
+               n_events, sum_value
+        FROM g
+    """)
+
+
+@_register(
+    "q44_having_filter",
+    survey="net-new HAVING shape (post-aggregation predicate)",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total_spend
+        FROM orders GROUP BY o_custkey
+        HAVING count(*) >= 15
+    """,
+)
+def q44_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (cat.orders.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 agg.exact_sum("o_totalprice", "total_spend"))
+            .filter(F.col("n_orders") >= 15))
+
+
+@_register(
+    "q45_conditional_share",
+    survey="net-new conditional aggregation (sum(case)/sum market-share shape)",
+    oracle="""
+        SELECT l_linestatus,
+               round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                     6) AS returned_share,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q45_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", dec)
+                  .otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            / F.sum(dec).cast("double"), 6).alias("returned_share"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+@_register(
+    "q47_pivot",
+    survey="net-new pivot (wide conditional aggregation)",
+    oracle="""
+        SELECT c_nationkey,
+               sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS automobile,
+               sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS building,
+               sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS furniture,
+               sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS household,
+               sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS machinery
+        FROM customer GROUP BY c_nationkey
+    """,
+)
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — at scale never let pivot infer its
+    columns (that's a distinct + collect of the pivot key)."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cat = Catalog(spark, sf_dir)
+    out = (cat.customer.groupBy("c_nationkey")
+           .pivot("c_mktsegment", segs)
+           .agg(F.coalesce(F.count(F.lit(1)), F.lit(0))))
+    renames = [F.col("c_nationkey")] + \
+        [F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in segs]
+    return out.select(*renames)
+
+
 # =====================================================================
 # Training-data pipeline: text analysis & deduplication (documents)
 # =====================================================================
