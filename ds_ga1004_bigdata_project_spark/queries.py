@@ -780,6 +780,30 @@ def q45_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q46_json_extract",
+    survey="net-new semi-structured surface (JSON path extraction from props)",
+    oracle="""
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS n_distinct_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+)
+def q46_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: JSON path extraction stays JVM-side
+    (``get_json_object``); at scale prefer ``from_json`` with an explicit
+    schema once the shape is known (single parse, typed columns)."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return cat.events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+        F.max(k).alias("max_k"))
+
+
+@_register(
     "q47_pivot",
     survey="net-new pivot (wide conditional aggregation)",
     oracle="""

@@ -86,6 +86,17 @@ def test_umap_gated_import(spark, interactions):
         P.umap_project(pdf, n_neighbors=5)
 
 
+def test_sweep_driver(spark, interactions):
+    # M7: the hyperparameter sweep with the input persisted once.
+    grid = [A.ALSConfig(rank=2, max_iter=1, num_blocks=2),
+            A.ALSConfig(rank=3, max_iter=1, num_blocks=2)]
+    results = A.sweep(interactions, grid, k=3)
+    assert len(results) == 2
+    for cfg, metrics in results:
+        assert metrics["n_users"] > 0
+        assert 0.0 <= metrics["precision_at_k"] <= 1.0
+
+
 def test_salted_join_matches_plain_join(spark):
     cat = Catalog(spark, SF_SMOKE)
     li = cat.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
