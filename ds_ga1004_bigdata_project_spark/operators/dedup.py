@@ -54,7 +54,8 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        min_jaccard: float = 0.0) -> DataFrame:
+                        min_jaccard: float = 0.0,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, candidate-generated
     through an inverted-index self-join (docs meet only on shared shingles).
 
@@ -64,7 +65,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     → join per-doc set sizes → jaccard = inter / (|a|+|b|-inter).
 
     Output: (a, b, inter_cnt, a_cnt, b_cnt, jaccard) with a < b. Exact — no
-    sketch error; cost scales with shared-shingle pair count, not n²."""
+    sketch error; cost scales with shared-shingle pair count, not n².
+
+    ``max_doc_freq`` prunes postings for shingles appearing in more than that
+    many documents — the inverted-index stop-list. A shingle shared by f docs
+    contributes f² candidate pairs; boilerplate shingles (headers, license
+    text) make the join quadratic without this. Pruning only drops
+    *candidate generation* via those shingles (near-dup pairs still meet on
+    their rarer shingles); the Jaccard itself stays exact over full sets.
+    NB: with pruning on, a pair sharing ONLY ultra-common shingles is missed —
+    that's the standard recall trade-off; size it ≫ expected dup-clique size."""
     tokens = ws_tokens(F.col(text_col))
     shingled = df.select(
         F.col(id_col).alias("id"),
@@ -76,6 +86,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingled.select("id", F.size("shingles").alias("set_size"))
     posting = shingled.select("id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (posting.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle"))
+        posting = posting.join(rare, "shingle")
 
     a, b = posting.alias("a"), posting.alias("b")
     pairs = (
