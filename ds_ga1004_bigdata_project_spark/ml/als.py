@@ -104,6 +104,16 @@ def evaluate_model(model, interactions: DataFrame, k: int = 10) -> DataFrame:
     return ranking_metrics(preds, truth, k, user_col="user")
 
 
+def param_grid(ranks=(10,), regs=(0.05,), alphas=(10.0,),
+               **common) -> list[ALSConfig]:
+    """The reference's grid construction (``param_train_2nd.py:43-46``:
+    ``itertools.product`` over rank × regParam × alpha) as ALSConfig list."""
+    import itertools
+
+    return [ALSConfig(rank=r, reg_param=g, alpha=a, **common)
+            for r, g, a in itertools.product(ranks, regs, alphas)]
+
+
 def sweep(interactions: DataFrame, grid: list[ALSConfig], k: int = 10):
     """Hyperparameter sweep driver (M7, ``param_train_2nd.py:43-85``) with the
     input persisted ONCE across iterations — the optimization the reference

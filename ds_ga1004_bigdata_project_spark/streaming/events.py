@@ -106,6 +106,26 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
+                       ts_col: str | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: first-seen wins, by content hash.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark`` so per-hash state
+    is PRUNED once the watermark passes — the only shape whose state doesn't
+    grow unboundedly on an infinite stream (dedup horizon = watermark).
+    Without a time column, falls back to global ``dropDuplicates`` (exact
+    forever, state grows with distinct content — finite backfills only)."""
+    from pyspark.sql import functions as F
+
+    hashed = stream_df.withColumn(
+        "content_hash", F.md5(F.lower(F.trim(F.col(text_col)))))
+    if ts_col:
+        return (hashed.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["content_hash"]))
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       output_mode: str = "complete") -> None:
     """Drain everything currently available through the streaming engine into
