@@ -1014,6 +1014,38 @@ _DUCK_COS = """
 
 
 @_register(
+    "q37_topn_other",
+    survey="A6,O4,F4 (top-N categories + 'other' consolidation; EDA #cell85-97 genre top-13)",
+    oracle="""
+        WITH counts AS (
+          SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        top3 AS (
+          SELECT source FROM counts ORDER BY cnt DESC, source ASC LIMIT 3)
+        SELECT CASE WHEN source IN (SELECT source FROM top3)
+                    THEN source ELSE 'other' END AS source_group,
+               count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY 1
+    """,
+)
+def q37_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's genre consolidation (top-13 kept, rest → 'other'):
+    rank categories, broadcast the small top-N set back, relabel, reaggregate
+    — two aggregations, one broadcast, no collect."""
+    cat = Catalog(spark, sf_dir)
+    counts = cat.documents.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    top3 = rel.global_topn(counts, [F.col("cnt").desc(), F.col("source").asc()], 3) \
+        .select("source").withColumn("_top", F.lit(1))
+    labeled = (cat.documents.join(F.broadcast(top3), "source", "left")
+               .withColumn("source_group",
+                           F.when(F.col("_top").isNotNull(), F.col("source"))
+                           .otherwise(F.lit("other"))))
+    return labeled.groupBy("source_group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"))
+
+
+@_register(
     "q40_ann_cosine_topk",
     survey="similarity-ann (brute-force cosine top-k baseline; factors fixture F5)",
     oracle=f"""

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""End-to-end tour of the engine on the sf0.001 test tables (~1 min, local).
+
+Runs the full story a reference user needs: catalog → relational analytics →
+text-quality funnel → tiered dedup → vector search → recsys train/evaluate →
+streaming twin. Each stage prints a couple of result rows.
+
+    python examples/pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ds_ga1004_bigdata_project_spark.ml import als as A  # noqa: E402
+from ds_ga1004_bigdata_project_spark.ml import protocol as P  # noqa: E402
+from ds_ga1004_bigdata_project_spark.operators import dedup, relational as rel  # noqa: E402
+from ds_ga1004_bigdata_project_spark.operators import similarity as sim  # noqa: E402
+from ds_ga1004_bigdata_project_spark.operators.aggregates import exact_sum  # noqa: E402
+from ds_ga1004_bigdata_project_spark.session import get_local_session  # noqa: E402
+from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog  # noqa: E402
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_local_session(8, app_name="engine-tour")
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = Catalog(spark, sf_dir)
+
+    print("== 1. relational analytics: revenue per nation (star join) ==")
+    joined = rel.join_chain(
+        cat.lineitem,
+        (F.broadcast(cat.orders.select("o_orderkey", "o_custkey")),
+         F.col("l_orderkey") == F.col("o_orderkey")),
+        (F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+         F.col("o_custkey") == F.col("c_custkey")),
+        (F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey")),
+    )
+    joined.groupBy("n_name").agg(exact_sum("l_extendedprice", "revenue")) \
+        .orderBy(F.desc("revenue")).show(3, truncate=False)
+
+    print("== 2. text-quality funnel + exact dedup ==")
+    docs = cat.documents
+    keep = dedup.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    cleaned = rel.semi_join(docs, keep, "doc_id")
+    print(f"docs {docs.count()} -> {cleaned.count()} after exact dedup")
+
+    print("== 3. near-dup pairs (native banded MinHash, exact-Jaccard verify) ==")
+    pairs = dedup.minhash_banded_pairs(docs, n=5, min_jaccard=0.8)
+    pairs.orderBy(F.desc("jaccard")).show(3)
+
+    print("== 4. vector search: top-3 cosine neighbors for 3 query vectors ==")
+    emb = cat.embeddings
+    sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).show(9)
+
+    print("== 5. recsys: implicit ALS on (customer, part, qty) ==")
+    inter = A.interactions_from_orders(cat.lineitem, cat.orders)
+    model = A.train_als(inter, A.ALSConfig(rank=8, max_iter=5, num_blocks=4))
+    P_ = A.evaluate_model(model, inter, k=10)
+    P_.show()
+    splits = P.make_splits(inter, val_frac=0.2, test_frac=0.2)
+    print(f"splits: train={splits.train.count()} val={splits.validation.count()} "
+          f"test={splits.test.count()}")
+
+    print("== 6. event-time windows (same expressions run under readStream) ==")
+    cat.events.groupBy(F.window("ts", "1 hour"), "event_type") \
+        .agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n")).show(3, truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
