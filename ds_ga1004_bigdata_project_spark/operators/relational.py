@@ -156,6 +156,18 @@ def salted_join(big: DataFrame, skewed_small: DataFrame, on: str,
     return out.drop("_salt")
 
 
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE/upsert semantics as a plan: rows from ``updates`` win on key
+    collision, unmatched base rows are kept (classic warehouse merge —
+    update-or-insert). Implemented as base-anti-updates ∪ updates: one join
+    + one union, no full-outer coalesce per column.
+
+    At scale, pair with partitioned/bucketed sinks: only partitions touched
+    by ``updates`` need rewriting (hash-join prunes the rest)."""
+    untouched = anti_join(base, updates.select(key), key)
+    return untouched.unionByName(updates)
+
+
 def persisted(df: DataFrame):
     """MEMORY_AND_DISK persist around reuse points (X2) — the reference left
     this commented out and re-read parquet every sweep iteration."""

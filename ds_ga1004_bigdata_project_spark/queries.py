@@ -1101,6 +1101,41 @@ def q41_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @_register(
+    "q48_merge_upsert",
+    survey="net-new ETL merge/upsert (update-or-insert by key)",
+    oracle="""
+        WITH updates AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 round(CAST(CAST(c_acctbal * 2 AS DECIMAL(18,2)) AS DOUBLE), 2)
+                   AS acctbal,
+                 'UPDATED' AS c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 0),
+        base AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 round(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2)
+                   AS acctbal,
+                 c_mktsegment
+          FROM customer)
+        SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL SELECT * FROM updates
+    """,
+)
+def q48_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE: a deterministic update-set (every 10th customer,
+    doubled balance, relabeled segment) upserted into the base table."""
+    cat = Catalog(spark, sf_dir)
+    bal = lambda c: F.round(c.cast("decimal(18,2)").cast("double"), 2)  # noqa: E731
+    base = cat.customer.select(
+        "c_custkey", "c_name", "c_nationkey",
+        bal(F.col("c_acctbal")).alias("acctbal"), "c_mktsegment")
+    updates = (cat.customer.filter(F.col("c_custkey") % 10 == 0)
+               .select("c_custkey", "c_name", "c_nationkey",
+                       bal(F.col("c_acctbal") * 2).alias("acctbal"),
+                       F.lit("UPDATED").alias("c_mktsegment")))
+    return rel.merge_upsert(base, updates, "c_custkey")
+
+
+@_register(
     "q50_string_index_sql",
     survey="M1 (frequency-ordered dense codes, SQL path of StringIndexer)",
     oracle="""
