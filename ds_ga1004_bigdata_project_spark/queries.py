@@ -697,6 +697,82 @@ def q29_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q42_range_join",
+    survey="custom-op range join (point-in-interval via bin-bucketed equi-join)",
+    oracle="""
+        WITH iv AS (
+          SELECT p_partkey,
+                 CAST(p_partkey % 35 AS DOUBLE) AS lo,
+                 CAST(p_partkey % 35 + 1 + p_size % 5 AS DOUBLE) AS hi
+          FROM part)
+        SELECT iv.p_partkey, iv.lo, iv.hi, count(*) AS n_points
+        FROM events e JOIN iv ON e.value >= iv.lo AND e.value <= iv.hi
+        GROUP BY 1, 2, 3
+    """,
+)
+def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join WITHOUT a nested loop: intervals explode to
+    fixed-width bins, points equi-join their bin, exact predicate refines
+    (``operators.temporal.range_join_binned``). Both sides stay distributed —
+    the shape that survives when neither side broadcasts."""
+    from .operators.temporal import range_join_binned
+    cat = Catalog(spark, sf_dir)
+    intervals = cat.part.select(
+        "p_partkey",
+        (F.col("p_partkey") % 35).cast("double").alias("lo"),
+        (F.col("p_partkey") % 35 + 1 + F.col("p_size") % 5).cast("double").alias("hi"))
+    joined = range_join_binned(cat.events.select("event_id", "value"),
+                               intervals, "value", "lo", "hi", bin_width=4.0)
+    return joined.groupBy("p_partkey", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_points"))
+
+
+@_register(
+    "q49_asof_join",
+    survey="custom-op as-of join (latest right row at-or-before left ts; union-scan impl)",
+    oracle="""
+        WITH r AS (
+          SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+                 max(struct_pack(price := round(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                                AS DOUBLE), 2),
+                                 okey := o_orderkey)) AS p
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               r.p.price AS last_order_price, r.p.okey AS last_order_key
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND e.ts >= r.ts
+    """,
+)
+def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (``operators.temporal.asof_join``): each event picks the
+    customer's latest order at-or-before the event time. One shuffle + sort —
+    checked against DuckDB's NATIVE ASOF JOIN. Right side pre-aggregated to
+    one row per (key, ts) with a deterministic (price, key) max, matching
+    ASOF's unique-timestamp contract."""
+    from .operators.temporal import asof_join
+    cat = Catalog(spark, sf_dir)
+    m = F.max(F.struct(
+        F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2)
+        .alias("price"),
+        F.col("o_orderkey").alias("okey")))
+    right = (cat.orders
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("o_orderdate").cast("timestamp").alias("ts"))
+             .agg(m.alias("p"))
+             .select("user_id", "ts",
+                     F.col("p.price").alias("last_order_price"),
+                     F.col("p.okey").alias("last_order_key")))
+    left = cat.events.select("event_id", "user_id", "ts")
+    out = asof_join(left, right, on="user_id", ts="ts",
+                    right_cols=["last_order_price", "last_order_key"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "last_order_price", "last_order_key")
+
+
+@_register(
     "q43_grouping_sets",
     survey="net-new rollup surface (multi-granularity aggregation in one pass)",
     oracle="""

@@ -1,0 +1,67 @@
+"""As-of and range join operators: semantics on hand-built fixtures, the
+tolerance knob, and the single-shuffle plan guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+from ds_ga1004_bigdata_project_spark.plans.inspect import physical_plan
+
+
+def _fixtures(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 15, "e3"), (3, 9, "e4")],
+        "k int, ts int, ev string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 15, 300.0), (4, 1, 999.0)],
+        "k int, ts int, price double")
+    return left, right
+
+
+def test_asof_semantics(spark):
+    left, right = _fixtures(spark)
+    out = {r["ev"]: r["price"]
+           for r in asof_join(left, right, "k", "ts", ["price"]).collect()}
+    assert out == {
+        "e0": None,     # ts=5: no right row at/before
+        "e1": 100.0,    # ts=10: latest is ts=8
+        "e2": 200.0,    # ts=20: latest is ts=15
+        "e3": 300.0,    # equal timestamps match (inclusive)
+        "e4": None,     # key 3 has no right rows at all
+    }
+
+
+def test_asof_tolerance(spark):
+    left, right = _fixtures(spark)
+    out = {r["ev"]: r["price"]
+           for r in asof_join(left, right, "k", "ts", ["price"],
+                              tolerance=F.lit(2)).collect()}
+    # e1 (ts=10, match ts=8, staleness 2) kept; e2 (20-15=5) nulled
+    assert out["e1"] == 100.0 and out["e2"] is None and out["e3"] == 300.0
+
+
+def test_asof_single_shuffle(spark):
+    left, right = _fixtures(spark)
+    plan = physical_plan(asof_join(left, right, "k", "ts", ["price"]))
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Broadcast" not in ln]
+    assert len(shuffles) <= 1, f"as-of join should shuffle once:\n{plan}"
+
+
+def test_range_join_matches_naive(spark):
+    points = spark.range(0, 100).select(
+        (F.col("id") % 37).cast("double").alias("v"), F.col("id").alias("pid"))
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 10.0, 12.0), (3, 30.0, 40.0), (4, 50.0, 60.0)],
+        "iid int, lo double, hi double")
+    fast = {(r["pid"], r["iid"]) for r in
+            range_join_binned(points, intervals, "v", "lo", "hi", 4.0).collect()}
+    naive = {(r["pid"], r["iid"]) for r in
+             points.join(intervals, (F.col("v") >= F.col("lo"))
+                         & (F.col("v") <= F.col("hi"))).collect()}
+    assert fast == naive and len(fast) > 0
