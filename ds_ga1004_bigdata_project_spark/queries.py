@@ -1483,6 +1483,30 @@ def q64_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+@_register(
+    "q65_unpivot",
+    survey="net-new unpivot/melt (wide→long via stack)",
+    oracle="""
+        SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS attr,
+               round(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS val
+        FROM part
+    """,
+)
+def q65_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via ``stack`` — one projection pass, no union of
+    scans (the oracle's UNION ALL form reads the table twice; stack reads
+    once)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.part.select(
+        "p_partkey",
+        F.expr("""stack(2,
+            'size', CAST(p_size AS DOUBLE),
+            'retailprice', round(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+        ) AS (attr, val)"""))
+
+
 _STREAM_SEQ = iter(range(10_000))
 
 
