@@ -1598,3 +1598,373 @@ def q60_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = MM.attach_payload(cat.documents)
     feats = MM.extract_features(payloads, fake=True)
     return feats.select("doc_id", "modality", "n_bytes", "digest")
+
+
+# =====================================================================
+# Analytical-surface batch 3: grouping-set totals, distribution ranks,
+# subquery shapes, statistical/distinct aggregates, higher-order array
+# functions, window navigation, string/date function suites.
+# =====================================================================
+
+@_register(
+    "q66_rollup_totals",
+    survey="net-new rollup (multi-level totals in one pass; complements q43 grouping sets)",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               count(*) AS cnt,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q66_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (flag, flag+status, grand total) computed in a single
+    shuffle — Spark expands grouping sets map-side, so the scan happens once
+    where the naive UNION-of-aggregates form reads the table three times."""
+    cat = Catalog(spark, sf_dir)
+    return (cat.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        agg.exact_sum("l_quantity", "sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+                "cnt", "sum_qty"))
+
+
+@_register(
+    "q67_distribution_ranks",
+    survey="net-new window distribution (ntile / percent_rank / cume_dist)",
+    oracle="""
+        SELECT c_custkey,
+               ntile(4)   OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cum_dist
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q67_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over a total order (acctbal, custkey
+    tiebreak). Single global sort; at scale this becomes a range-partitioned
+    sort, and ntile/percent_rank need only partition-local state plus the
+    global row count."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return cat.customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"))
+
+
+@_register(
+    "q68_exists_counts",
+    survey="net-new EXISTS/NOT EXISTS (semi/anti-join rewrite; J4/J5 generalized)",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) FILTER (WHERE EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+               count(*) FILTER (WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+        FROM customer c
+        GROUP BY c_mktsegment
+    """,
+)
+def q68_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS expressed as one left-outer join against the
+    distinct key set + conditional counts — one shuffle instead of the two
+    separate semi+anti passes a literal rewrite would take."""
+    cat = Catalog(spark, sf_dir)
+    okeys = cat.orders.select(F.col("o_custkey").alias("c_custkey")).distinct() \
+        .withColumn("_has", F.lit(1))
+    joined = cat.customer.join(okeys, "c_custkey", "left")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("_has").isNotNull(), 1)).alias("n_with_orders"),
+        F.count(F.when(F.col("_has").isNull(), 1)).alias("n_without_orders"))
+
+
+@_register(
+    "q69_above_brand_avg",
+    survey="net-new correlated-scalar-subquery shape (price above brand average)",
+    oracle="""
+        SELECT p_partkey, p_brand,
+               round(p_retailprice, 2) AS price,
+               round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                            OVER (PARTITION BY p_brand) AS DOUBLE)
+                     / count(*) OVER (PARTITION BY p_brand), 2) AS brand_avg
+        FROM part
+        QUALIFY p_retailprice >
+                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY p_brand) AS DOUBLE)
+                / count(*) OVER (PARTITION BY p_brand)
+    """,
+)
+def q69_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (price > per-brand average) as a window
+    aggregate + post-filter: one partition-by-brand shuffle, no self-join.
+    The average is decimal-exact-sum / count so the comparison and the
+    reported value are order-independent (float avg is not)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("p_brand")
+    exact_avg = (F.sum(F.col("p_retailprice").cast("decimal(18,2)")).over(w)
+                 .cast("double") / F.count(F.lit(1)).over(w))
+    return (cat.part
+            .withColumn("_avg", exact_avg)
+            .filter(F.col("p_retailprice") > F.col("_avg"))
+            .select("p_partkey", "p_brand",
+                    F.round("p_retailprice", 2).alias("price"),
+                    F.round("_avg", 2).alias("brand_avg")))
+
+
+@_register(
+    "q70_stats_suite",
+    survey="net-new statistical aggregates (corr / covar_samp / stddev / variance)",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_quantity), 1) AS price_qty_covar,
+               round(stddev_samp(l_quantity), 4) AS qty_stddev,
+               round(var_samp(l_quantity), 3) AS qty_var
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q70_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates — all partial-aggregatable (sum/sum-sq/cross
+    cases combine associatively), so they scale exactly like plain sums."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 1).alias("price_qty_covar"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 3).alias("qty_var"))
+
+
+@_register(
+    "q71_group_percentiles",
+    survey="net-new exact percentiles (percentile_cont interpolation per group)",
+    oracle="""
+        SELECT l_linestatus,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,
+               round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
+               round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 4) AS p75
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def q71_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark ``percentile``
+    == ANSI percentile_cont). Exact needs the full value multiset per group —
+    fine for low-cardinality groups; the sketch-based scale path is
+    ``percentile_approx`` (tests/test_approx_aggregates.py)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"))
+
+
+@_register(
+    "q72_vector_norms",
+    survey="net-new higher-order array functions (transform/filter/aggregate on embeddings)",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               round(sqrt(list_aggregate(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 'sum')), 4) AS l2_norm,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive
+        FROM embeddings
+    """,
+)
+def q72_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions on array columns, fully JVM-side (no
+    Python boundary): per-row L2 norm, dimensionality, positive-component
+    count. The same F.aggregate pattern backs the cosine similarity ops in
+    operators/similarity.py."""
+    cat = Catalog(spark, sf_dir)
+    sq = F.transform(F.col("embedding"),
+                     lambda x: x.cast("double") * x.cast("double"))
+    return cat.embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)), 4)
+         .alias("l2_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"))
+
+
+@_register(
+    "q73_posexplode_vectors",
+    survey="net-new posexplode (array → (pos, value) rows; P2/F5 generalized)",
+    oracle="""
+        SELECT vec_id,
+               CAST(unnest(range(len(embedding))) AS INT) AS pos,
+               round(CAST(unnest(embedding) AS DOUBLE), 4) AS component
+        FROM embeddings
+        WHERE vec_id < 16
+    """,
+)
+def q73_posexplode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal array explosion — vec → (position, component) rows. This is
+    the long-format bridge for vector columns (feeds the per-dimension agg
+    path); generated as a generator expression, no shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return (cat.embeddings.filter(F.col("vec_id") < 16)
+            .select("vec_id", F.posexplode("embedding").alias("pos", "_c"))
+            .select("vec_id", "pos",
+                    F.round(F.col("_c").cast("double"), 4).alias("component")))
+
+
+@_register(
+    "q74_window_navigation",
+    survey="net-new window navigation (first/last/nth_value over full frame)",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(first_value(o_totalprice) OVER w, 2) AS first_price,
+               round(last_value(o_totalprice)  OVER w, 2) AS last_price,
+               round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q74_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit unbounded frame (the default
+    frame stops at CURRENT ROW, silently making last_value ≡ current row —
+    the classic window footgun, pinned here with a total-order tiebreak)."""
+    cat = Catalog(spark, sf_dir)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return cat.orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"))
+
+
+@_register(
+    "q75_string_suite",
+    survey="net-new string functions (regexp_extract/lpad/translate/levenshtein; F1/F2 generalized)",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(text, '[A-Za-z]+') AS first_word,
+               upper(lang) AS lang_uc,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+               levenshtein(lang, 'en') AS lang_edit_dist,
+               length(replace(text, ' ', '')) AS n_nonspace_chars
+        FROM documents
+    """,
+)
+def q75_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface on the documents corpus — all codegen'd JVM
+    expressions at scan speed (no UDF)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        F.regexp_extract("text", "[A-Za-z]+", 0).alias("first_word"),
+        F.upper("lang").alias("lang_uc"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_edit_dist"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace_chars"))
+
+
+@_register(
+    "q76_date_math",
+    survey="net-new date/time arithmetic (SURVEY §2.8 note: net-new surface over events/orders ts)",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS review_date,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
+               CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+               CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+               CAST(extract(month FROM o_orderdate) AS INT) AS mon
+        FROM orders
+    """,
+)
+def q76_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + calendar extraction — interval add, month add with
+    end-of-month clamping, day diff against a fixed cutoff."""
+    cat = Catalog(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return cat.orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("review_date"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_cutoff"),
+        F.year(d).alias("yr"), F.quarter(d).alias("qtr"), F.month(d).alias("mon"))
+
+
+@_register(
+    "q77_distinct_aggs",
+    survey="net-new distinct-inside-aggregate (SURVEY §2.4 'not present' gap closed)",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_partkey || '|' || l_suppkey) AS n_part_supp,
+               round(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_distinct_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q77_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT inside aggregates — Catalyst plans these as expand +
+    two-phase aggregation; multiple distinct sets in one query still take a
+    single scan."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct(F.concat_ws("|", "l_partkey", "l_suppkey")).alias("n_part_supp"),
+        F.round(
+            F.sum_distinct(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+            2).alias("sum_distinct_qty"))
+
+
+@_register(
+    "q78_string_agg_regions",
+    survey="net-new listagg/string_agg (order-embedded concatenation; A1 string form)",
+    oracle="""
+        SELECT r.r_name, count(*) AS n_nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def q78_string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — sort_array(collect_list) → concat_ws
+    gives deterministic ordered LISTAGG semantics independent of shuffle
+    arrival order."""
+    cat = Catalog(spark, sf_dir)
+    joined = rel.broadcast_inner_join(
+        cat.nation, cat.region.select(F.col("r_regionkey").alias("n_regionkey"),
+                                      "r_name"), "n_regionkey")
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"))
+
+
+@_register(
+    "q79_bool_bit_aggs",
+    survey="net-new boolean/bitwise aggregates (bool_and/bool_or/bit_and/bit_or/bit_xor)",
+    oracle="""
+        SELECT p_brand,
+               bool_and(p_size > 0)  AS all_positive,
+               bool_or(p_size > 45)  AS any_oversize,
+               bit_and(p_size) AS size_bit_and,
+               bit_or(p_size)  AS size_bit_or,
+               bit_xor(p_size) AS size_bit_xor
+        FROM part
+        GROUP BY p_brand
+    """,
+)
+def q79_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise reduction aggregates — associative+commutative, so
+    they combine map-side like sums."""
+    cat = Catalog(spark, sf_dir)
+    return cat.part.groupBy("p_brand").agg(
+        F.expr("bool_and(p_size > 0)").alias("all_positive"),
+        F.expr("bool_or(p_size > 45)").alias("any_oversize"),
+        F.expr("bit_and(p_size)").alias("size_bit_and"),
+        F.expr("bit_or(p_size)").alias("size_bit_or"),
+        F.expr("bit_xor(p_size)").alias("size_bit_xor"))
