@@ -1968,3 +1968,209 @@ def q79_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_and(p_size)").alias("size_bit_and"),
         F.expr("bit_or(p_size)").alias("size_bit_or"),
         F.expr("bit_xor(p_size)").alias("size_bit_xor"))
+
+
+# =====================================================================
+# Batch 4: streaming sliding windows + stream-static enrichment, and
+# corpus/text-pipeline depth (repetition, PII scrub, n-gram stats,
+# per-label embedding centroids, multiset set-ops).
+# =====================================================================
+
+@_register(
+    "q80_sliding_stream",
+    survey="streaming-sliding (hopping windows through the real streaming engine)",
+    oracle="""
+        WITH b AS (
+          SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS bkt FROM events
+        ), expanded AS (
+          SELECT bkt AS win_start FROM b
+          UNION ALL
+          SELECT bkt - INTERVAL 30 MINUTE AS win_start FROM b
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+               count(*) AS n_events
+        FROM expanded GROUP BY 1
+    """,
+)
+def q80_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows through the real streaming engine (readStream →
+    hopping window agg → memory sink). Oracle models the same semantics as a
+    union of two shifted 30-minute buckets — every event in exactly two
+    windows."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q80_sliding_{next(_STREAM_SEQ)}"
+    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    SE.run_available_now(SE.sliding_counts(stream), name)
+    return (spark.table(name)
+            .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"), "n_events"))
+
+
+@_register(
+    "q81_stream_static_join",
+    survey="streaming-enrich (stream ⋈ broadcast static dim per micro-batch)",
+    oracle="""
+        SELECT c.c_mktsegment, count(*) AS n_events,
+               round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
+)
+def q81_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the customer
+    dimension inside the streaming engine, then aggregates per segment — the
+    canonical attach-user-attributes-to-clickstream shape. No stream-side
+    shuffle for the join; only the agg keys shuffle."""
+    import os
+
+    from .streaming import events as SE
+
+    cat = Catalog(spark, sf_dir)
+    name = f"q81_enrich_{next(_STREAM_SEQ)}"
+    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    enriched = SE.enrich_with_dim(
+        stream, cat.customer.select("c_custkey", "c_mktsegment"),
+        "user_id", "c_custkey")
+    agged = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+         .alias("sum_value"))
+    SE.run_available_now(agged, name)
+    return spark.table(name)
+
+
+@_register(
+    "q82_doc_repetition",
+    survey="text-quality (intra-document repetition: max-token-frequency ratio)",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents),
+        freq AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS max_token_ratio
+        FROM freq GROUP BY doc_id
+    """,
+)
+def q82_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher/C4-style quality signal:
+    docs dominated by one repeated token are boilerplate). Explode → two-level
+    agg; the first agg keys on (doc, token) so the hot shuffle is spread over
+    distinct tokens, not per-doc rows."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    freq = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("max_token_ratio"))
+
+
+@_register(
+    "q83_pii_scrub",
+    survey="text-scrub (regexp_replace redaction; deterministic digest proof)",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_digest,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit_chars
+        FROM documents
+    """,
+)
+def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass (number masking — the PII-scrub shape; swap the pattern
+    for emails/SSNs in production). Output is the md5 of the scrubbed text, so
+    the oracle certifies byte-identical redaction, not just row counts."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias("scrubbed_digest"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("n_digit_chars"))
+
+
+@_register(
+    "q84_bigram_counts",
+    survey="text-ngrams (corpus-wide bigram frequency; top-30)",
+    oracle="""
+        WITH toks AS (
+          SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
+          WHERE len(string_split_regex(lower(text), '\\s+')) >= 2)
+        SELECT bg AS bigram, count(*) AS cnt FROM (
+          SELECT unnest(list_transform(range(len(t) - 1),
+                                       i -> t[i+1] || ' ' || t[i+2])) AS bg
+          FROM toks)
+        GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 30
+    """,
+)
+def q84_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: adjacent-token pairs built with a JVM-side
+    sequence/transform lambda (no Python, no self-join), exploded and counted.
+    The n-gram LM / contamination-check primitive."""
+    cat = Catalog(spark, sf_dir)
+    t = F.split(F.lower("text"), r"\s+")
+    docs = cat.documents.select(t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = docs.select(F.explode(F.expr(
+        "transform(sequence(0, size(t) - 2),"
+        " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+    )).alias("bigram"))
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return rel.global_topn(counts, [F.col("cnt").desc(), F.col("bigram").asc()], 30)
+
+
+@_register(
+    "q85_label_centroids",
+    survey="embedding-analytics (per-label centroid via ordinal explode + exact avg)",
+    oracle="""
+        WITH comp AS (
+          SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings)
+        SELECT label, pos,
+               round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+                 AS centroid_component,
+               count(*) AS n_vectors
+        FROM comp GROUP BY label, pos
+    """,
+)
+def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the KMeans/IVF seeding and
+    nearest-class-mean primitive): ordinal explode → (label, dim) agg.
+    Decimal-exact sums make the result partition-order independent; at scale
+    the (label × dim) key space is tiny, so the shuffle is negligible next to
+    the scan."""
+    cat = Catalog(spark, sf_dir)
+    comp = cat.embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "_c")) \
+        .select("label", "pos", F.col("_c").cast("double").alias("v"))
+    return comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)), 6).alias("centroid_component"),
+        F.count(F.lit(1)).alias("n_vectors"))
+
+
+@_register(
+    "q86_multiset_ops",
+    survey="net-new EXCEPT ALL / INTERSECT ALL (multiset semantics; U2 generalized)",
+    oracle="""
+        SELECT l_partkey, count(*) AS cnt FROM (
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+          EXCEPT ALL
+          SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        ) GROUP BY l_partkey
+    """,
+)
+def q86_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set difference (exceptAll keeps multiplicity deltas —
+    distinct-based difference can't express 'surplus occurrences'). Spark
+    plans this as a single hash aggregation over a tagged union."""
+    cat = Catalog(spark, sf_dir)
+    r = cat.lineitem.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = cat.lineitem.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.exceptAll(a).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"))

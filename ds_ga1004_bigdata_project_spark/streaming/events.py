@@ -58,6 +58,32 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping windows (2 for 1h/30m). Spark materializes the
+    window list per row map-side, so the shuffle carries (window, type) keys —
+    state per open window is bounded by the watermark exactly as tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static join: enrich the stream with a broadcast dimension.
+    Static side is re-read per micro-batch (picks up dim updates); broadcast
+    keeps it shuffle-free — the 100 TB/day shape for adding user/item
+    attributes to an event stream."""
+    return events.join(
+        F.broadcast(dim.withColumnRenamed(dim_key, stream_key)),
+        stream_key, "inner")
+
+
 def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
     """Event stream over the driver's nanosecond-timestamp parquet: declare
     ``ts`` as raw int64 nanos (legacy conf) and convert to a µs timestamp in
