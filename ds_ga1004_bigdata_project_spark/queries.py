@@ -2174,3 +2174,93 @@ def q86_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cat.lineitem.filter(F.col("l_returnflag") == "A").select("l_partkey")
     return r.exceptAll(a).groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt"))
+
+
+@_register(
+    "q87_ship_priority",
+    survey="analytical-classic (TPC-H Q3 shape: selective multi-table filters → 3-way join → top-10)",
+    oracle="""
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_orderpriority,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        FROM customer c
+        JOIN orders o   ON o.o_custkey  = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-06-15'
+          AND l.l_shipdate  > TIMESTAMP '1997-06-15'
+        GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderkey ASC
+        LIMIT 10
+    """,
+)
+def q87_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority classic: every filter sits on a DIFFERENT table and
+    each reaches its own parquet scan (PushedFilters on all three), so the
+    joins see pre-shrunk inputs; top-10 via TakeOrderedAndProject, no global
+    sort materialized."""
+    cat = Catalog(spark, sf_dir)
+    cutoff = F.lit("1997-06-15").cast("timestamp")
+    c = cat.customer.filter(F.col("c_mktsegment") == "BUILDING") \
+        .select(F.col("c_custkey").alias("o_custkey"))
+    o = cat.orders.filter(F.col("o_orderdate") < cutoff) \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = cat.lineitem.filter(F.col("l_shipdate") > cutoff) \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    agged = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, "o_custkey")
+             .groupBy("o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                      "o_orderpriority")
+             .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue")))
+    return rel.global_topn(
+        agged, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10)
+
+
+@_register(
+    "q88_cross_join",
+    survey="net-new explicit cross join (SURVEY §2.3 'not present' gap; small×small only)",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+        FROM region r CROSS JOIN nation n
+    """,
+)
+def q88_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (|region| × |nation| pairs) — legitimate
+    only when one side is tiny; Spark broadcasts the small side so the
+    'cross join' is a nested loop over in-memory rows, never a shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return (cat.region.select("r_regionkey", "r_name")
+            .crossJoin(cat.nation.select("n_regionkey", "n_name"))
+            .select("r_name", "n_name",
+                    F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+                     .otherwise(0).alias("is_home")))
+
+
+@_register(
+    "q89_json_typed",
+    survey="semi-structured typed parse (from_json single-parse → typed struct; q46's scale path)",
+    oracle="""
+        SELECT event_type,
+               count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50)
+                 AS n_high,
+               round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                     / count(*), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+)
+def q89_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON ingestion: ``from_json`` with a declared schema parses each
+    props string ONCE into a struct (vs one parse per ``get_json_object``
+    path) — the right shape when many fields are extracted at 100 TB."""
+    cat = Catalog(spark, sf_dir)
+    parsed = cat.events.withColumn(
+        "p", F.from_json("props", "k bigint"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(F.col("p.k") >= 50, 1)).alias("n_high"),
+        F.round(F.sum("p.k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"))
