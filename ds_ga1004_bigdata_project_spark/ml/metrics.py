@@ -102,3 +102,35 @@ def ranking_metrics(pred_df: DataFrame, truth_df: DataFrame, k: int,
             "n_users",
         )
     return out
+
+
+def auc(df: DataFrame, score_col: str, label_col: str,
+        round_scale: int | None = 6) -> DataFrame:
+    """Binary-classification ROC AUC as a native aggregate, by the
+    rank-statistic identity (Mann-Whitney U):
+
+        AUC = (Σ_{positives} avgrank(score) − P(P+1)/2) / (P·N)
+
+    with average ranks for score ties (avgrank = rank + (ties−1)/2, ascending
+    scores), which is exactly the trapezoidal ROC AUC. One global sort-rank +
+    one reduction — no per-threshold sweep, no driver-side collect; at scale
+    the sort is a range-partitioned shuffle of (score, label) pairs only.
+
+    ``label_col`` must be 0/1. Returns one row (auc, n_pos, n_neg).
+    """
+    w = Window.orderBy(F.col(score_col).asc())
+    ranked = df.select(
+        F.col(label_col).cast("long").alias("y"),
+        (F.rank().over(w)
+         + (F.count(F.lit(1)).over(Window.partitionBy(score_col)) - 1) / 2.0)
+        .alias("avgrank"))
+    out = ranked.agg(
+        ((F.sum(F.when(F.col("y") == 1, F.col("avgrank")).otherwise(0.0))
+          - F.sum("y") * (F.sum("y") + 1) / 2.0)
+         / (F.sum("y") * (F.count(F.lit(1)) - F.sum("y")))).alias("auc"),
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"))
+    if round_scale is not None:
+        out = out.select(F.round("auc", round_scale).alias("auc"),
+                         "n_pos", "n_neg")
+    return out

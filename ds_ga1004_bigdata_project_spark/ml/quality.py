@@ -1,0 +1,111 @@
+"""Document-quality classifier — the learned tier of the training-data
+funnel (net-new vs the reference; SURVEY §7.2 M6 extension surface).
+
+The heuristic quality gates (q34/q36: length, repetition, stopword ratios)
+are stage one of a corpus cleaner; production pipelines then train a model on
+those features against curated labels and score the whole corpus with it.
+This module is that shape, end-to-end in Spark:
+
+1. :func:`featurize` — per-doc numeric features, all JVM-side expressions
+   (`functions/text.py` primitives; no UDFs, scan-speed at 100 TB).
+2. deterministic content-hash train/heldout split (`sampling` rewrite of the
+   reference's driver-side user sampling, `sample_indexer.py:36-39`).
+3. `pyspark.ml` LogisticRegression (seeded), features via VectorAssembler.
+4. scoring = one `model.transform` over the corpus; evaluation =
+   DataFrame-native AUC (`metrics.auc`) on the heldout split.
+
+Labels here are synthesized from a DIFFERENT signal than the features (long
+documents by raw char count), so the learned boundary is non-trivial but
+deterministic — the harness shape is real while needing no external labels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+FEATURE_COLS = ["n_tokens", "distinct_ratio", "mean_tok_len",
+                "stopword_ratio", "punct_ratio"]
+
+
+def featurize(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document numeric feature vector as plain columns (assembled into
+    an ml VectorUDT only at the model boundary)."""
+    toks = T.ws_tokens(F.lower(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("n_tokens"),
+        T.distinct_token_ratio(toks, scale=None).alias("distinct_ratio"),
+        T.mean_token_len(toks).cast("double").alias("mean_tok_len"),
+        T.stopword_ratio(toks).cast("double").alias("stopword_ratio"),
+        T.punct_ratio(F.col(text_col)).cast("double").alias("punct_ratio"),
+    )
+
+
+def synth_labels(docs: DataFrame, id_col: str = "doc_id",
+                 char_threshold: int = 400) -> DataFrame:
+    """Deterministic binary label from a signal outside the feature set:
+    1 ⇔ the raw document is long (n_chars ≥ threshold)."""
+    return docs.select(
+        F.col(id_col),
+        (F.length("text") >= char_threshold).cast("int").alias("label"))
+
+
+@dataclass
+class QualityModel:
+    model: object          # pyspark.ml PipelineModel
+    train_auc_row: tuple   # (auc, n_pos, n_neg) on heldout
+
+
+def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
+                             heldout_fraction: float = 0.25,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> QualityModel:
+    """Train the LR quality model on a content-hash split and evaluate on the
+    heldout part with the native AUC aggregate."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from . import metrics as M
+
+    data = featurize(docs, text_col, id_col).join(
+        synth_labels(docs, id_col), id_col)
+    # Content-hash split: reproducible across runs/partitionings (no RNG).
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                    F.lit(100))
+    train = data.filter(bucket >= int(heldout_fraction * 100))
+    heldout = data.filter(bucket < int(heldout_fraction * 100))
+
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=FEATURE_COLS, outputCol="features"),
+        LogisticRegression(featuresCol="features", labelCol="label",
+                           maxIter=25, regParam=0.01),
+    ])
+    model = pipe.fit(train)
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(heldout).select(
+        "label",
+        # P(class=1) from the probability vector — JVM-side, no Python rows.
+        F.element_at(vector_to_array(F.col("probability")), 2).alias("score"))
+    auc_row = tuple(M.auc(scored, "score", "label").first())
+    return QualityModel(model=model, train_auc_row=auc_row)
+
+
+def score_corpus(qm: QualityModel, docs: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Score every document: returns (doc_id, quality_score) — the corpus-
+    wide filter column for the funnel's learned gate."""
+    feats = featurize(docs, text_col, id_col)
+    from pyspark.ml.functions import vector_to_array
+
+    return qm.model.transform(feats).select(
+        F.col(id_col),
+        F.round(F.element_at(vector_to_array(F.col("probability")), 2),
+                6).alias("quality_score"))

@@ -2264,3 +2264,139 @@ def q89_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("event_type").agg(
         F.count(F.when(F.col("p.k") >= 50, 1)).alias("n_high"),
         F.round(F.sum("p.k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"))
+
+
+@_register(
+    "q90_tfidf_top_terms",
+    survey="text-tfidf (native DataFrame TF-IDF: tf ⋈ df → weight → top-3 terms/doc)",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS n_docs FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS total FROM tf),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 round(tf.c * (ln((n.total + 1) / CAST(df.n_docs + 1 AS DOUBLE)) + 1), 6)
+                   AS tfidf
+          FROM tf JOIN df USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok, tfidf FROM (
+          SELECT doc_id, tok, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok ASC) AS rn
+          FROM scored)
+        WHERE rn <= 3 AND doc_id < 100
+    """,
+)
+def q90_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native TF-IDF (no pyspark.ml hashing — exact, vocabulary-resolved):
+    term frequency per (doc, token), document frequency per token, smoothed
+    idf, top-3 weighted terms per doc. The df side is tiny (one row per
+    vocabulary word) so Catalyst broadcasts it into the tf stream; the
+    only big shuffle keys on (doc, token) — same scale shape as q82."""
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tf = rel.persisted(tf)
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = tf.select(F.countDistinct("doc_id").alias("total"))
+    scored = (tf.join(df_, "tok").crossJoin(F.broadcast(total))
+              .select("doc_id", "tok",
+                      F.round(F.col("c") * (F.log((F.col("total") + 1)
+                              / (F.col("n_docs") + 1).cast("double")) + 1), 6)
+                       .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("tok").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+            .drop("rn"))
+
+
+@_register(
+    "q91_vocab_stats",
+    survey="text-corpus-stats (vocabulary size / hapax ratio / type-token ratio)",
+    oracle="""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1)
+        SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+               round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+        FROM freq
+    """,
+)
+def q91_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary statistics (the tokenizer-design numbers:
+    vocabulary size, hapax legomena, type-token ratio). Two-level agg — the
+    big shuffle keys on tokens (bounded by vocabulary, not corpus size), the
+    second collapses to one row."""
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return freq.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6)
+         .alias("type_token_ratio"))
+
+
+@_register(
+    "q92_auc_native",
+    survey="ml-metrics (DataFrame-native ROC AUC via rank statistic; A10 family)",
+    oracle="""
+        WITH scored AS (
+          SELECT len(string_split_regex(text, '\\s+')) AS score,
+                 CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        ranked AS (
+          SELECT y,
+                 rank() OVER (ORDER BY score ASC)
+                   + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avgrank
+          FROM scored)
+        SELECT round((sum(CASE WHEN y = 1 THEN avgrank ELSE 0 END)
+                      - sum(y) * (sum(y) + 1) / 2.0)
+                     / (sum(y) * (count(*) - sum(y))), 6) AS auc,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        FROM ranked
+    """,
+)
+def q92_auc_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC as a pure DataFrame aggregate (Mann-Whitney rank identity,
+    average ranks for ties) — predictor: token count; label: long document.
+    The oracle recomputes the identical statistic in SQL, certifying the
+    engine's AUC to 6 decimals — no sklearn, no driver-side ROC sweep."""
+    from .functions import text as T
+    from .ml import metrics as M
+    cat = Catalog(spark, sf_dir)
+    scored = cat.documents.select(
+        F.size(T.ws_tokens(F.col("text"))).cast("double").alias("score"),
+        (F.col("n_chars") >= 400).cast("int").alias("y"))
+    return M.auc(scored, "score", "y")
+
+
+@_register(
+    "q93_quality_classifier",
+    survey="ml-quality (LR corpus-quality model: featurize → hash-split → fit → score; rows-only)",
+    oracle=None,
+)
+def q93_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality gate end-to-end: native featurization, content-hash
+    split, seeded LR fit, corpus-wide scoring — summarized per language with
+    the heldout AUC attached to every row (train determinism is pinned in
+    tests/test_quality.py)."""
+    from .ml import quality as Q
+    cat = Catalog(spark, sf_dir)
+    qm = Q.train_quality_classifier(cat.documents)
+    scored = Q.score_corpus(qm, cat.documents).join(
+        cat.documents.select("doc_id", "lang"), "doc_id")
+    return (scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"))
+        .withColumn("heldout_auc", F.lit(float(qm.train_auc_row[0]))))
