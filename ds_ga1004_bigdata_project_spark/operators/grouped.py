@@ -1,0 +1,64 @@
+"""Grouped transforms: the native-window path vs the pandas grouped-map path.
+
+The engine's rule (README design stance): stay JVM-side unless the semantics
+genuinely need Python. Per-group standardization is the canonical example of
+an op people reach for ``applyInPandas`` on, that windows express natively —
+so both implementations live here, and ``tests/test_grouped.py`` pins them
+equal. The pandas twin is the TEMPLATE for genuinely non-relational grouped
+logic (per-group model fits, custom solvers); the native one is what you ship
+when the math is expressible.
+
+Scale note: the native path is one partition-by-group shuffle and streams —
+no group must fit in memory. ``applyInPandas`` materializes EACH GROUP as one
+pandas DataFrame on one executor: fine for many small groups, a deal-breaker
+for a skewed giant group. That asymmetry is the real reason the native path
+is the default at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zscore_native(df: DataFrame, value_col: str, group_cols: list[str],
+                  out_col: str = "z", scale: int | None = 4) -> DataFrame:
+    """Per-group standardization with EXACT moments: decimal sums for Σx and
+    Σx², so mean/variance (and therefore every z) are independent of
+    partition/shuffle order — float window-stddev is not.
+
+    Assumes ``value_col`` carries ≤2 decimal places (money/quantity columns;
+    exact squares then have ≤4, within decimal(38,8))."""
+    w = Window.partitionBy(*group_cols)
+    x = F.col(value_col)
+    xd = x.cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(xd).over(w).cast("double")
+    s2 = F.sum((xd * xd).cast("decimal(38,8)")).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)  # sample variance, exact numerator
+    z = (x - mean) / F.sqrt(var)
+    return df.withColumn(out_col, F.round(z, scale) if scale is not None else z)
+
+
+def zscore_pandas(df: DataFrame, value_col: str, group_cols: list[str],
+                  out_col: str = "z", scale: int | None = 4) -> DataFrame:
+    """``applyInPandas`` twin of :func:`zscore_native` — same contract, Python
+    grouped-map execution (Arrow-batched). Kept as the template for grouped
+    logic Spark expressions can't say; see module docstring for the memory
+    asymmetry."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # NB: StructType.add mutates in place — never call it on df.schema (that
+    # desyncs the Python-side column list from the JVM plan). Build a copy.
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, DoubleType())])
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].astype("float64")
+        z = (x - x.mean()) / x.std(ddof=1)
+        pdf[out_col] = z.round(scale) if scale is not None else z
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(standardize, schema=out_schema)

@@ -2400,3 +2400,59 @@ def q93_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"))
         .withColumn("heldout_auc", F.lit(float(qm.train_auc_row[0]))))
+
+
+@_register(
+    "q94_zscore_groups",
+    survey="grouped-transform (per-group standardization, exact-moment native window path)",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               round((l_extendedprice - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))
+                               AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2,
+                 count(*) OVER w AS n
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_returnflag))
+        WHERE l_orderkey < 3000
+    """,
+)
+def q94_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score through the native exact-moment window operator
+    (``operators/grouped.py`` — decimal Σx/Σx² make every z shuffle-order
+    independent). The ``applyInPandas`` twin is pinned equal in
+    tests/test_grouped.py; this query certifies the native path against SQL."""
+    from .operators import grouped as G
+    cat = Catalog(spark, sf_dir)
+    z = G.zscore_native(cat.lineitem, "l_extendedprice", ["l_returnflag"])
+    return (z.filter(F.col("l_orderkey") < 3000)
+            .select("l_orderkey", "l_linenumber", "l_returnflag", "z"))
+
+
+@_register(
+    "q95_udtf_long_tokens",
+    survey="udtf (Python table function via LATERAL; one-row→many-rows extension point)",
+    oracle="""
+        SELECT doc_id, tok, len(tok) AS tok_len
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents)
+        WHERE len(tok) >= 8
+    """,
+)
+def q95_udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) applied LATERALly per document —
+    the extension point for stateful one-to-many parsers. This demo's logic
+    is explode-expressible on purpose: the oracle proves the Python
+    table-function path emits exactly what the relational form would."""
+    from .functions.udtf_ops import register_udtfs
+    cat = Catalog(spark, sf_dir)
+    register_udtfs(spark)
+    cat.documents.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.tok, t.tok_len "
+        "FROM _docs_for_udtf d, LATERAL long_tokens(d.text, 8) t")

@@ -83,6 +83,23 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False,
     (df.coalesce(1) if single_file else df).write.mode(mode).option("header", True).csv(path)
 
 
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType | str | None = None) -> DataFrame:
+    """JSON-lines source. Declare the schema in production — schema inference
+    is a full extra pass over the data (unacceptable at 100 TB); leaving it
+    None is for exploration only."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format most training-data tooling
+    consumes. One file per partition; compression via spark.conf if needed."""
+    df.write.mode(mode).json(path)
+
+
 class Catalog:
     """Convenience handle over one scale-factor directory."""
 

@@ -55,3 +55,13 @@ def test_register_views_sql_access(spark):
     C.register_views(spark, SF_SMOKE)
     n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
     assert n > 0
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    cat = C.Catalog(spark, SF_SMOKE)
+    out = str(tmp_path / "nation_jsonl")
+    C.write_jsonl(cat.nation, out)
+    back = C.read_jsonl(spark, out,
+                        schema="n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in cat.nation.collect())
