@@ -86,3 +86,61 @@ def range_join_binned(points: DataFrame, intervals: DataFrame, point_col: str,
             .filter((F.col(point_col) >= F.col(lo_col))
                     & (F.col(point_col) <= F.col(hi_col)))
             .drop("_bin"))
+
+
+def range_count_binned(points: DataFrame, intervals: DataFrame,
+                       point_col: str, lo_col: str, hi_col: str,
+                       interval_keys: list[str],
+                       bin_width: float) -> DataFrame:
+    """Count points per containing interval with the AGGREGATION PUSHED BELOW
+    THE JOIN — the specialization of :func:`range_join_binned` for count-type
+    results (the dominant range-join use: histogram-per-interval, coverage
+    counts).
+
+    The general range join must materialize every (point, interval) match —
+    inherently |matches| work. A count never needs the pairs: pre-aggregate
+    points into fixed-width cells once, then
+
+    - **interior cells** of each interval (fully contained in [lo, hi]) take
+      the cell's pre-computed count — O(cells-per-interval), point-free;
+    - only the two **boundary cells** join actual points for exact lo/hi
+      refinement — O(points-in-boundary-cells) ∝ bin_width.
+
+    Join traffic drops from |matches| (84M pairs at sf0.1 for q42) to
+    |intervals|·width/bin_width tiny cell rows + boundary candidates; shrink
+    ``bin_width`` to trade interior explode rows for boundary traffic. The
+    cell-count table is bounded by the value domain (broadcastable).
+
+    Returns one row per interval that contains ≥1 point (inner-join
+    semantics): interval_keys + lo/hi + ``n_points``.
+    """
+    def to_bin(c: Column) -> Column:
+        return F.floor(c / bin_width).cast("long")
+
+    out_keys = [*interval_keys, lo_col, hi_col]
+    pts = points.select(to_bin(F.col(point_col)).alias("_bin"),
+                        F.col(point_col).alias("_v"))
+    cell_counts = pts.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+
+    iv = intervals.select(*out_keys,
+                          to_bin(F.col(lo_col)).alias("_blo"),
+                          to_bin(F.col(hi_col)).alias("_bhi"))
+
+    # Interior cells: bins strictly between the boundary bins.
+    interior = (iv.filter(F.col("_bhi") >= F.col("_blo") + 2)
+                .withColumn("_bin", F.explode(
+                    F.sequence(F.col("_blo") + 1, F.col("_bhi") - 1)))
+                .join(F.broadcast(cell_counts), "_bin")
+                .groupBy(*out_keys).agg(F.sum("_cnt").alias("n_points")))
+
+    # Boundary cells: exact predicate against the points in those cells only.
+    boundary_bins = iv.select(
+        *out_keys,
+        F.explode(F.array_distinct(F.array("_blo", "_bhi"))).alias("_bin"))
+    boundary = (pts.join(boundary_bins, "_bin")
+                .filter((F.col("_v") >= F.col(lo_col))
+                        & (F.col("_v") <= F.col(hi_col)))
+                .groupBy(*out_keys).agg(F.count(F.lit(1)).alias("n_points")))
+
+    return (interior.unionByName(boundary)
+            .groupBy(*out_keys).agg(F.sum("n_points").alias("n_points")))

