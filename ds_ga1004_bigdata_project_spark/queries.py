@@ -2458,3 +2458,86 @@ def q95_udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.tok, t.tok_len "
         "FROM _docs_for_udtf d, LATERAL long_tokens(d.text, 8) t")
+
+
+@_register(
+    "q96_session_window_batch",
+    survey="native session_window in BATCH mode (vs q24's manual lag-cumsum construction)",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def q96_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` running in BATCH mode, certified
+    against the manual lag-cumsum sessionization the oracle builds — the two
+    constructions must agree on every (user, session start, event count).
+    Native session windows need one shuffle on user_id and merge windows
+    within partitions (same cost shape as the manual form, less code, and
+    identical semantics streaming or batch)."""
+    cat = Catalog(spark, sf_dir)
+    return (cat.events
+            .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.date_format("s.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    "n_events"))
+
+
+@_register(
+    "q97_revenue_share",
+    survey="window ratio-to-report (share-of-parent via window sum; no self-join)",
+    oracle="""
+        WITH nat AS (
+          SELECT r.r_name, n.n_name,
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM region r
+          JOIN nation n   ON n.n_regionkey = r.r_regionkey
+          JOIN customer c ON c.c_nationkey = n.n_nationkey
+          JOIN orders o   ON o.o_custkey  = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, round(rev, 2) AS revenue,
+               round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share,
+               round(rev / sum(rev) OVER (), 6) AS global_share
+        FROM nat
+    """,
+)
+def q97_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's and of global
+    revenue via window sums over the AGGREGATED table (25 rows) — never a
+    self-join against re-aggregated totals, and the base agg is computed
+    once. Decimal-exact sums keep shares engine-identical."""
+    cat = Catalog(spark, sf_dir)
+    joined = (cat.lineitem.select("l_orderkey", "l_extendedprice")
+              .join(cat.orders.select("o_orderkey", "o_custkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey")))
+    nat = joined.groupBy("r_name", "n_name").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        .alias("rev"))
+    wr = Window.partitionBy("r_name")
+    wg = Window.partitionBy()
+    return nat.select(
+        "r_name", "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(wr), 6).alias("region_share"),
+        F.round(F.col("rev") / F.sum("rev").over(wg), 6).alias("global_share"))

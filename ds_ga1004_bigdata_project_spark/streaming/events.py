@@ -163,3 +163,24 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     handle = (stream_df.writeStream.format("memory").queryName(query_name)
               .outputMode(output_mode).trigger(availableNow=True).start())
     handle.awaitTermination()
+
+
+def run_foreach_batch_to_parquet(stream_df: DataFrame, out_path: str,
+                                 checkpoint_path: str) -> None:
+    """Production sink pattern: drain the stream via ``foreachBatch`` into
+    partitioned parquet, one directory per epoch.
+
+    ``foreachBatch`` hands each micro-batch to arbitrary BATCH writer code —
+    the bridge to any sink without a native streaming connector (JDBC,
+    upserts, multi-sink fan-out). Exactly-once comes from the pair
+    (checkpointed epoch id, idempotent-by-epoch write): a replayed batch
+    overwrites its own epoch directory instead of appending duplicates."""
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.withColumn("_epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/epoch={epoch_id}"))
+
+    handle = (stream_df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_path)
+              .trigger(availableNow=True).start())
+    handle.awaitTermination()

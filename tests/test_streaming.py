@@ -56,3 +56,21 @@ def test_streaming_sessionization_runs(spark, event_dir):
     rows = spark.table("sessions_test").collect()
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    import os
+
+    from ds_ga1004_bigdata_project_spark.streaming import events as SE
+
+    from .conftest import SF_SMOKE
+
+    stream = SE.read_event_stream_nanos(
+        spark, os.path.join(SF_SMOKE, "events.parquet"))
+    out = str(tmp_path / "sink")
+    SE.run_foreach_batch_to_parquet(stream, out, str(tmp_path / "ckpt"))
+    written = spark.read.parquet(out)
+    batch = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    assert written.count() == batch.count()
+    assert sorted(r["event_id"] for r in written.select("event_id").collect()) \
+        == sorted(r["event_id"] for r in batch.select("event_id").collect())
