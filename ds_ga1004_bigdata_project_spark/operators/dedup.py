@@ -321,3 +321,27 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
     return sigs.groupBy("simhash").agg(
         F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
     )
+
+
+def cross_split_ngram_overlap(docs: DataFrame, eval_sources: list[str],
+                              n: int = 5, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              source_col: str = "source") -> DataFrame:
+    """Benchmark decontamination: for every EVAL document, count its distinct
+    n-gram shingles that also occur anywhere in the TRAIN split.
+
+    The canonical pre-training hygiene op (eval sets leak into web-scale
+    corpora; n-gram overlap is the standard detector). One pass builds each
+    side's distinct shingle set; the train side collapses to DISTINCT
+    shingles only — so the join shuffles (shingle, doc) vs (shingle) pairs,
+    never documents, and the train side dedupes BEFORE the shuffle via
+    partial aggregation. Returns (doc_id, n_shared_ngrams) for eval docs with
+    ≥1 collision; downstream either drops those docs or masks the spans."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    sh = docs.select(F.col(id_col), F.col(source_col),
+                     F.explode(word_shingles(toks, n)).alias("ng"))
+    is_eval = F.col(source_col).isin(eval_sources)
+    eval_ng = sh.filter(is_eval).select(id_col, "ng").distinct()
+    train_ng = sh.filter(~is_eval).select("ng").distinct()
+    return (eval_ng.join(train_ng, "ng", "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams")))

@@ -2541,3 +2541,35 @@ def q97_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(wr), 6).alias("region_share"),
         F.round(F.col("rev") / F.sum("rev").over(wg), 6).alias("global_share"))
+
+
+@_register(
+    "q98_decontamination",
+    survey="pipeline-decontamination (train/eval 5-gram overlap detector)",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(len(t) - 4),
+                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                             || ' ' || t[i+4] || ' ' || t[i+5])) AS ng
+          FROM tok WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT doc_id, ng FROM sh
+               WHERE source IN ('src0', 'src1')),
+        tr AS (SELECT DISTINCT ng FROM sh
+               WHERE source NOT IN ('src0', 'src1'))
+        SELECT doc_id, count(*) AS n_shared_ngrams
+        FROM ev JOIN tr USING (ng)
+        GROUP BY doc_id
+    """,
+)
+def q98_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination over the corpus: treat src0/src1 as the eval
+    split and flag its documents whose 5-gram shingles collide with the train
+    split (``dedup.cross_split_ngram_overlap``). Shingles are built with the
+    zipped-shift O(len) construction; only (shingle[, doc]) pairs shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.cross_split_ngram_overlap(cat.documents, ["src0", "src1"], n=5)

@@ -70,6 +70,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     cat.events.groupBy(F.window("ts", "1 hour"), "event_type") \
         .agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n")).show(3, truncate=False)
 
+    print("== 7. learned quality gate (featurize -> LR -> corpus scores) ==")
+    from ds_ga1004_bigdata_project_spark.ml import quality as Q
+    qm = Q.train_quality_classifier(docs)
+    print(f"heldout AUC={qm.train_auc_row[0]:.4f}")
+    Q.score_corpus(qm, docs).orderBy("quality_score").show(3)
+
+    print("== 8. eval-set decontamination (5-gram overlap vs train split) ==")
+    dedup.cross_split_ngram_overlap(docs, ["src0", "src1"], n=5) \
+        .orderBy(F.desc("n_shared_ngrams")).show(3)
+
     spark.stop()
 
 
