@@ -2573,3 +2573,85 @@ def q98_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped-shift O(len) construction; only (shingle[, doc]) pairs shuffle."""
     cat = Catalog(spark, sf_dir)
     return dedup.cross_split_ngram_overlap(cat.documents, ["src0", "src1"], n=5)
+
+
+@_register(
+    "q99_data_quality_report",
+    survey="data-quality audit (row/null/orphan/duplicate-key counts in one report)",
+    oracle="""
+        SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+               (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS n_null_qty,
+               (SELECT count(*) FROM (
+                  SELECT l_orderkey, l_linenumber FROM lineitem
+                  GROUP BY 1, 2 HAVING count(*) > 1)) AS n_dup_keys
+    """,
+)
+def q99_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-ingest audit of the fact table: total rows, referential orphans
+    (lineitems without an order — anti-join), nulls in a NOT-NULL-expected
+    column, duplicate natural keys. Each check is a scan or single shuffle;
+    the one-row report crossJoins four scalar aggregates (no data movement)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    n_rows = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_orphans = (rel.anti_join(li.select("l_orderkey"),
+                               cat.orders.select(F.col("o_orderkey")
+                                                 .alias("l_orderkey")),
+                               "l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_orphans")))
+    n_null = li.agg(F.count(F.when(F.col("l_quantity").isNull(), 1))
+                    .alias("n_null_qty"))
+    n_dup = (li.groupBy("l_orderkey", "l_linenumber")
+             .agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+             .agg(F.count(F.lit(1)).alias("n_dup_keys")))
+    return n_rows.crossJoin(n_orphans).crossJoin(n_null).crossJoin(n_dup)
+
+
+@_register(
+    "q100_snapshot_diff",
+    survey="CDC snapshot diff (added/removed/changed/unchanged via keyed hash compare)",
+    oracle="""
+        WITH v2 AS (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 50 = 0
+                      THEN round(p_retailprice * 1.1, 2)
+                      ELSE p_retailprice END AS p_retailprice,
+                 p_size
+          FROM part WHERE p_partkey % 97 <> 0
+          UNION ALL
+          SELECT p_partkey + 1000000, p_retailprice, p_size
+          FROM part WHERE p_partkey % 101 = 0),
+        d AS (
+          SELECT coalesce(a.p_partkey, b.p_partkey) AS k,
+                 CASE WHEN a.p_partkey IS NULL THEN 'added'
+                      WHEN b.p_partkey IS NULL THEN 'removed'
+                      WHEN a.p_retailprice IS DISTINCT FROM b.p_retailprice
+                           OR a.p_size IS DISTINCT FROM b.p_size THEN 'changed'
+                      ELSE 'unchanged' END AS diff_status
+          FROM part a FULL OUTER JOIN v2 b ON a.p_partkey = b.p_partkey)
+        SELECT diff_status, count(*) AS n FROM d GROUP BY diff_status
+    """,
+)
+def q100_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between table versions (CDC without a changelog): v2 is
+    derived deterministically (some rows deleted, some prices bumped, some
+    added), then ``relational.snapshot_diff`` classifies every key with one
+    full-outer join over (key, row-hash) — 8-byte payloads regardless of row
+    width. The oracle recomputes the classification with column-wise
+    IS DISTINCT FROM, so hash-based and direct comparison must agree."""
+    cat = Catalog(spark, sf_dir)
+    v1 = cat.part.select("p_partkey", "p_retailprice", "p_size")
+    v2 = (v1.filter(F.col("p_partkey") % 97 != 0)
+          .select("p_partkey",
+                  F.when(F.col("p_partkey") % 50 == 0,
+                         F.round(F.col("p_retailprice") * 1.1, 2))
+                  .otherwise(F.col("p_retailprice")).alias("p_retailprice"),
+                  "p_size")
+          .unionByName(v1.filter(F.col("p_partkey") % 101 == 0)
+                       .select((F.col("p_partkey") + 1000000).alias("p_partkey"),
+                               "p_retailprice", "p_size")))
+    d = rel.snapshot_diff(v1, v2, ["p_partkey"], ["p_retailprice", "p_size"])
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))
