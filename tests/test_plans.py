@@ -111,3 +111,22 @@ def test_no_python_boundary_on_scalar_path(spark):
         plan = physical_plan(_build(spark, name))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
             f"{name} crosses into Python:\n{plan}"
+
+
+def test_range_count_broadcasts_cell_counts(spark):
+    # The aggregate-pushdown range count must broadcast the tiny cell-count
+    # table into the interior-bin join and never plan a cartesian product.
+    from ds_ga1004_bigdata_project_spark.plans.inspect import (
+        assert_broadcast_join, assert_no_cartesian)
+    df = _build(spark, "q42_range_join")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_snapshot_diff_single_join_of_hashes(spark):
+    # snapshot_diff must compare via 8-byte hashes: the full-outer join's
+    # inputs carry xxhash64 columns, not the raw payload columns.
+    plan = physical_plan(_build(spark, "q100_snapshot_diff"))
+    assert "xxhash64" in plan
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan \
+        or "FullOuter" in plan

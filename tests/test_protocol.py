@@ -117,3 +117,18 @@ def test_summary_stats_driver_boundary(spark):
     rows = summary_stats(cat.orders, ["o_totalprice"]).collect()
     stats = {r["summary"] for r in rows}
     assert {"count", "mean", "min", "max"} <= stats
+
+
+def test_snapshot_diff_null_payloads_and_statuses(spark):
+    from ds_ga1004_bigdata_project_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "CHANGED", 3.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k long, s string, v double")
+    out = {r["k"]: r["diff_status"]
+           for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 5: "added"}
