@@ -36,7 +36,12 @@ def main() -> None:
         .mode("overwrite").save()
 
     times: dict[str, float] = {}
-    for name, q in sorted(REGISTRY.items()):
+    for i, (name, q) in enumerate(sorted(REGISTRY.items())):
+        if i % 8 == 0:
+            # Heavy neighbors (ALS fits, LSH models, streaming runs) leave
+            # heap churn that bleeds GC pauses into the next queries' numbers;
+            # a periodic collection keeps per-query times attributable.
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
