@@ -74,8 +74,12 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
 
     from . import metrics as M
 
-    data = featurize(docs, text_col, id_col).join(
-        synth_labels(docs, id_col), id_col)
+    from ..operators.relational import persisted
+
+    # Persist the featurized table: LR iterates over it and the heldout AUC
+    # re-reads it — without this every pass re-tokenizes the corpus.
+    data = persisted(featurize(docs, text_col, id_col).join(
+        synth_labels(docs, id_col), id_col))
     # Content-hash split: reproducible across runs/partitionings (no RNG).
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
                     F.lit(100))
@@ -85,7 +89,7 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
     pipe = Pipeline(stages=[
         VectorAssembler(inputCols=FEATURE_COLS, outputCol="features"),
         LogisticRegression(featuresCol="features", labelCol="label",
-                           maxIter=25, regParam=0.01),
+                           maxIter=10, regParam=0.01),
     ])
     model = pipe.fit(train)
     from pyspark.ml.functions import vector_to_array
@@ -95,6 +99,7 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
         # P(class=1) from the probability vector — JVM-side, no Python rows.
         F.element_at(vector_to_array(F.col("probability")), 2).alias("score"))
     auc_row = tuple(M.auc(scored, "score", "label").first())
+    data.unpersist()
     return QualityModel(model=model, train_auc_row=auc_row)
 
 
