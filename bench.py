@@ -37,6 +37,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for i, (name, q) in enumerate(sorted(REGISTRY.items())):
+        # Operator-internal persists (dedup shingle sets, CC labels, sweep
+        # inputs) outlive their query; drop them so no query pays its
+        # neighbors' cache memory, and no query reuses a neighbor's cache.
+        spark.catalog.clearCache()
         if i % 8 == 0:
             # Heavy neighbors (ALS fits, LSH models, streaming runs) leave
             # heap churn that bleeds GC pauses into the next queries' numbers;
