@@ -17,7 +17,7 @@ is the default at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,18 +27,29 @@ def zscore_native(df: DataFrame, value_col: str, group_cols: list[str],
     Σx², so mean/variance (and therefore every z) are independent of
     partition/shuffle order — float window-stddev is not.
 
+    Shape: groupBy-aggregate the per-group moments (partial aggregation keeps
+    every core busy however few groups there are), then broadcast the tiny
+    moment table back onto the rows. The tempting alternative — ``sum OVER
+    (PARTITION BY group)`` — collapses each group into ONE window partition:
+    with 3 groups at 100 TB that is parallelism 3. Same arithmetic, fatally
+    different physical plan.
+
     Assumes ``value_col`` carries ≤2 decimal places (money/quantity columns;
     exact squares then have ≤4, within decimal(38,8))."""
-    w = Window.partitionBy(*group_cols)
     x = F.col(value_col)
     xd = x.cast("decimal(18,2)")
-    n = F.count(F.lit(1)).over(w)
-    s1 = F.sum(xd).over(w).cast("double")
-    s2 = F.sum((xd * xd).cast("decimal(38,8)")).over(w).cast("double")
-    mean = s1 / n
-    var = (s2 - s1 * s1 / n) / (n - 1)  # sample variance, exact numerator
+    moments = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xd).cast("double").alias("_s1"),
+        F.sum((xd * xd).cast("decimal(38,8)")).cast("double").alias("_s2"))
+    joined = df.join(F.broadcast(moments), group_cols)
+    mean = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) \
+        / (F.col("_n") - 1)  # sample variance, exact numerator
     z = (x - mean) / F.sqrt(var)
-    return df.withColumn(out_col, F.round(z, scale) if scale is not None else z)
+    return (joined
+            .withColumn(out_col, F.round(z, scale) if scale is not None else z)
+            .drop("_n", "_s1", "_s2"))
 
 
 def zscore_pandas(df: DataFrame, value_col: str, group_cols: list[str],
