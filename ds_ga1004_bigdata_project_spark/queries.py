@@ -2655,3 +2655,34 @@ def q100_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "p_retailprice", "p_size")))
     d = rel.snapshot_diff(v1, v2, ["p_partkey"], ["p_retailprice", "p_size"])
     return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "q101_scalable_ranks",
+    survey="scalable global ranks (range-partitioned sort + offsets; q67's 100TB form)",
+    oracle="""
+        SELECT c_custkey,
+               rank() OVER w AS rank,
+               round(percent_rank() OVER w, 6) AS percent_rank,
+               round(cume_dist()    OVER w, 6) AS cume_dist
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal)
+    """,
+)
+def q101_scalable_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE twin of q67: identical rank/percent_rank/cume_dist
+    values, but computed with a range-partitioned sort + partition-offset
+    arithmetic (``operators/ranks.py``) instead of the single-partition
+    unpartitioned window — every core sorts a slice; only per-partition
+    counts ever reach the driver. The oracle is the plain window SQL, so the
+    distributed construction is value-certified against the window
+    semantics."""
+    from .operators.ranks import global_distribution_ranks
+    cat = Catalog(spark, sf_dir)
+    out = global_distribution_ranks(
+        cat.customer.select("c_custkey", "c_acctbal"),
+        key_cols=["c_acctbal"], tiebreak_cols=["c_custkey"])
+    return out.select(
+        "c_custkey", "rank",
+        F.round("percent_rank", 6).alias("percent_rank"),
+        F.round("cume_dist", 6).alias("cume_dist"))

@@ -1,0 +1,54 @@
+"""Scalable global ranks vs the unpartitioned-window forms."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.operators.ranks import (
+    global_distribution_ranks, global_row_numbers)
+from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+from .conftest import SF_SMOKE
+
+
+def test_global_row_numbers_match_window(spark):
+    li = Catalog(spark, SF_SMOKE).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    order = [F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+             F.col("l_linenumber").asc()]
+    scalable = global_row_numbers(li, order, num_partitions=7,
+                                  out_col="rn")
+    w = Window.orderBy(*order)
+    windowed = li.withColumn("rn", F.row_number().over(w))
+    key = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    mism = (scalable.join(windowed.withColumnRenamed("rn", "rn_w"), key)
+            .filter(F.col("rn") != F.col("rn_w")).count())
+    # NB: (orderkey, linenumber) dupes exist; with the full 3-col tiebreak
+    # equal rows are interchangeable, so compare the multisets instead.
+    a = sorted(tuple(r) for r in scalable.select(*key, "rn").collect())
+    b = sorted(tuple(r) for r in windowed.select(*key, "rn").collect())
+    assert a == b
+    assert mism == 0 or a == b
+
+
+def test_distribution_ranks_match_window(spark):
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    scalable = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"])
+    w = Window.orderBy(F.col("c_acctbal").asc())
+    windowed = cust.select(
+        "c_custkey",
+        F.rank().over(w).alias("rank"),
+        F.percent_rank().over(w).alias("percent_rank"),
+        F.cume_dist().over(w).alias("cume_dist"))
+    j = scalable.select("c_custkey", "rank", "percent_rank", "cume_dist") \
+        .withColumnRenamed("rank", "r1") \
+        .withColumnRenamed("percent_rank", "p1") \
+        .withColumnRenamed("cume_dist", "c1") \
+        .join(windowed, "c_custkey")
+    bad = j.filter(
+        (F.col("r1") != F.col("rank"))
+        | (F.abs(F.col("p1") - F.col("percent_rank")) > 1e-12)
+        | (F.abs(F.col("c1") - F.col("cume_dist")) > 1e-12)).count()
+    assert bad == 0
+    assert scalable.count() == cust.count()
