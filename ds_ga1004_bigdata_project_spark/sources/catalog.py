@@ -117,3 +117,22 @@ class Catalog:
         if name in TABLES:
             return self.table(name)
         raise AttributeError(name)
+
+
+def observed_write_parquet(df: DataFrame, path: str,
+                           observation_name: str = "write_metrics") -> dict:
+    """Write parquet with inline data-quality observation: ``df.observe``
+    attaches aggregate metrics (row count, null counts) that are computed
+    DURING the write pass — no second scan — and returned to the driver.
+    The write-audit half of write-audit-publish."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(observation_name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for f in df.schema.fields:
+        metrics.append(
+            F.count(F.when(F.col(f.name).isNull(), 1))
+            .alias(f"n_null_{f.name}"))
+    df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+    return dict(obs.get)
