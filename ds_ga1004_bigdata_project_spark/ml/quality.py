@@ -78,8 +78,13 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
 
     # Persist the featurized table: LR iterates over it and the heldout AUC
     # re-reads it — without this every pass re-tokenizes the corpus.
+    # Pin partitioning AND within-partition order before the fit: LR's
+    # treeAggregate sums floats in row order, so a layout that varies with
+    # ambient AQE/cluster state would make coefficients vary at ulp level —
+    # this keeps retrains bit-identical (asserted in tests/test_quality.py).
     data = persisted(featurize(docs, text_col, id_col).join(
-        synth_labels(docs, id_col), id_col))
+        synth_labels(docs, id_col), id_col)
+        .repartition(16, id_col).sortWithinPartitions(id_col))
     # Content-hash split: reproducible across runs/partitionings (no RNG).
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
                     F.lit(100))

@@ -1542,12 +1542,19 @@ def q62_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q63_stateful_stream",
-    survey="streaming-stateful (applyInPandasWithState custom operator, rows-only)",
-    oracle=None,
+    survey="streaming-stateful (applyInPandasWithState custom operator; oracle-certified)",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total_value
+        FROM events GROUP BY user_id
+    """,
 )
 def q63_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom per-user stateful streaming operator end-to-end (final state
-    after draining the whole file = per-user totals)."""
+    """Custom per-user stateful streaming operator end-to-end: the final
+    state after draining the whole file must equal the batch per-user totals.
+    Oracle-certifiable because the state accumulates exact integer cents —
+    addition-order independent, unlike a float running sum."""
     import os
 
     from .streaming import events as SE

@@ -119,20 +119,23 @@ class Catalog:
         raise AttributeError(name)
 
 
-def observed_write_parquet(df: DataFrame, path: str,
-                           observation_name: str = "write_metrics") -> dict:
-    """Write parquet with inline data-quality observation: ``df.observe``
-    attaches aggregate metrics (row count, null counts) that are computed
-    DURING the write pass — no second scan — and returned to the driver.
-    The write-audit half of write-audit-publish."""
-    from pyspark.sql import Observation
+def audited_write_parquet(df: DataFrame, path: str) -> dict:
+    """Write parquet, then audit WHAT WAS WRITTEN: row count + per-column
+    null counts computed from the produced files, returned to the driver —
+    the write-audit half of write-audit-publish. Auditing the output (not
+    the input plan) also catches writer-side faults; the audit pass is a
+    columnar scan of exactly the audited columns, trivially parallel.
+
+    (A zero-extra-scan variant via ``df.observe`` was reverted: in Spark
+    4.1 a completed Observation leaks its non-serializable
+    ObservationManager into later unrelated ML task closures.)"""
     from pyspark.sql import functions as F
 
-    obs = Observation(observation_name)
+    df.write.mode("overwrite").parquet(path)
+    written = df.sparkSession.read.parquet(path)
     metrics = [F.count(F.lit(1)).alias("n_rows")]
-    for f in df.schema.fields:
+    for f in written.schema.fields:
         metrics.append(
             F.count(F.when(F.col(f.name).isNull(), 1))
             .alias(f"n_null_{f.name}"))
-    df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
-    return dict(obs.get)
+    return written.agg(*metrics).first().asDict()

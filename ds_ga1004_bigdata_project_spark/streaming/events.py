@@ -111,13 +111,16 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        # State in integer CENTS: exact and addition-order independent, so
+        # the final totals are oracle-comparable against a decimal SQL sum
+        # (float accumulation order varies with micro-batch arrival).
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "total_value": [round(total, 2)]})
+                            "total_value": [cents / 100.0]})
 
     return (
         events.withWatermark("ts", watermark)
@@ -125,7 +128,7 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
         .applyInPandasWithState(
             update,
             outputStructType="user_id bigint, n_events bigint, total_value double",
-            stateStructType="n bigint, total double",
+            stateStructType="n bigint, cents bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

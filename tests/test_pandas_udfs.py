@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ds_ga1004_bigdata_project_spark.operators import pandas_udfs as P
 from ds_ga1004_bigdata_project_spark.sources.catalog import (
-    Catalog, observed_write_parquet)
+    Catalog, audited_write_parquet)
 
 from .conftest import SF_SMOKE
 
@@ -34,9 +34,9 @@ def test_grouped_agg_pandas_udf_matches_pandas(spark):
         assert out[flag] == pytest.approx(expect, rel=1e-12)
 
 
-def test_observed_write_returns_metrics_without_second_scan(spark, tmp_path):
+def test_audited_write_returns_metrics(spark, tmp_path):
     nation = Catalog(spark, SF_SMOKE).nation
-    m = observed_write_parquet(nation, str(tmp_path / "obs_out"))
+    m = audited_write_parquet(nation, str(tmp_path / "obs_out"))
     assert m["n_rows"] == nation.count()
     assert m["n_null_n_name"] == 0
     assert spark.read.parquet(str(tmp_path / "obs_out")).count() == m["n_rows"]
