@@ -533,7 +533,8 @@ def q23_token_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_session
           FROM events)
-        SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM g GROUP BY user_id
     """,
 )
@@ -862,7 +863,8 @@ def q45_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="net-new semi-structured surface (JSON path extraction from props)",
     oracle="""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
                  AS n_distinct_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
@@ -886,11 +888,11 @@ def q46_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="net-new pivot (wide conditional aggregation)",
     oracle="""
         SELECT c_nationkey,
-               sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS automobile,
-               sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS building,
-               sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS furniture,
-               sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS household,
-               sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS machinery
+               CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+               CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS building,
+               CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+               CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS household,
+               CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS machinery
         FROM customer GROUP BY c_nationkey
     """,
 )
@@ -1355,7 +1357,14 @@ def q53_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (inter.select("user_id").distinct()
              .orderBy("user_id").limit(20))
     recs = A.recommend_topk(model, users, k=5)
-    return recs.select("user", F.col("pred_items").cast("array<int>").alias("pred_items"))
+    # Flatten the ranked list to CSV text: the harness canonicalizer sorts
+    # result rows with pandas, which cannot factorize array cells (round-1
+    # q53 crashed the WHOLE driver run on `unhashable type: 'list'`,
+    # blocking q54+). Same surface trick as q25's nested output.
+    return recs.select(
+        "user",
+        F.concat_ws(",", F.col("pred_items").cast("array<string>")).alias("pred_items"),
+    )
 
 
 @_register(
