@@ -14,12 +14,24 @@ percent_rank / cume_dist with full parallelism:
    metadata collect: #partitions rows, never data rows);
 3. ``row_number = partition_offset + local row_number``;
 4. tie-aware rank/percent_rank/cume_dist from a per-key min/max of the row
-   numbers (one extra aggregation over distinct keys, broadcast back).
+   numbers — a hash-partitioned self-join on the key columns. The per-key
+   side has one row per DISTINCT key, which can be O(N) for near-unique
+   keys (q101 ranks ``c_acctbal``), so it is NEVER broadcast: Catalyst/AQE
+   may still pick a broadcast when statistics show the key side is small,
+   but the plan must not force one.
 
 The caller must supply a TOTAL order (include a tiebreak column) — that is
 what makes the result deterministic and the twin of the window form; the
 equality is pinned in tests/test_ranks.py and oracle-certified by
 q101_scalable_ranks.
+
+Cache ownership: the range-sorted table is persisted inside (the partition
+boundaries come from a runtime sample, so the counts job and every numbering
+branch MUST see the same physical partitioning — recomputation could sample
+different boundaries). The persisted block lives until the session clears it;
+callers that sweep many queries should ``spark.catalog.clearCache()`` between
+them (the bench does), or pass ``caches`` to collect handles and unpersist
+after their consuming action.
 """
 
 from __future__ import annotations
@@ -28,11 +40,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_row_numbers(df: DataFrame, order_cols: list[Column],
-                       num_partitions: int | None = None,
-                       out_col: str = "_global_rn") -> DataFrame:
-    """Attach a 1-based global row number along a total order, with a
-    range-partitioned sort instead of a single window partition."""
+def _range_numbered(df: DataFrame, order_cols: list[Column],
+                    num_partitions: int | None, out_col: str,
+                    caches: list[DataFrame] | None):
+    """Shared core: returns (numbered_df, total_rows). One metadata-sized
+    collect (a (pid, count) row per partition); total comes from the same
+    counts, so no extra pass over the data is ever needed for it."""
     from .relational import persisted
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -43,6 +56,8 @@ def global_row_numbers(df: DataFrame, order_cols: list[Column],
         df.repartitionByRange(parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id()))
+    if caches is not None:
+        caches.append(sorted_df)
     # Metadata-sized collect: one (pid, count) row per partition.
     counts = {r["_pid"]: r["c"] for r in
               sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
@@ -55,30 +70,51 @@ def global_row_numbers(df: DataFrame, order_cols: list[Column],
         F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
         F.col("_pid"))
     local = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (sorted_df
-            .withColumn(out_col, offset_expr + F.row_number().over(local))
-            .drop("_pid"))
+    numbered = (sorted_df
+                .withColumn(out_col, offset_expr + F.row_number().over(local))
+                .drop("_pid"))
+    return numbered, acc
+
+
+def global_row_numbers(df: DataFrame, order_cols: list[Column],
+                       num_partitions: int | None = None,
+                       out_col: str = "_global_rn",
+                       caches: list[DataFrame] | None = None) -> DataFrame:
+    """Attach a 1-based global row number along a total order, with a
+    range-partitioned sort instead of a single window partition.
+
+    ``caches``: optional list that receives the internally persisted
+    DataFrame(s) so the caller can unpersist after its consuming action."""
+    numbered, _ = _range_numbered(df, order_cols, num_partitions, out_col, caches)
+    return numbered
 
 
 def global_distribution_ranks(df: DataFrame, key_cols: list[str],
                               tiebreak_cols: list[str],
-                              ascending: bool = True) -> DataFrame:
+                              ascending: bool = True,
+                              caches: list[DataFrame] | None = None) -> DataFrame:
     """row_number / rank / percent_rank / cume_dist over (key_cols ASC,
     tiebreak_cols) — semantics identical to the unpartitioned-window forms
     ordered by ``key_cols`` (ties = equal key_cols values), physical plan a
-    distributed sort + two tiny aggregations."""
-    from .relational import persisted
+    distributed sort + one per-key aggregation + one hash join.
 
+    The per-key (min, max) row-number table is joined back WITHOUT a
+    broadcast hint: with near-unique keys it is the size of the input, and
+    forcing a broadcast would ship O(N) rows to every executor. The join is
+    hash-partitionable on ``key_cols``; AQE may still elect a broadcast at
+    runtime when the key side is genuinely small."""
     order = [(F.col(c).asc() if ascending else F.col(c).desc())
              for c in key_cols] + [F.col(c).asc() for c in tiebreak_cols]
-    # Persist: the numbered table feeds the total, the per-key agg, and the
-    # final join — without this the distributed sort runs three times.
-    rn = persisted(global_row_numbers(df, order, out_col="row_number"))
-    total = rn.agg(F.max("row_number")).first()[0]
+    # total comes from the partition-count metadata — no extra action. The
+    # numbered projection is NOT persisted: both consumers (the per-key agg
+    # and the final join) recompute it from the persisted range-sorted table,
+    # whose fixed partitioning keeps the row numbers identical across
+    # branches.
+    rn, total = _range_numbered(df, order, None, "row_number", caches)
     per_key = rn.groupBy(*key_cols).agg(
         F.min("row_number").alias("_rank"),
         F.max("row_number").alias("_maxrn"))
-    out = rn.join(F.broadcast(per_key), key_cols)
+    out = rn.join(per_key, key_cols)
     return (out
             .withColumn("rank", F.col("_rank"))
             .withColumn("percent_rank",

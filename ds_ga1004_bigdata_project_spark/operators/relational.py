@@ -184,10 +184,17 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     wide rows cost one 8-byte comparison after the join; at scale this is a
     single co-partitioned shuffle of (key, hash) — never the full row twice.
     Null-safe: a null key column never matches (standard join semantics);
-    null payloads hash deterministically."""
+    null payloads hash position-significantly — Spark's hash expressions
+    SKIP null inputs, so a bare ``xxhash64(*cols)`` would hash
+    ``(s='b', v=NULL)`` and ``(s=NULL, v='b')`` identically and miss the
+    change. Each column therefore contributes an ``isnull`` flag alongside
+    its value, making the null pattern part of the hashed sequence."""
     def hashed(df: DataFrame, tag: str) -> DataFrame:
+        null_tagged = [part
+                       for c in compare_cols
+                       for part in (F.isnull(F.col(c)).cast("int"), F.col(c))]
         return df.select(
-            *keys, F.xxhash64(*compare_cols).alias(f"_h_{tag}"),
+            *keys, F.xxhash64(*null_tagged).alias(f"_h_{tag}"),
             F.lit(1).alias(f"_present_{tag}"))
 
     j = hashed(old, "old").join(hashed(new, "new"), keys, "full_outer")

@@ -1892,8 +1892,8 @@ def q75_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="net-new date/time arithmetic (SURVEY §2.8 note: net-new surface over events/orders ts)",
     oracle="""
         SELECT o_orderkey,
-               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
-               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS review_date,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS review_date,
                date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
                CAST(extract(year FROM o_orderdate) AS INT) AS yr,
                CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
@@ -1903,13 +1903,16 @@ def q75_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q76_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic + calendar extraction — interval add, month add with
-    end-of-month clamping, day diff against a fixed cutoff."""
+    end-of-month clamping, day diff against a fixed cutoff. Date outputs are
+    ISO strings: a DATE column reaches pandas as `object` from Spark but
+    `datetime64` from DuckDB, so the harness dtype-kind check would miscompare
+    the same values."""
     cat = Catalog(spark, sf_dir)
     d = F.col("o_orderdate").cast("date")
     return cat.orders.select(
         "o_orderkey",
-        F.date_add(d, 30).alias("due_date"),
-        F.add_months(d, 3).alias("review_date"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("review_date"),
         F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_cutoff"),
         F.year(d).alias("yr"), F.quarter(d).alias("qtr"), F.month(d).alias("mon"))
 
@@ -2702,3 +2705,50 @@ def q101_scalable_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "rank",
         F.round("percent_rank", 6).alias("percent_rank"),
         F.round("cume_dist", 6).alias("cume_dist"))
+
+
+# =====================================================================
+# Driver correctness-window ordering
+# =====================================================================
+# The driver certifies the FIRST 50 entries of ``queries()`` in dict
+# (registration) order. Rounds 1-2 certified the original first 50 —
+# the keys of CORRECTNESS_r02.json, frozen below. Round 3 rotates the
+# 49 never-checked queries to the front of the dict (plus q01 as a
+# cross-round sanity anchor in slot 50) so that r02 + r03 together give
+# every registered query a driver CORRECTNESS row. Relative order
+# within each group is preserved; nothing else about the registry
+# changes — ``queries()``/``oracle_sql()`` still expose all entries.
+
+_R02_CERTIFIED: tuple[str, ...] = (
+    "q01_top_parts", "q02_pricing_summary", "q03_scan_filter_project",
+    "q04_semi_join", "q05_anti_join", "q06_join_chain_revenue",
+    "q07_full_outer_counts", "q08_distinct_flags", "q09_count_distinct",
+    "q10_sorted_collect_list", "q11_argmax_per_order",
+    "q12_quantity_histogram", "q13_rank_suppliers", "q14_topk_per_brand",
+    "q15_global_topn_orders", "q16_union_distinct_keys", "q17_except_keys",
+    "q18_intersect_keys", "q19_scalar_string_funcs", "q20_null_sentinel",
+    "q21_daily_rollup", "q22_hourly_window", "q23_token_explode_count",
+    "q24_sessionize", "q25_nested_projection", "q26_map_aggregation",
+    "q27_rmse_native", "q28_running_total", "q29_lag_lead_delta",
+    "q42_range_join", "q49_asof_join", "q43_grouping_sets",
+    "q44_having_filter", "q45_conditional_share", "q46_json_extract",
+    "q47_pivot", "q30_dedup_exact", "q31_dedup_fingerprint",
+    "q32_ngram_jaccard_topk", "q33_lang_id", "q34_text_quality",
+    "q35_token_stats", "q37_topn_other", "q40_ann_cosine_topk",
+    "q41_cosine_neardup_pairs", "q48_merge_upsert", "q50_string_index_sql",
+    "q51_interactions_table", "q52_ranking_metrics", "q53_als_recommend",
+)
+
+
+def _reorder_for_round3() -> None:
+    global REGISTRY
+    certified = set(_R02_CERTIFIED)
+    unchecked = [n for n in REGISTRY if n not in certified]
+    window = unchecked + ["q01_top_parts"]
+    tail = [n for n in _R02_CERTIFIED if n not in window]
+    ordered = window + tail
+    assert sorted(ordered) == sorted(REGISTRY), "registry reorder lost entries"
+    REGISTRY = {n: REGISTRY[n] for n in ordered}
+
+
+_reorder_for_round3()

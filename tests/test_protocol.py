@@ -132,3 +132,20 @@ def test_snapshot_diff_null_payloads_and_statuses(spark):
            for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed",
                    4: "unchanged", 5: "added"}
+
+
+def test_snapshot_diff_null_shift_detected(spark):
+    # Regression: Spark hash expressions SKIP null inputs, so a bare
+    # xxhash64(s, v) hashes (s='b', v=NULL) and (s=NULL, v='b') identically —
+    # a value moving across a null column must still classify as 'changed'.
+    from ds_ga1004_bigdata_project_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "b", None), (2, None, "b"), (3, "1", None)],
+        "k long, s string, v string")
+    new = spark.createDataFrame(
+        [(1, None, "b"), (2, "b", None), (3, None, "1")],
+        "k long, s string, v string")
+    out = {r["k"]: r["diff_status"]
+           for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert out == {1: "changed", 2: "changed", 3: "changed"}

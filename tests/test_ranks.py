@@ -52,3 +52,30 @@ def test_distribution_ranks_match_window(spark):
         | (F.abs(F.col("c1") - F.col("cume_dist")) > 1e-12)).count()
     assert bad == 0
     assert scalable.count() == cust.count()
+
+
+def test_distribution_ranks_no_forced_broadcast(spark):
+    # The per-key (min,max) table has one row per DISTINCT key — O(N) for
+    # near-unique keys — so the plan must not FORCE a broadcast of it. The
+    # logical plan is hint-free (AQE may still pick a small-table broadcast
+    # at runtime from real statistics; that is fine and size-gated).
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    out = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"])
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+
+
+def test_ranks_caches_are_released(spark):
+    # Cache-ownership contract: persisted internals are handed to the caller
+    # via `caches`, and unpersisting them empties the storage layer.
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    caches: list = []
+    out = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"],
+                                    caches=caches)
+    out.count()
+    assert caches, "internal persist not surfaced to the caller"
+    for c in caches:
+        assert c.storageLevel.useMemory or c.storageLevel.useDisk
+        c.unpersist(blocking=True)
+    for c in caches:
+        assert not (c.storageLevel.useMemory or c.storageLevel.useDisk)
