@@ -112,24 +112,51 @@ def auc(df: DataFrame, score_col: str, label_col: str,
         AUC = (Σ_{positives} avgrank(score) − P(P+1)/2) / (P·N)
 
     with average ranks for score ties (avgrank = rank + (ties−1)/2, ascending
-    scores), which is exactly the trapezoidal ROC AUC. One global sort-rank +
-    one reduction — no per-threshold sweep, no driver-side collect; at scale
-    the sort is a range-partitioned shuffle of (score, label) pairs only.
+    scores), which is exactly the trapezoidal ROC AUC.
 
-    ``label_col`` must be 0/1. Returns one row (auc, n_pos, n_neg).
+    Physical plan: a RANGE-PARTITIONED global sort-rank
+    (``operators.ranks.global_row_numbers`` — every task ranks a slice, only
+    per-partition counts reach the driver), then one per-score aggregation.
+    No unpartitioned window: ``Window.orderBy(score)`` would funnel every row
+    into a single task — the exact trap ``operators/ranks.py`` exists to
+    avoid. Equal scores land in one range partition, so their row numbers are
+    consecutive and ``avgrank = (min_rn + max_rn) / 2`` is exact.
+
+    The metric is a single scalar, so it is computed EAGERLY — that lets the
+    internal range-sort cache be released deterministically before returning
+    (no lingering storage blocks; see VERDICT r2 persist-leak audit).
+
+    ``label_col`` must be 0/1. Returns one row (auc, n_pos, n_neg). A
+    degenerate split (no positives or no negatives) has no defined ROC —
+    ``auc`` is NULL in that case, never a crash.
     """
-    w = Window.orderBy(F.col(score_col).asc())
-    ranked = df.select(
-        F.col(label_col).cast("long").alias("y"),
-        (F.rank().over(w)
-         + (F.count(F.lit(1)).over(Window.partitionBy(score_col)) - 1) / 2.0)
-        .alias("avgrank"))
-    out = ranked.agg(
-        ((F.sum(F.when(F.col("y") == 1, F.col("avgrank")).otherwise(0.0))
-          - F.sum("y") * (F.sum("y") + 1) / 2.0)
-         / (F.sum("y") * (F.count(F.lit(1)) - F.sum("y")))).alias("auc"),
-        F.sum("y").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"))
+    from ..operators.ranks import global_row_numbers
+
+    caches: list[DataFrame] = []
+    slim = df.select(F.col(score_col).alias("s"),
+                     F.col(label_col).cast("long").alias("y"))
+    rn = global_row_numbers(slim, [F.col("s").asc()], out_col="_rn",
+                            caches=caches)
+    per_score = rn.groupBy("s").agg(
+        ((F.min("_rn") + F.max("_rn")) / 2.0).alias("avgrank"),
+        F.sum("y").alias("pos_cnt"),
+        F.count(F.lit(1)).alias("cnt"))
+    row = per_score.agg(
+        F.sum(F.col("pos_cnt") * F.col("avgrank")).alias("pos_rank_sum"),
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum("cnt").alias("n_total")).first()
+    for c in caches:
+        c.unpersist()
+
+    n_pos = int(row["n_pos"] or 0)
+    n_neg = int(row["n_total"] or 0) - n_pos
+    if n_pos > 0 and n_neg > 0:
+        auc_val = (row["pos_rank_sum"] - n_pos * (n_pos + 1) / 2.0) \
+            / (n_pos * n_neg)
+    else:
+        auc_val = None
+    out = df.sparkSession.createDataFrame(
+        [(auc_val, n_pos, n_neg)], "auc double, n_pos bigint, n_neg bigint")
     if round_scale is not None:
         out = out.select(F.round("auc", round_scale).alias("auc"),
                          "n_pos", "n_neg")

@@ -65,9 +65,15 @@ class QualityModel:
 def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
                              heldout_fraction: float = 0.25,
                              id_col: str = "doc_id",
-                             text_col: str = "text") -> QualityModel:
+                             text_col: str = "text",
+                             features: DataFrame | None = None) -> QualityModel:
     """Train the LR quality model on a content-hash split and evaluate on the
-    heldout part with the native AUC aggregate."""
+    heldout part with the native AUC aggregate.
+
+    ``features``: optionally a precomputed (ideally persisted)
+    :func:`featurize` output — callers that also score the corpus should
+    featurize ONCE and pass it to both this and :func:`score_corpus`, so the
+    tokenization pass over the corpus runs once, not twice."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
@@ -76,13 +82,14 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
 
     from ..operators.relational import persisted
 
+    feats = features if features is not None else featurize(docs, text_col, id_col)
     # Persist the featurized table: LR iterates over it and the heldout AUC
     # re-reads it — without this every pass re-tokenizes the corpus.
     # Pin partitioning AND within-partition order before the fit: LR's
     # treeAggregate sums floats in row order, so a layout that varies with
     # ambient AQE/cluster state would make coefficients vary at ulp level —
     # this keeps retrains bit-identical (asserted in tests/test_quality.py).
-    data = persisted(featurize(docs, text_col, id_col).join(
+    data = persisted(feats.join(
         synth_labels(docs, id_col), id_col)
         .repartition(16, id_col).sortWithinPartitions(id_col))
     # Content-hash split: reproducible across runs/partitionings (no RNG).
@@ -109,10 +116,14 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
 
 
 def score_corpus(qm: QualityModel, docs: DataFrame,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 features: DataFrame | None = None) -> DataFrame:
     """Score every document: returns (doc_id, quality_score) — the corpus-
-    wide filter column for the funnel's learned gate."""
-    feats = featurize(docs, text_col, id_col)
+    wide filter column for the funnel's learned gate.
+
+    Pass the same persisted ``features`` used for training to avoid a second
+    tokenization pass over the corpus (VERDICT r2 #6)."""
+    feats = features if features is not None else featurize(docs, text_col, id_col)
     from pyspark.ml.functions import vector_to_array
 
     return qm.model.transform(feats).select(

@@ -224,11 +224,17 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
     """Turn near-duplicate PAIRS into a per-document keep decision via
     min-label propagation (connected-components-lite).
 
-    Each doc starts labeled with its own id; every iteration each doc takes
-    the min label among itself and its neighbors. Converges in O(diameter)
-    iterations — near-dup clusters are small and dense, so ``max_iters=8``
-    covers chains of length 8+ (typical clusters converge in 2-3). Stops
-    early when an iteration changes nothing.
+    Converges in O(diameter) propagation steps — near-dup clusters are small
+    and dense, so ``max_iters=8`` covers chains of length 8+ (typical
+    clusters converge in 1-2). Driver-side job count is minimized two ways
+    (VERDICT r2 #7 — q64 was dominated by fixed per-job overhead):
+
+    - the FIRST propagation is folded into initialization: labels seed with
+      ``min(id, min(neighbor))`` directly from the edge list, so star-shaped
+      clusters (the common case) are already converged before the loop;
+    - propagation runs in batches of two lazy steps per convergence check —
+      labels only decrease, so "no change across a batch" still detects
+      convergence exactly, with half the count() actions.
 
     Input: ``ids`` (col ``id``), ``pairs`` (cols ``a``,``b``). Output:
     (id, keep_id, is_kept) — one row per doc, survivor = min id per cluster.
@@ -244,25 +250,37 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
              .persist(StorageLevel.MEMORY_AND_DISK))
     edges.count()
 
-    labels = ids.select(F.col("id"), F.col("id").alias("keep_id")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    def propagate(lbl: DataFrame) -> DataFrame:
+        neighbor_min = (edges.join(lbl, edges.dst == lbl.id)
+                        .groupBy("src").agg(F.min("keep_id").alias("nbr_min")))
+        return (lbl.join(neighbor_min, lbl.id == neighbor_min.src, "left")
+                .select(F.col("id"),
+                        F.least(F.col("keep_id"),
+                                F.coalesce(F.col("nbr_min"), F.col("keep_id")))
+                        .alias("keep_id")))
+
+    # Seeded initialization == identity labels + one propagation, in one job.
+    seed_min = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    labels = (ids.join(seed_min, ids.id == seed_min.src, "left")
+              .select(F.col("id"),
+                      F.least(F.col("id"),
+                              F.coalesce(F.col("nbr_min"), F.col("id")))
+                      .alias("keep_id"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    steps_done = 1
     try:
-        for _ in range(max_iters):
-            neighbor_min = (edges.join(labels, edges.dst == labels.id)
-                            .groupBy("src").agg(F.min("keep_id").alias("nbr_min")))
-            updated = (labels.join(neighbor_min,
-                                   labels.id == neighbor_min.src, "left")
-                       .select(F.col("id"),
-                               F.least(F.col("keep_id"),
-                                       F.coalesce(F.col("nbr_min"),
-                                                  F.col("keep_id")))
-                               .alias("keep_id"))
-                       .persist(StorageLevel.MEMORY_AND_DISK))
+        while steps_done < max_iters:
+            batch = min(2, max_iters - steps_done)
+            updated = labels
+            for _ in range(batch):
+                updated = propagate(updated)
+            updated = updated.persist(StorageLevel.MEMORY_AND_DISK)
             changed = (updated.alias("u")
                        .join(labels.alias("l"), "id")
                        .filter(F.col("u.keep_id") != F.col("l.keep_id")).count())
             labels.unpersist()
             labels = updated
+            steps_done += batch
             if changed == 0:
                 break
         return labels.withColumn("is_kept", F.col("id") == F.col("keep_id"))

@@ -1169,11 +1169,13 @@ def q40_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BLAS tier of embedding near-dup (broadcast matrix + per-partition
-    matmul); the pure-expression tier (``sim.cosine_neardup_pairs``) computes
-    the same thing JVM-side and stays available as the no-collect fallback."""
+    """Blocked all-pairs tier of embedding near-dup: exact numpy matmul per
+    block pair, fully distributed — NO driver-side collect in the lineage
+    (the r2-flagged ``cosine_neardup_pairs_blas`` broadcast-matrix variant
+    stays in the library for candidate verification; the pure-expression
+    tier ``sim.cosine_neardup_pairs`` remains the JVM-only fallback)."""
     cat = Catalog(spark, sf_dir)
-    return sim.cosine_neardup_pairs_blas(cat.embeddings, threshold=0.3)
+    return sim.cosine_neardup_pairs_blocked(cat.embeddings, threshold=0.3)
 
 
 # =====================================================================
@@ -2411,16 +2413,28 @@ def q93_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned quality gate end-to-end: native featurization, content-hash
     split, seeded LR fit, corpus-wide scoring — summarized per language with
     the heldout AUC attached to every row (train determinism is pinned in
-    tests/test_quality.py)."""
+    tests/test_quality.py).
+
+    The corpus is featurized ONCE (persisted) and shared by the fit and the
+    scoring pass; the tiny per-language summary is materialized eagerly so
+    the cache can be released before returning (metadata-sized collect —
+    one row per language)."""
     from .ml import quality as Q
     cat = Catalog(spark, sf_dir)
-    qm = Q.train_quality_classifier(cat.documents)
-    scored = Q.score_corpus(qm, cat.documents).join(
-        cat.documents.select("doc_id", "lang"), "doc_id")
-    return (scored.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"))
-        .withColumn("heldout_auc", F.lit(float(qm.train_auc_row[0]))))
+    feats = rel.persisted(Q.featurize(cat.documents))
+    try:
+        qm = Q.train_quality_classifier(cat.documents, features=feats)
+        scored = Q.score_corpus(qm, cat.documents, features=feats).join(
+            cat.documents.select("doc_id", "lang"), "doc_id")
+        auc_val = qm.train_auc_row[0]  # None on a degenerate heldout split
+        out = (scored.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"))
+            .withColumn("heldout_auc", F.lit(auc_val).cast("double")))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        feats.unpersist()
 
 
 @_register(

@@ -45,6 +45,36 @@ def test_auc_partition_order_invariant(spark):
     assert a == b
 
 
+def test_auc_degenerate_single_class_is_null(spark):
+    # All-positive / all-negative splits have no defined ROC: auc must come
+    # back NULL (not crash, not divide by zero).
+    r = _auc_of(spark, [(0.1, 1), (0.2, 1), (0.3, 1)])
+    assert r["auc"] is None and r["n_pos"] == 3 and r["n_neg"] == 0
+    r = _auc_of(spark, [(0.1, 0), (0.2, 0)])
+    assert r["auc"] is None and r["n_pos"] == 0 and r["n_neg"] == 2
+
+
+def test_auc_plan_has_no_unpartitioned_window(spark):
+    # The AUC rank must be the range-partitioned construction, never
+    # Window.orderBy with no partitioning (single-task sort at any scale).
+    rows = [(float(i % 11), i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    captured = {}
+    import ds_ga1004_bigdata_project_spark.operators.ranks as R
+    orig = R.global_row_numbers
+
+    def spy(*a, **k):
+        captured["called"] = True
+        return orig(*a, **k)
+
+    R.global_row_numbers = spy
+    try:
+        M.auc(df, "score", "y").first()
+    finally:
+        R.global_row_numbers = orig
+    assert captured.get("called"), "auc no longer uses the scalable rank path"
+
+
 def test_quality_classifier_learns_and_is_deterministic(spark):
     docs = Catalog(spark, SF_SMOKE).documents
     qm1 = Q.train_quality_classifier(docs)
@@ -59,3 +89,20 @@ def test_quality_classifier_learns_and_is_deterministic(spark):
     stats = scored.agg({"quality_score": "min"}).first()[0]
     assert 0.0 <= stats <= 1.0
     assert scored.count() == docs.count()
+
+
+def test_quality_classifier_shared_features_identical(spark):
+    # Featurize-once path (train + score share one persisted table) must be
+    # numerically identical to the featurize-twice path.
+    docs = Catalog(spark, SF_SMOKE).documents
+    qm_twice = Q.train_quality_classifier(docs)
+    feats = Q.featurize(docs).persist()
+    try:
+        qm_once = Q.train_quality_classifier(docs, features=feats)
+        assert qm_once.train_auc_row == qm_twice.train_auc_row
+        a = {tuple(r) for r in Q.score_corpus(qm_once, docs,
+                                              features=feats).collect()}
+        b = {tuple(r) for r in Q.score_corpus(qm_twice, docs).collect()}
+        assert a == b
+    finally:
+        feats.unpersist()
