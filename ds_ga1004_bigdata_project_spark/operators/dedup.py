@@ -154,7 +154,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 5,
                          bands: int = 3, rows_per_band: int = 3,
-                         min_jaccard: float = 0.0, seed: int = 42) -> DataFrame:
+                         min_jaccard: float = 0.0, seed: int = 42,
+                         caches: list[DataFrame] | None = None) -> DataFrame:
     """Native MinHash + LSH banding in pure DataFrame ops (no ml, no UDF).
 
     Classic construction: k = bands·rows_per_band minhashes per doc
@@ -167,7 +168,12 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
     document length); the candidate join shuffles (band_idx, band_hash, id) —
     24-byte rows; only verified candidate pairs ever touch shingle arrays
     again. This is the 100 TB dedup tier: cost is O(docs·k + candidate_pairs),
-    never O(n²)."""
+    never O(n²).
+
+    Cache ownership: the shingle projection is persisted (it feeds the
+    signature build AND both verify-join sides). Pass ``caches`` to receive
+    the handle and unpersist once the pair output has been materialized
+    downstream; otherwise the block lives until the session clears it."""
     from pyspark import StorageLevel
 
     k = bands * rows_per_band
@@ -176,6 +182,8 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens, n)).alias("shingles"),
     ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(shingled)
 
     def _minhash(i: int):
         return F.array_min(
@@ -288,12 +296,23 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
         edges.unpersist()
 
 
-def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 upstream_caches: list[DataFrame] | None = None) -> DataFrame:
     """End-to-end near-dup removal: given candidate pairs from ANY tier
     (jaccard/minhash/simhash/embedding), keep one survivor per duplicate
-    cluster and return the cleaned corpus."""
+    cluster and return the cleaned corpus.
+
+    ``upstream_caches``: persisted handles from the pair-finding tier (e.g.
+    :func:`minhash_banded_pairs`' shingle cache). They are released HERE,
+    right after :func:`resolve_keep_list` eagerly materializes the edge
+    list — the earliest point they are no longer needed. The label table
+    itself stays persisted (the returned plan reads it); eviction is safe
+    (pure joins/aggs recompute deterministically)."""
     ids = df.select(F.col(id_col).alias("id"))
     keep = resolve_keep_list(ids, pairs).filter("is_kept").select("id")
+    if upstream_caches:
+        for c in upstream_caches:
+            c.unpersist()
     return df.join(keep, df[id_col] == keep.id, "left_semi")
 
 

@@ -1363,9 +1363,15 @@ def q53_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result rows with pandas, which cannot factorize array cells (round-1
     # q53 crashed the WHOLE driver run on `unhashable type: 'list'`,
     # blocking q54+). Same surface trick as q25's nested output.
+    # concat_ws silently DROPS null elements, which would make a null item id
+    # indistinguishable from a shorter list — coalesce each element to a
+    # sentinel first so list length stays observable (ALS items are non-null
+    # today; this pins the shape).
     return recs.select(
         "user",
-        F.concat_ws(",", F.col("pred_items").cast("array<string>")).alias("pred_items"),
+        F.concat_ws(",", F.transform(
+            F.col("pred_items").cast("array<string>"),
+            lambda x: F.coalesce(x, F.lit("∅")))).alias("pred_items"),
     )
 
 
@@ -1490,9 +1496,11 @@ def q64_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.8) → min-label connected components → one survivor per
     cluster → cleaned corpus summary per language."""
     cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
     pairs = dedup.minhash_banded_pairs(cat.documents, n=5, bands=3,
-                                       rows_per_band=3, min_jaccard=0.8)
-    cleaned = dedup.dedup_corpus(cat.documents, pairs)
+                                       rows_per_band=3, min_jaccard=0.8,
+                                       caches=caches)
+    cleaned = dedup.dedup_corpus(cat.documents, pairs, upstream_caches=caches)
     return cleaned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -2322,19 +2330,27 @@ def q90_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = cat.documents.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # tf feeds three branches (df, total, scored) — persist, then release
+    # after the bounded result (top-3 terms for doc_id<100: ≤300 rows) is
+    # materialized, so no storage block outlives the query.
     tf = rel.persisted(tf)
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
-    total = tf.select(F.countDistinct("doc_id").alias("total"))
-    scored = (tf.join(df_, "tok").crossJoin(F.broadcast(total))
-              .select("doc_id", "tok",
-                      F.round(F.col("c") * (F.log((F.col("total") + 1)
-                              / (F.col("n_docs") + 1).cast("double")) + 1), 6)
-                       .alias("tfidf")))
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
-                                             F.col("tok").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
-            .drop("rn"))
+    try:
+        df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+        total = tf.select(F.countDistinct("doc_id").alias("total"))
+        scored = (tf.join(df_, "tok").crossJoin(F.broadcast(total))
+                  .select("doc_id", "tok",
+                          F.round(F.col("c") * (F.log((F.col("total") + 1)
+                                  / (F.col("n_docs") + 1).cast("double")) + 1), 6)
+                           .alias("tfidf")))
+        w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                                 F.col("tok").asc())
+        out = (scored.withColumn("rn", F.row_number().over(w))
+               .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+               .drop("rn"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        tf.unpersist()
 
 
 @_register(

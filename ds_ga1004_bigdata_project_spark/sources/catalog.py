@@ -94,6 +94,44 @@ def read_jsonl(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              driver: str | None = None,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int | None = None,
+              **options: str) -> DataFrame:
+    """JDBC source (S4 literal form) — the reference read its SQLite side
+    tables ``track_metadata.db`` / ``lastfm_tags.db`` with pandas +
+    ``sqlite3`` (``Exploration-EDA.ipynb#cell24,#cell26``); the engine's
+    default mapping is parquet-backed temp views (:func:`register_views`),
+    but a user migrating an existing SQLite/Postgres side table hits this
+    path first.
+
+    ``table`` may be a table name or a pushed-down subquery alias
+    (``"(SELECT ...) t"``). For anything bigger than a dimension table,
+    supply ``partition_column``/bounds/``num_partitions`` — without them the
+    whole table arrives through ONE connection on one task; with them Spark
+    issues ``num_partitions`` bounded range queries in parallel (the JDBC
+    analog of a partitioned scan). Predicate pushdown applies to filters on
+    the resulting DataFrame.
+
+    Requires the matching JDBC driver jar on the Spark classpath (e.g.
+    ``org.xerial:sqlite-jdbc``); the test suite skip-gates on its absence."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table))
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions or 8)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — the interchange format most training-data tooling
     consumes. One file per partition; compression via spark.conf if needed."""

@@ -65,3 +65,28 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
                         schema="n_nationkey int, n_name string, n_regionkey int")
     assert sorted(tuple(r) for r in back.collect()) == \
         sorted(tuple(r) for r in cat.nation.collect())
+
+
+def test_read_jdbc_sqlite_skip_gated(spark, tmp_path):
+    # S4 literal parity: the reference read SQLite side tables; the engine's
+    # default mapping is parquet temp views, but read_jdbc covers a user
+    # migrating a real SQLite/Postgres dimension. Skip when no sqlite JDBC
+    # driver jar is on the Spark classpath (this container ships none).
+    import sqlite3
+
+    import pytest
+
+    db = tmp_path / "side.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE tags (tag_id INTEGER, tag TEXT)")
+    con.executemany("INSERT INTO tags VALUES (?, ?)",
+                    [(1, "rock"), (2, "jazz"), (3, "pop")])
+    con.commit()
+    con.close()
+    try:
+        rows = C.read_jdbc(spark, f"jdbc:sqlite:{db}", "tags",
+                           driver="org.sqlite.JDBC").collect()
+    except Exception as e:  # py4j wraps ClassNotFoundException opaquely
+        pytest.skip(f"sqlite JDBC driver unavailable: {type(e).__name__}")
+    assert sorted((r["tag_id"], r["tag"]) for r in rows) == \
+        [(1, "rock"), (2, "jazz"), (3, "pop")]

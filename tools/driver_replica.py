@@ -33,9 +33,17 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Sort float columns LAST and pre-rounded: near-tie float values (or NaN
+    # placement) would otherwise sort Spark and DuckDB rows into different
+    # orders and produce false positional 'values differ' reports.
     df = df[sorted(df.columns)]
     if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort")
+        nonfloat = [c for c in df.columns if df[c].dtype.kind != "f"]
+        floats = [c for c in df.columns if df[c].dtype.kind == "f"]
+        keyed = df.assign(**{f"_r_{c}": df[c].round(6) for c in floats})
+        keyed = keyed.sort_values(nonfloat + [f"_r_{c}" for c in floats],
+                                  kind="mergesort")
+        df = keyed[list(df.columns)]
     return df.reset_index(drop=True)
 
 
@@ -43,14 +51,27 @@ def _kind(s: pd.Series) -> str:
     return s.dtype.kind  # 'i','u','f','O','b','M',...
 
 
-def _values_equal(a: pd.Series, b: pd.Series) -> bool:
+def _values_equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
+    """(equal?, detail) — detail carries max abs/rel float deviation so
+    borderline tolerated differences are VISIBLE (the real driver hashes
+    exactly; rtol-passing-but-nonzero deviation is a warning sign)."""
     if a.dtype.kind == "f" or b.dtype.kind == "f":
         af = a.astype(float).to_numpy()
         bf = b.astype(float).to_numpy()
         both_nan = np.isnan(af) & np.isnan(bf)
-        return bool(np.all(both_nan | np.isclose(af, bf, rtol=1e-9, atol=1e-12,
-                                                 equal_nan=True)))
-    return bool(a.astype(str).equals(b.astype(str)))
+        ok = bool(np.all(both_nan | np.isclose(af, bf, rtol=1e-9, atol=1e-12,
+                                               equal_nan=True)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            absdev = np.abs(af - bf)
+            absdev[both_nan] = 0.0
+            max_abs = float(np.nanmax(absdev)) if len(absdev) else 0.0
+            denom = np.maximum(np.abs(af), np.abs(bf))
+            rel = np.where(denom > 0, absdev / denom, 0.0)
+            max_rel = float(np.nanmax(rel)) if len(rel) else 0.0
+        detail = "" if max_abs == 0.0 else \
+            f" (max_abs_dev={max_abs:.3e}, max_rel_dev={max_rel:.3e})"
+        return ok, detail
+    return bool(a.astype(str).equals(b.astype(str))), ""
 
 
 def main() -> None:
@@ -80,8 +101,13 @@ def main() -> None:
                         if _kind(sp[c]) != _kind(oc[c]):
                             probs.append(
                                 f"dtype[{c}] spark={sp[c].dtype} oracle={oc[c].dtype}")
-                        elif not _values_equal(sp[c], oc[c]):
-                            probs.append(f"values[{c}] differ")
+                        else:
+                            ok, detail = _values_equal(sp[c], oc[c])
+                            if not ok:
+                                probs.append(f"values[{c}] differ{detail}")
+                            elif detail:
+                                print(f"warn {name}: float col {c} nonzero "
+                                      f"deviation{detail}", flush=True)
             if probs:
                 n_fail += 1
                 failures.append(name)
