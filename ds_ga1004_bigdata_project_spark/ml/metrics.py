@@ -133,10 +133,21 @@ def auc(df: DataFrame, score_col: str, label_col: str,
     from ..operators.ranks import global_row_numbers
 
     caches: list[DataFrame] = []
+    # Materialize the 16-byte (score, label) projection BEFORE the range
+    # sort: repartitionByRange adds a boundary-sampling pass over its input,
+    # which would otherwise re-run the (often expensive — e.g. an ML
+    # transform) upstream plan a second time. The count also sizes the sort:
+    # ~100k rows per range partition, so tiny evaluation sets don't pay
+    # 32 tasks of scheduling overhead while corpus-scale inputs still fan
+    # out across the cluster.
     slim = df.select(F.col(score_col).alias("s"),
-                     F.col(label_col).cast("long").alias("y"))
+                     F.col(label_col).cast("long").alias("y")).persist()
+    caches.append(slim)
+    n_rows = slim.count()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(parallelism, -(-n_rows // 100_000))) if n_rows else 1
     rn = global_row_numbers(slim, [F.col("s").asc()], out_col="_rn",
-                            caches=caches)
+                            num_partitions=parts, caches=caches)
     per_score = rn.groupBy("s").agg(
         ((F.min("_rn") + F.max("_rn")) / 2.0).alias("avgrank"),
         F.sum("y").alias("pos_cnt"),

@@ -185,12 +185,24 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
     if caches is not None:
         caches.append(shingled)
 
+    # k independent minhashes via hash-of-hash: each shingle STRING is hashed
+    # ONCE (the expensive part — multi-word shingle bytes), then the k
+    # functions re-hash that 8-byte long with per-function seeds. Hashing a
+    # long is a constant handful of mixes vs a length-proportional string
+    # hash, so this cuts the signature build by ~k× on the string work —
+    # this operator's hot spot. (Arithmetic families like h1+i·h2 would be
+    # cheaper still but overflow under ANSI mode, Spark 4's default.)
+    hashed = shingled.select(
+        "id",
+        F.transform(F.col("shingles"),
+                    lambda s: F.xxhash64(s, F.lit(seed))).alias("_hs"))
+
     def _minhash(i: int):
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed + i)))
+            F.transform("_hs", lambda h: F.xxhash64(h, F.lit(seed + i)))
         ).alias(f"mh_{i}")
 
-    sigs = shingled.select("id", *[_minhash(i) for i in range(k)])
+    sigs = hashed.select("id", *[_minhash(i) for i in range(k)])
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),
