@@ -106,3 +106,9 @@ def test_quality_classifier_shared_features_identical(spark):
         assert a == b
     finally:
         feats.unpersist()
+
+
+def test_auc_empty_input_is_null_not_crash(spark):
+    df = spark.createDataFrame([], "score double, y int")
+    r = M.auc(df, "score", "y").first()
+    assert r["auc"] is None and r["n_pos"] == 0 and r["n_neg"] == 0
