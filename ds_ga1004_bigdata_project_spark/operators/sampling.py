@@ -52,7 +52,36 @@ def deterministic_hash_sample(df: DataFrame, key_cols: Sequence[str],
                               fraction: float, salt: int = DEFAULT_SEED) -> DataFrame:
     """Content-deterministic sample: keep rows where a hash of the key lands
     under ``fraction``. Unlike ``sample()``, the SAME keys are kept on every
-    engine and every partitioning — this variant IS oracle-expressible and is
-    the right tool for reproducible train/validation splits at 100 TB."""
+    run and every partitioning — the right tool for reproducible
+    train/validation splits at 100 TB. (xxhash64 is Spark-specific, so this
+    variant is engine-reproducible but not cross-engine; see
+    :func:`modulo_sample` for the cross-engine-checkable form.)"""
     h = F.abs(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(salt)))
     return df.filter((h % 1_000_000) < int(fraction * 1_000_000))
+
+
+#: Knuth's multiplicative-hash constant (2654435761 = ⌊2³²/φ⌋) — public
+#: domain technique; any engine with 64-bit integer arithmetic reproduces it.
+_KNUTH_C = 2_654_435_761
+
+
+def modulo_sample(df: DataFrame, key_col: str, fraction: float,
+                  salt: int = DEFAULT_SEED) -> DataFrame:
+    """Cross-engine deterministic sample over an integer key: keep rows where
+    ``((key + salt) · 2654435761) mod 2⁶³ mod 10⁶ < fraction·10⁶``.
+
+    Pure integer arithmetic — ANY SQL engine (DuckDB, Trino, BigQuery)
+    computes the identical keep-set, which makes sampled pipelines
+    oracle-checkable end-to-end (Spark's ``sample()`` and ``xxhash64`` are
+    both engine-specific). Knuth's multiplicative hash scrambles sequential
+    ids well enough that the kept fraction tracks ``fraction`` closely; for
+    adversarial keys use :func:`deterministic_hash_sample` instead.
+
+    The mod-2⁶³ wrap (``pmod`` after a bigint multiply that Spark wraps under
+    non-ANSI semantics is engine-specific, so the multiply is DONE IN
+    128-bit-safe pieces): implemented as ``(key % 2³¹) · C + salt`` which
+    stays under 2⁶³ for any 32-bit-scrambled key — bit-identical everywhere
+    without overflow."""
+    k = F.pmod(F.col(key_col), F.lit(1 << 31))
+    h = F.pmod(k * F.lit(_KNUTH_C) + F.lit(salt), F.lit(1_000_000))
+    return df.filter(h < int(fraction * 1_000_000))

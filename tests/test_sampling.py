@@ -43,3 +43,23 @@ def test_hash_sample_engine_independent_and_stable(spark):
                S.deterministic_hash_sample(ev.repartition(13), ["event_id"], 0.2)
                .select("event_id").collect())
     assert a == c
+
+
+def test_modulo_sample_matches_duckdb_oracle(spark):
+    # The cross-engine sampling contract, certified directly: DuckDB running
+    # the same integer arithmetic must keep the IDENTICAL key set.
+    import duckdb
+
+    from .conftest import SF_ORACLE as SF
+
+    ev = Catalog(spark, SF).events
+    got = sorted(r["event_id"] for r in
+                 S.modulo_sample(ev, "event_id", 0.2).select("event_id").collect())
+    want = [r[0] for r in duckdb.sql(f"""
+        SELECT event_id FROM read_parquet('{SF}/events.parquet')
+        WHERE ((event_id % 2147483648) * 2654435761 + 42) % 1000000 < 200000
+        ORDER BY event_id
+    """).fetchall()]
+    assert got == want and len(got) > 0
+    frac = len(got) / ev.count()
+    assert 0.15 < frac < 0.25  # multiplicative hash tracks the target rate
