@@ -55,7 +55,8 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         min_jaccard: float = 0.0,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        caches: list[DataFrame] | None = None) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, candidate-generated
     through an inverted-index self-join (docs meet only on shared shingles).
 
@@ -82,8 +83,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     # The shingle projection (interpreted higher-order fns) feeds three plan
     # branches (sizes + both self-join sides); persist so it computes once.
+    # Cache ownership: pass ``caches`` to receive the handle and unpersist
+    # after the pair output is materialized (same contract as
+    # minhash_banded_pairs).
     from pyspark import StorageLevel
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(shingled)
     sizes = shingled.select("id", F.size("shingles").alias("set_size"))
     posting = shingled.select("id", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
