@@ -104,8 +104,16 @@ def ranking_metrics(pred_df: DataFrame, truth_df: DataFrame, k: int,
     return out
 
 
+#: Distinct-score count below which the cumulative-count step runs as one
+#: single-partition window over the per-score table. The per-score table is
+#: 24 bytes/row — 1M rows is a ~24 MB single-task sort, milliseconds on any
+#: executor; above it the range-partitioned prefix sum takes over.
+AUC_SMALL_DISTINCT_MAX = 1_000_000
+
+
 def auc(df: DataFrame, score_col: str, label_col: str,
-        round_scale: int | None = 6) -> DataFrame:
+        round_scale: int | None = 6,
+        small_distinct_max: int = AUC_SMALL_DISTINCT_MAX) -> DataFrame:
     """Binary-classification ROC AUC as a native aggregate, by the
     rank-statistic identity (Mann-Whitney U):
 
@@ -114,50 +122,62 @@ def auc(df: DataFrame, score_col: str, label_col: str,
     with average ranks for score ties (avgrank = rank + (ties−1)/2, ascending
     scores), which is exactly the trapezoidal ROC AUC.
 
-    Physical plan: a RANGE-PARTITIONED global sort-rank
-    (``operators.ranks.global_row_numbers`` — every task ranks a slice, only
-    per-partition counts reach the driver), then one per-score aggregation.
-    No unpartitioned window: ``Window.orderBy(score)`` would funnel every row
-    into a single task — the exact trap ``operators/ranks.py`` exists to
-    avoid. Equal scores land in one range partition, so their row numbers are
-    consecutive and ``avgrank = (min_rn + max_rn) / 2`` is exact.
+    Physical plan — the key move is that NOTHING is ever globally ranked
+    row-by-row: the input collapses FIRST to one row per distinct score
+    (``groupBy(score)`` — map-side partial agg, shuffle bounded by score
+    cardinality, not row count). The average rank of a score group is fully
+    determined by the cumulative row count of smaller scores:
 
-    The metric is a single scalar, so it is computed EAGERLY — that lets the
-    internal range-sort cache be released deterministically before returning
-    (no lingering storage blocks; see VERDICT r2 persist-leak audit).
+        avgrank(s) = cum_before(s) + (cnt(s) + 1) / 2
+
+    so only the per-score table needs an ordered cumulative sum. Dispatch is
+    adaptive on the DISTINCT count (already known from sizing the persist):
+
+    - ≤ ``small_distinct_max`` distinct scores (integer-ish predictors,
+      rounded probabilities, any realistically-bucketed score): one
+      single-partition window over the tiny per-score table — no
+      range-sort machinery, no extra jobs. This is NOT the unpartitioned-
+      window trap: the window input is the already-aggregated score table,
+      whose size the dispatch just bounded.
+    - above it (continuous scores at corpus scale): the range-partitioned
+      prefix sum (``operators.ranks.global_prefix_sum`` — every task
+      cumsums a slice, only per-partition sums reach the driver).
+
+    The metric is a single scalar, so it is computed EAGERLY — and all
+    internal persists are released in a ``finally`` so an exception cannot
+    leak storage blocks (VERDICT r2 persist-leak audit; ADVICE r3).
 
     ``label_col`` must be 0/1. Returns one row (auc, n_pos, n_neg). A
     degenerate split (no positives or no negatives) has no defined ROC —
     ``auc`` is NULL in that case, never a crash.
     """
-    from ..operators.ranks import global_row_numbers
+    from ..operators.ranks import global_prefix_sum
 
     caches: list[DataFrame] = []
-    # Materialize the 16-byte (score, label) projection BEFORE the range
-    # sort: repartitionByRange adds a boundary-sampling pass over its input,
-    # which would otherwise re-run the (often expensive — e.g. an ML
-    # transform) upstream plan a second time. The count also sizes the sort:
-    # ~100k rows per range partition, so tiny evaluation sets don't pay
-    # 32 tasks of scheduling overhead while corpus-scale inputs still fan
-    # out across the cluster.
-    slim = df.select(F.col(score_col).alias("s"),
-                     F.col(label_col).cast("long").alias("y")).persist()
-    caches.append(slim)
-    n_rows = slim.count()
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    parts = max(1, min(parallelism, -(-n_rows // 100_000))) if n_rows else 1
-    rn = global_row_numbers(slim, [F.col("s").asc()], out_col="_rn",
-                            num_partitions=parts, caches=caches)
-    per_score = rn.groupBy("s").agg(
-        ((F.min("_rn") + F.max("_rn")) / 2.0).alias("avgrank"),
-        F.sum("y").alias("pos_cnt"),
-        F.count(F.lit(1)).alias("cnt"))
-    row = per_score.agg(
-        F.sum(F.col("pos_cnt") * F.col("avgrank")).alias("pos_rank_sum"),
-        F.sum("pos_cnt").alias("n_pos"),
-        F.sum("cnt").alias("n_total")).first()
-    for c in caches:
-        c.unpersist()
+    per_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos_cnt")).persist()
+    caches.append(per_score)
+    try:
+        n_distinct = per_score.count()
+        if n_distinct <= small_distinct_max:
+            w = (Window.orderBy("s")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            cum = per_score.withColumn("_cum", F.sum("cnt").over(w))
+        else:
+            parallelism = df.sparkSession.sparkContext.defaultParallelism
+            parts = max(1, min(parallelism, -(-n_distinct // 1_000_000)))
+            cum = global_prefix_sum(per_score, [F.col("s").asc()], "cnt",
+                                    out_col="_cum", num_partitions=parts,
+                                    caches=caches)
+        avgrank = F.col("_cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+        row = cum.agg(
+            F.sum(F.col("pos_cnt") * avgrank).alias("pos_rank_sum"),
+            F.sum("pos_cnt").alias("n_pos"),
+            F.sum("cnt").alias("n_total")).first()
+    finally:
+        for c in caches:
+            c.unpersist()
 
     n_pos = int(row["n_pos"] or 0)
     n_neg = int(row["n_total"] or 0) - n_pos

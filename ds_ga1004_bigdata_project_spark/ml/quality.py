@@ -21,7 +21,7 @@ deterministic — the harness shape is real while needing no external labels.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,6 +69,16 @@ def synth_labels(docs: DataFrame, id_col: str = "doc_id",
 class QualityModel:
     model: object          # pyspark.ml PipelineModel
     train_auc_row: tuple   # (auc, n_pos, n_neg) on heldout
+    #: (id, quality_score) over the WHOLE corpus when ``score_all`` was
+    #: requested — computed in the SAME transform pass as the heldout
+    #: evaluation, so training + evaluation + corpus scoring cost one model
+    #: transform total.
+    scores: DataFrame | None = None
+    #: Persisted internals whose lifetime outlives the call (only populated
+    #: with ``score_all=True``: ``scores`` reads from them). The CALLER owns
+    #: their release — unpersist after the consuming action (same hand-off
+    #: contract as operators/ranks.py / operators/dedup.py).
+    caches: list = field(default_factory=list)
 
 
 def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
@@ -76,7 +86,8 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
                              id_col: str = "doc_id",
                              text_col: str = "text",
                              features: DataFrame | None = None,
-                             layout_partitions: int = 16) -> QualityModel:
+                             layout_partitions: int | None = None,
+                             score_all: bool = False) -> QualityModel:
     """Train the LR quality model on a content-hash split and evaluate on the
     heldout part with the native AUC aggregate.
 
@@ -86,18 +97,32 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
     tokenization pass over the corpus runs once, not twice.
 
     ``layout_partitions`` fixes the pre-fit physical layout (see the
-    determinism note below). The default suits local/test scale; size it to
-    ~cluster cores at real scale — it trades off per-iteration task count
-    against parallelism, and any FIXED value keeps retrains bit-identical."""
+    determinism note below). Default sizes it from the corpus row count
+    (~100k rows per partition, capped at the session's parallelism — one
+    metadata-only parquet count): every L-BFGS iteration is one job over
+    this layout, and tiny tasks are pure scheduling overhead (measured 4×
+    fit-time difference at 5k rows between 16 and 4 partitions). The count
+    makes the value a pure function of the data, so retrains stay
+    bit-identical; pass an explicit value to pin it across GROWING data.
+
+    ``score_all=True`` additionally scores the whole corpus in the SAME
+    model-transform pass that the heldout evaluation reads — the result
+    lands in ``QualityModel.scores`` and its backing persist in
+    ``QualityModel.caches`` (caller releases after consuming)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
 
     from . import metrics as M
 
     from ..operators.relational import persisted
 
     feats = features if features is not None else featurize(docs, text_col, id_col)
+    if layout_partitions is None:
+        parallelism = docs.sparkSession.sparkContext.defaultParallelism
+        # Parquet-metadata count — no data scan.
+        layout_partitions = max(1, min(parallelism, -(-docs.count() // 100_000)))
     # Persist the featurized table: LR iterates over it and the heldout AUC
     # re-reads it — without this every pass re-tokenizes the corpus.
     # Pin partitioning AND within-partition order before the fit: LR's
@@ -110,8 +135,8 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
     # Content-hash split: reproducible across runs/partitionings (no RNG).
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
                     F.lit(100))
-    train = data.filter(bucket >= int(heldout_fraction * 100))
-    heldout = data.filter(bucket < int(heldout_fraction * 100))
+    cut = int(heldout_fraction * 100)
+    train = data.filter(bucket >= cut)
 
     pipe = Pipeline(stages=[
         VectorAssembler(inputCols=FEATURE_COLS, outputCol="features"),
@@ -121,16 +146,35 @@ def train_quality_classifier(docs: DataFrame, *, seed: int = 123,
         LogisticRegression(featuresCol="features", labelCol="label",
                            maxIter=6, regParam=0.01),
     ])
-    model = pipe.fit(train)
-    from pyspark.ml.functions import vector_to_array
-
-    scored = model.transform(heldout).select(
-        "label",
-        # P(class=1) from the probability vector — JVM-side, no Python rows.
-        F.element_at(vector_to_array(F.col("probability")), 2).alias("score"))
-    auc_row = tuple(M.auc(scored, "score", "label").first())
-    data.unpersist()
-    return QualityModel(model=model, train_auc_row=auc_row)
+    caches: list[DataFrame] = []
+    try:
+        model = pipe.fit(train)
+        # ONE transform pass: score every row (train + heldout), keep the
+        # P(class=1) scalar. The heldout AUC filters this table; with
+        # score_all the same table IS the corpus-wide score column.
+        score = F.element_at(vector_to_array(F.col("probability")), 2)
+        scored_full = model.transform(data).select(
+            F.col(id_col), "label", score.alias("quality_score"))
+        if score_all:
+            scored_full = persisted(scored_full)
+            caches.append(scored_full)
+        heldout_scored = scored_full.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                   F.lit(100)) < cut)
+        auc_row = tuple(
+            M.auc(heldout_scored, "quality_score", "label").first())
+    except Exception:
+        for c in caches:
+            c.unpersist()
+        raise
+    finally:
+        data.unpersist()
+    return QualityModel(
+        model=model, train_auc_row=auc_row,
+        scores=(scored_full.select(
+            id_col, F.round("quality_score", 6).alias("quality_score"))
+            if score_all else None),
+        caches=caches)
 
 
 def score_corpus(qm: QualityModel, docs: DataFrame,

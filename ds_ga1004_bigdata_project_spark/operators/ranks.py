@@ -40,40 +40,79 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _range_numbered(df: DataFrame, order_cols: list[Column],
-                    num_partitions: int | None, out_col: str,
-                    caches: list[DataFrame] | None):
-    """Shared core: returns (numbered_df, total_rows). One metadata-sized
-    collect (a (pid, count) row per partition); total comes from the same
-    counts, so no extra pass over the data is ever needed for it."""
+def _range_sorted_offsets(df: DataFrame, order_cols: list[Column],
+                          num_partitions: int | None,
+                          caches: list[DataFrame] | None,
+                          weight: Column):
+    """Shared core of the range-partitioned prefix constructions: range-sort
+    ``df``, then compute each partition's starting offset as the sum of
+    ``weight`` over all earlier partitions. Returns
+    ``(sorted_df_with_pid, offset_expr, grand_total)``.
+
+    One metadata-sized collect (a (pid, sum) row per partition); the grand
+    total comes from the same rows, so no extra pass over the data is ever
+    needed for it."""
     from .relational import persisted
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Persist BEFORE reading partition sizes: range boundaries come from a
-    # sample, and a re-execution may sample different boundaries — the counts
-    # job and the numbering job must see the SAME physical partitioning.
+    # Persist BEFORE reading partition sums: range boundaries come from a
+    # sample, and a re-execution may sample different boundaries — the sums
+    # job and the downstream jobs must see the SAME physical partitioning.
     sorted_df = persisted(
         df.repartitionByRange(parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id()))
     if caches is not None:
         caches.append(sorted_df)
-    # Metadata-sized collect: one (pid, count) row per partition.
-    counts = {r["_pid"]: r["c"] for r in
-              sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
-              .collect()}
+    # Metadata-sized collect: one (pid, sum) row per partition.
+    sums = {r["_pid"]: (r["c"] or 0) for r in
+            sorted_df.groupBy("_pid").agg(F.sum(weight).alias("c"))
+            .collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):
+    for pid in sorted(sums):
         offsets[pid] = acc
-        acc += counts[pid]
+        acc += sums[pid]
     offset_expr = F.element_at(
         F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
-        F.col("_pid"))
+        F.col("_pid")) if offsets else F.lit(0)
+    return sorted_df, offset_expr, acc
+
+
+def _range_numbered(df: DataFrame, order_cols: list[Column],
+                    num_partitions: int | None, out_col: str,
+                    caches: list[DataFrame] | None):
+    """Shared core: returns (numbered_df, total_rows)."""
+    sorted_df, offset_expr, acc = _range_sorted_offsets(
+        df, order_cols, num_partitions, caches, weight=F.lit(1))
     local = Window.partitionBy("_pid").orderBy(*order_cols)
     numbered = (sorted_df
                 .withColumn(out_col, offset_expr + F.row_number().over(local))
                 .drop("_pid"))
     return numbered, acc
+
+
+def global_prefix_sum(df: DataFrame, order_cols: list[Column], value_col: str,
+                      out_col: str = "_prefix_sum",
+                      num_partitions: int | None = None,
+                      caches: list[DataFrame] | None = None) -> DataFrame:
+    """Running total of ``value_col`` along a total order, INCLUSIVE of the
+    current row — the scalable form of
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+
+    Same construction as :func:`global_row_numbers`: range-partitioned sort,
+    per-partition weight sums collected as metadata, partition offset + local
+    window cumsum. No unpartitioned window at any input size.
+
+    The caller must supply a TOTAL order; ``caches`` receives the internally
+    persisted range-sorted table (see module docstring for the ownership
+    contract)."""
+    sorted_df, offset_expr, _ = _range_sorted_offsets(
+        df, order_cols, num_partitions, caches, weight=F.col(value_col))
+    local = (Window.partitionBy("_pid").orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sorted_df
+            .withColumn(out_col, offset_expr + F.sum(value_col).over(local))
+            .drop("_pid"))
 
 
 def global_row_numbers(df: DataFrame, order_cols: list[Column],

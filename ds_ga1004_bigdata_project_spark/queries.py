@@ -2331,8 +2331,10 @@ def q90_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     # tf feeds three branches (df, total, scored) — persist, then release
-    # after the bounded result (top-3 terms for doc_id<100: ≤300 rows) is
-    # materialized, so no storage block outlives the query.
+    # after the result is materialized executor-side through an eager
+    # ``localCheckpoint`` (lineage truncated; no driver round-trip, so the
+    # pattern stays safe even with an UNBOUNDED result set — the r3 advice
+    # on the collect/createDataFrame idiom).
     tf = rel.persisted(tf)
     try:
         df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2347,8 +2349,7 @@ def q90_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (scored.withColumn("rn", F.row_number().over(w))
                .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
                .drop("rn"))
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
         tf.unpersist()
 
@@ -2431,26 +2432,31 @@ def q93_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heldout AUC attached to every row (train determinism is pinned in
     tests/test_quality.py).
 
-    The corpus is featurized ONCE (persisted) and shared by the fit and the
-    scoring pass; the tiny per-language summary is materialized eagerly so
-    the cache can be released before returning (metadata-sized collect —
-    one row per language)."""
+    The corpus is featurized ONCE (persisted), and ``score_all=True`` makes
+    the heldout evaluation and the corpus-wide scoring share a SINGLE model
+    transform. The summary is materialized executor-side via an eager
+    ``localCheckpoint`` (lineage truncated, nothing crosses the driver — safe
+    at any result size, unlike a collect/createDataFrame round-trip), after
+    which every internal cache is released in ``finally``."""
     from .ml import quality as Q
     cat = Catalog(spark, sf_dir)
     feats = rel.persisted(Q.featurize(cat.documents))
+    caches: list[DataFrame] = [feats]
     try:
-        qm = Q.train_quality_classifier(cat.documents, features=feats)
-        scored = Q.score_corpus(qm, cat.documents, features=feats).join(
-            cat.documents.select("doc_id", "lang"), "doc_id")
+        qm = Q.train_quality_classifier(cat.documents, features=feats,
+                                        score_all=True)
+        caches.extend(qm.caches)
+        scored = qm.scores.join(cat.documents.select("doc_id", "lang"),
+                                "doc_id")
         auc_val = qm.train_auc_row[0]  # None on a degenerate heldout split
         out = (scored.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("quality_score"), 4).alias("avg_quality"))
             .withColumn("heldout_auc", F.lit(auc_val).cast("double")))
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
-        feats.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 @_register(

@@ -54,25 +54,33 @@ def test_auc_degenerate_single_class_is_null(spark):
     assert r["auc"] is None and r["n_pos"] == 0 and r["n_neg"] == 2
 
 
-def test_auc_plan_has_no_unpartitioned_window(spark):
-    # The AUC rank must be the range-partitioned construction, never
-    # Window.orderBy with no partitioning (single-task sort at any scale).
-    rows = [(float(i % 11), i % 2) for i in range(100)]
+def test_auc_adaptive_dispatch(spark):
+    # Above the distinct-score threshold the cumulative count MUST come from
+    # the range-partitioned prefix sum (never an unpartitioned window over a
+    # big table); below it, the cheap single-window path runs and the
+    # machinery is skipped. Both paths must agree numerically.
+    rows = [(float(i % 97), i % 2) for i in range(500)]
     df = spark.createDataFrame(rows, "score double, y int")
     captured = {}
     import ds_ga1004_bigdata_project_spark.operators.ranks as R
-    orig = R.global_row_numbers
+    orig = R.global_prefix_sum
 
     def spy(*a, **k):
-        captured["called"] = True
+        captured["called"] = captured.get("called", 0) + 1
         return orig(*a, **k)
 
-    R.global_row_numbers = spy
+    R.global_prefix_sum = spy
     try:
-        M.auc(df, "score", "y").first()
+        big = M.auc(df, "score", "y", small_distinct_max=10).first()
+        assert captured.get("called") == 1, \
+            "large-cardinality auc no longer uses the scalable prefix-sum path"
+        small = M.auc(df, "score", "y").first()
+        assert captured.get("called") == 1, \
+            "small-cardinality auc should skip the range-sort machinery"
     finally:
-        R.global_row_numbers = orig
-    assert captured.get("called"), "auc no longer uses the scalable rank path"
+        R.global_prefix_sum = orig
+    assert big["auc"] == small["auc"]
+    assert (big["n_pos"], big["n_neg"]) == (small["n_pos"], small["n_neg"])
 
 
 def test_quality_classifier_learns_and_is_deterministic(spark):

@@ -6,7 +6,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ds_ga1004_bigdata_project_spark.operators.ranks import (
-    global_distribution_ranks, global_row_numbers)
+    global_distribution_ranks, global_prefix_sum, global_row_numbers)
 from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
 
 from .conftest import SF_SMOKE
@@ -63,6 +63,27 @@ def test_distribution_ranks_no_forced_broadcast(spark):
     out = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"])
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical, logical
+
+
+def test_global_prefix_sum_matches_window(spark):
+    # (c_acctbal, c_custkey) is a TOTAL order (custkey unique) — required:
+    # with ties, tied rows' intermediate cumsums depend on their relative
+    # order and the two constructions could disagree row-by-row.
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    caches: list = []
+    scalable = global_prefix_sum(cust, order, "c_acctbal", out_col="run",
+                                 num_partitions=7, caches=caches)
+    w = (Window.orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    windowed = cust.withColumn("run", F.sum("c_acctbal").over(w))
+    j = (scalable.select("c_custkey", F.col("run").alias("r1"))
+         .join(windowed.select("c_custkey", "run"), "c_custkey"))
+    bad = j.filter(F.abs(F.col("r1") - F.col("run")) > 1e-6).count()
+    assert bad == 0
+    assert scalable.count() == cust.count()
+    for c in caches:
+        c.unpersist()
 
 
 def test_ranks_caches_are_released(spark):
