@@ -206,14 +206,33 @@ def cosine_neardup_pairs_blocked(df: DataFrame, threshold: float = 0.95,
     return pairs.mapInPandas(part, schema="a bigint, b bigint, cosine_sim double")
 
 
-def brp_lsh_neighbors(df: DataFrame, threshold_l2: float, id_col: str = "vec_id",
-                      vec_col: str = "embedding", bucket_length: float = 2.0,
-                      num_tables: int = 4, seed: int = 42) -> DataFrame:
-    """Approximate L2-neighbor pairs via BucketedRandomProjectionLSH: docs only
-    meet when they share a projection bucket. Seeded, ml-native; rows-only
-    harness check (hash-specific)."""
+def brp_lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            bucket_length: float = 2.0, num_tables: int = 4,
+                            seed: int = 42,
+                            max_bucket_size: int = 1000) -> DataFrame:
+    """Candidate (a < b) id pairs from bucketed-random-projection LSH, with a
+    HARD per-bucket work bound.
+
+    ``pyspark.ml``'s ``approxSimilarityJoin`` provides no control over bucket
+    population: one unlucky projection on clustered data puts most of the
+    corpus in one bucket and the candidate join silently goes quadratic
+    (VERDICT r3: q59 7× regression from exactly this hypersensitivity). Here
+    the ml model supplies ONLY the seeded projections; the candidate join is
+    explicit DataFrame ops with a cap:
+
+    1. hash each vector into its ``num_tables`` buckets (model.transform);
+    2. count bucket populations, DROP buckets over ``max_bucket_size`` — an
+       over-full bucket means that projection does not discriminate on this
+       data, so its pairs are the least informative candidates (standard LSH
+       practice; close pairs stay recallable through the other tables);
+    3. self-join only within surviving buckets, dedup to distinct (a < b).
+
+    Candidate count is therefore ≤ Σ_buckets C(size,2) with every size ≤ cap
+    — at most ``num_tables · n/2 · max_bucket_size`` pairs, NEVER quadratic
+    in the corpus (asserted in tests/test_similarity_tiers.py)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     vecs = df.select(F.col(id_col).alias("id"),
                      array_to_vector(F.col(vec_col)).alias("features"))
@@ -221,11 +240,43 @@ def brp_lsh_neighbors(df: DataFrame, threshold_l2: float, id_col: str = "vec_id"
                                       bucketLength=bucket_length,
                                       numHashTables=num_tables, seed=seed)
     model = lsh.fit(vecs)
-    joined = model.approxSimilarityJoin(vecs, vecs, threshold_l2, distCol="l2_dist")
-    return (joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-            .select(F.col("datasetA.id").alias("a"),
-                    F.col("datasetB.id").alias("b"),
-                    F.round("l2_dist", 6).alias("l2_dist")))
+    hashed = (model.transform(vecs)
+              .select("id", F.posexplode("hashes").alias("t", "h"))
+              .select("id", "t",
+                      vector_to_array("h")[0].cast("long").alias("bucket")))
+    ok_buckets = (hashed.groupBy("t", "bucket")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .filter(F.col("n") <= max_bucket_size)
+                  .select("t", "bucket"))
+    member = hashed.join(ok_buckets, ["t", "bucket"])
+    a = member.select("t", "bucket", F.col("id").alias("a"))
+    b = member.select("t", "bucket", F.col("id").alias("b"))
+    return (a.join(b, ["t", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def brp_lsh_neighbors(df: DataFrame, threshold_l2: float, id_col: str = "vec_id",
+                      vec_col: str = "embedding", bucket_length: float = 2.0,
+                      num_tables: int = 4, seed: int = 42,
+                      max_bucket_size: int = 1000) -> DataFrame:
+    """Approximate L2-neighbor pairs via bucketed random projections: docs
+    only meet when they share a projection bucket, and bucket work is capped
+    (see :func:`brp_lsh_candidate_pairs`). Exact L2 is computed only on the
+    bounded candidate set — verify-the-candidates, the same tier layout as
+    every dedup operator. Seeded; rows-only harness check (hash-specific)."""
+    pairs = brp_lsh_candidate_pairs(df, id_col, vec_col, bucket_length,
+                                    num_tables, seed, max_bucket_size)
+    slim_a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("a_vec"))
+    slim_b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("b_vec"))
+    diff2 = F.zip_with("a_vec", "b_vec",
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double")))
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    return (pairs.join(slim_a, "a").join(slim_b, "b")
+            .withColumn("l2_dist", F.round(dist, 6))
+            .filter(F.col("l2_dist") <= threshold_l2)
+            .select("a", "b", "l2_dist"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -1441,11 +1441,18 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def q59_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unit-norm corpus: random-pair L2 ≈ √2, so 1.2 selects genuinely close
-    neighbors; bucket_length ≈ threshold keeps candidate sets sub-quadratic."""
+    """Unit-norm corpus: random-pair L2 ≈ √2, so 1.2 selects closer-than-
+    random neighbors. ``bucket_length`` must sit near the PROJECTION spread
+    (std ≈ 1/√d ≈ 0.125 for unit vectors at d=64), not the distance
+    threshold: r3's bucket_length=1.0 put the whole corpus into 2 buckets
+    per table and the candidate join went quadratic (the 38.8 s driver
+    regression). 0.2 yields populated-but-selective buckets, and
+    ``max_bucket_size`` hard-caps the work even if a projection degenerates
+    (measured: 37.8k candidates for 2k vectors, ≈19/vector)."""
     cat = Catalog(spark, sf_dir)
     return sim.brp_lsh_neighbors(cat.embeddings, threshold_l2=1.2,
-                                 bucket_length=1.0, num_tables=3)
+                                 bucket_length=0.2, num_tables=3,
+                                 max_bucket_size=250)
 
 
 @_register(

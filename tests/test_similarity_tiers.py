@@ -34,3 +34,43 @@ def test_blocked_tier_agrees_and_never_collects(spark):
            for r in sim.cosine_neardup_pairs_blocked(
                emb, threshold=0.3, n_blocks=1).collect()}
     assert one == blas
+
+
+def test_brp_candidate_volume_is_bounded(spark):
+    # The LSH candidate tier must obey its hard per-bucket cap: total
+    # candidate pairs <= num_tables * n/2 * max_bucket_size, and shrinking
+    # the cap can only shrink the candidate set (never a quadratic blowup
+    # from one unlucky projection — VERDICT r3 q59).
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    n = emb.count()
+    cap = 100
+    pairs = sim.brp_lsh_candidate_pairs(emb, bucket_length=0.2, num_tables=3,
+                                        max_bucket_size=cap)
+    n_cand = pairs.count()
+    assert 0 < n_cand <= 3 * n * cap / 2
+    tighter = sim.brp_lsh_candidate_pairs(emb, bucket_length=0.2,
+                                          num_tables=3, max_bucket_size=20)
+    assert tighter.count() <= n_cand
+    # degenerate projections (bucket_length >> projection spread: every
+    # vector in ~1 bucket/table) must be caught by the cap, not explode
+    degenerate = sim.brp_lsh_candidate_pairs(emb, bucket_length=1.0,
+                                             num_tables=3, max_bucket_size=cap)
+    assert degenerate.count() <= 3 * n * cap / 2
+
+
+def test_brp_neighbors_are_true_neighbors(spark):
+    # Every emitted pair's distance must be exact (verify-the-candidates):
+    # recompute L2 brute-force for the reported pairs and compare.
+    import math
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    out = sim.brp_lsh_neighbors(emb, threshold_l2=1.2, bucket_length=0.2,
+                                num_tables=3, max_bucket_size=250)
+    rows = out.collect()
+    assert len(rows) > 0
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in rows[:50]:
+        d = math.sqrt(sum((x - y) ** 2
+                          for x, y in zip(vecs[r["a"]], vecs[r["b"]])))
+        assert abs(round(d, 6) - r["l2_dist"]) < 1e-6
+        assert r["l2_dist"] <= 1.2
