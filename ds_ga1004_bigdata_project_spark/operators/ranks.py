@@ -128,9 +128,23 @@ def global_row_numbers(df: DataFrame, order_cols: list[Column],
     return numbered
 
 
+def _ntile_expr(rn: Column, total: int, k: int) -> Column:
+    """SQL-standard NTILE(k) from a 1-based global row number and the total
+    row count: the first ``total mod k`` tiles hold ``⌈total/k⌉`` rows, the
+    rest ``⌊total/k⌋`` — pure arithmetic, no window."""
+    q, r = divmod(total, k)
+    if q == 0:
+        return rn.cast("int")  # fewer rows than tiles: tile == row number
+    boundary = r * (q + 1)
+    return F.when(
+        rn <= boundary, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((rn - boundary - 1) / q) + 1).cast("int")
+
+
 def global_distribution_ranks(df: DataFrame, key_cols: list[str],
                               tiebreak_cols: list[str],
                               ascending: bool = True,
+                              ntile: int | None = None,
                               caches: list[DataFrame] | None = None) -> DataFrame:
     """row_number / rank / percent_rank / cume_dist over (key_cols ASC,
     tiebreak_cols) — semantics identical to the unpartitioned-window forms
@@ -141,7 +155,10 @@ def global_distribution_ranks(df: DataFrame, key_cols: list[str],
     broadcast hint: with near-unique keys it is the size of the input, and
     forcing a broadcast would ship O(N) rows to every executor. The join is
     hash-partitionable on ``key_cols``; AQE may still elect a broadcast at
-    runtime when the key side is genuinely small."""
+    runtime when the key side is genuinely small.
+
+    ``ntile=k`` adds an ``ntile`` column — pure arithmetic over the global
+    row number and total (both already known), zero extra cost."""
     order = [(F.col(c).asc() if ascending else F.col(c).desc())
              for c in key_cols] + [F.col(c).asc() for c in tiebreak_cols]
     # total comes from the partition-count metadata — no extra action. The
@@ -154,11 +171,15 @@ def global_distribution_ranks(df: DataFrame, key_cols: list[str],
         F.min("row_number").alias("_rank"),
         F.max("row_number").alias("_maxrn"))
     out = rn.join(per_key, key_cols)
-    return (out
-            .withColumn("rank", F.col("_rank"))
-            .withColumn("percent_rank",
-                        F.when(F.lit(total) > 1,
-                               (F.col("_rank") - 1) / F.lit(total - 1))
-                        .otherwise(F.lit(0.0)))
-            .withColumn("cume_dist", F.col("_maxrn") / F.lit(total))
-            .drop("_rank", "_maxrn"))
+    out = (out
+           .withColumn("rank", F.col("_rank"))
+           .withColumn("percent_rank",
+                       F.when(F.lit(total) > 1,
+                              (F.col("_rank") - 1) / F.lit(total - 1))
+                       .otherwise(F.lit(0.0)))
+           .withColumn("cume_dist", F.col("_maxrn") / F.lit(total))
+           .drop("_rank", "_maxrn"))
+    if ntile is not None:
+        out = out.withColumn("ntile",
+                             _ntile_expr(F.col("row_number"), total, ntile))
+    return out

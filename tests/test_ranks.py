@@ -100,3 +100,16 @@ def test_ranks_caches_are_released(spark):
         c.unpersist(blocking=True)
     for c in caches:
         assert not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+
+
+def test_ntile_matches_window(spark):
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    for k in (3, 4, 7):
+        scalable = global_distribution_ranks(
+            cust, ["c_acctbal", "c_custkey"], [], ntile=k)
+        w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+        windowed = cust.select("c_custkey", F.ntile(k).over(w).alias("nt"))
+        bad = (scalable.select("c_custkey", "ntile")
+               .join(windowed, "c_custkey")
+               .filter(F.col("ntile") != F.col("nt")).count())
+        assert bad == 0, f"ntile({k}) mismatch"
