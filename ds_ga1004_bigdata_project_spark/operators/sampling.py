@@ -67,21 +67,50 @@ _KNUTH_C = 2_654_435_761
 
 def modulo_sample(df: DataFrame, key_col: str, fraction: float,
                   salt: int = DEFAULT_SEED) -> DataFrame:
-    """Cross-engine deterministic sample over an integer key: keep rows where
-    ``((key + salt) · 2654435761) mod 2⁶³ mod 10⁶ < fraction·10⁶``.
+    """Cross-engine deterministic sample over an integer key. Keep predicate
+    (exactly this formula, in this order):
 
-    Pure integer arithmetic — ANY SQL engine (DuckDB, Trino, BigQuery)
-    computes the identical keep-set, which makes sampled pipelines
-    oracle-checkable end-to-end (Spark's ``sample()`` and ``xxhash64`` are
-    both engine-specific). Knuth's multiplicative hash scrambles sequential
-    ids well enough that the kept fraction tracks ``fraction`` closely; for
-    adversarial keys use :func:`deterministic_hash_sample` instead.
+        k = ((key mod 2³¹) + 2³¹) mod 2³¹          -- canonical non-negative
+        keep ⇔ ((k·C + salt) div 2¹⁶) mod 10⁶ < fraction·10⁶
 
-    The mod-2⁶³ wrap (``pmod`` after a bigint multiply that Spark wraps under
-    non-ANSI semantics is engine-specific, so the multiply is DONE IN
-    128-bit-safe pieces): implemented as ``(key % 2³¹) · C + salt`` which
-    stays under 2⁶³ for any 32-bit-scrambled key — bit-identical everywhere
-    without overflow."""
+    with C = 2654435761 (Knuth's multiplicative-hash constant, ⌊2³²/φ⌋,
+    public domain). Pure 64-bit integer arithmetic, overflow-free by
+    construction (k < 2³¹, C < 2³² ⇒ k·C < 2⁶³) — ANY SQL engine (DuckDB,
+    Trino, BigQuery) computes the identical keep-set, which makes sampled
+    pipelines oracle-checkable end-to-end (Spark's ``sample()`` and
+    ``xxhash64`` are both engine-specific).
+    :func:`modulo_sample_predicate_sql` emits the matching ANSI-SQL
+    predicate so the two sides can never drift.
+
+    Design notes (r3 ADVICE):
+
+    - The ``div 2¹⁶`` BEFORE the final modulus feeds the multiply's high
+      bits into the keep decision — without it, ``(k·C) mod 10⁶`` depends
+      only on ``k mod 10⁶``, so keys 10⁶ apart would always be co-sampled.
+      With it, no period shorter than the 2³¹ key domain exists.
+    - The key is canonicalized to a NON-NEGATIVE residue explicitly on both
+      engines: Spark's ``pmod`` is always ≥ 0 while DuckDB/Trino ``%`` keeps
+      the dividend's sign, so a bare mod would diverge on negative keys.
+    - Knuth's hash scrambles sequential ids well enough that the kept
+      fraction tracks ``fraction`` closely; for adversarial keys use
+      :func:`deterministic_hash_sample` instead."""
     k = F.pmod(F.col(key_col), F.lit(1 << 31))
-    h = F.pmod(k * F.lit(_KNUTH_C) + F.lit(salt), F.lit(1_000_000))
+    # shiftright == div 2¹⁶ for the non-negative numerator; `/` would be
+    # DOUBLE division in Spark (53-bit mantissa — inexact near 2⁶³).
+    h = F.pmod(F.shiftright(k * F.lit(_KNUTH_C) + F.lit(salt), 16),
+               F.lit(1_000_000))
     return df.filter(h < int(fraction * 1_000_000))
+
+
+def modulo_sample_predicate_sql(key_col: str, fraction: float,
+                                salt: int = DEFAULT_SEED) -> str:
+    """The ANSI-SQL twin of :func:`modulo_sample`'s keep predicate — run it
+    in DuckDB/Trino/BigQuery to reproduce the exact keep-set. Kept in one
+    place so the Spark expression and the oracle SQL cannot drift.
+
+    ``((x % m) + m) % m`` is the portable non-negative mod; the division is
+    integer (both operands BIGINT) and truncating — identical to floor for
+    the non-negative numerator guaranteed by the canonicalized key."""
+    return (f"((((({key_col} % 2147483648) + 2147483648) % 2147483648)"
+            f" * {_KNUTH_C} + {salt}) // 65536) % 1000000"
+            f" < {int(fraction * 1_000_000)}")

@@ -2757,6 +2757,38 @@ def q101_scalable_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cume_dist", 6).alias("cume_dist"))
 
 
+def _q102_oracle() -> str:
+    # The keep-predicate comes from the SAME helper the Spark side mirrors
+    # (operators/sampling.py) — the two engines cannot drift.
+    pred = sampling.modulo_sample_predicate_sql("l_orderkey", 0.1)
+    return f"""
+        SELECT l_returnflag, count(*) AS cnt,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS sum_qty
+        FROM lineitem WHERE {pred}
+        GROUP BY l_returnflag
+    """
+
+
+@_register(
+    "q102_modulo_sample",
+    survey="R-cross-engine (deterministic modulo sample; the ONE oracle-certifiable sampler)",
+    oracle=_q102_oracle(),
+)
+def q102_modulo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine deterministic sampling, oracle-certified END-TO-END: the
+    keep-set is pure integer arithmetic (``operators/sampling.py``), so the
+    DuckDB oracle reproduces the IDENTICAL sampled rows and the downstream
+    aggregate must match to the cent — the only sampler class where that is
+    possible (Bernoulli/xxhash64 samplers are engine-specific, hence
+    rows-only q54/q55/q61). VERDICT r3 #5."""
+    cat = Catalog(spark, sf_dir)
+    sampled = sampling.modulo_sample(cat.lineitem, "l_orderkey", 0.1)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        agg.exact_sum("l_quantity", "sum_qty"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -55,11 +55,38 @@ def test_modulo_sample_matches_duckdb_oracle(spark):
     ev = Catalog(spark, SF).events
     got = sorted(r["event_id"] for r in
                  S.modulo_sample(ev, "event_id", 0.2).select("event_id").collect())
+    pred = S.modulo_sample_predicate_sql("event_id", 0.2)
     want = [r[0] for r in duckdb.sql(f"""
         SELECT event_id FROM read_parquet('{SF}/events.parquet')
-        WHERE ((event_id % 2147483648) * 2654435761 + 42) % 1000000 < 200000
-        ORDER BY event_id
+        WHERE {pred} ORDER BY event_id
     """).fetchall()]
     assert got == want and len(got) > 0
     frac = len(got) / ev.count()
     assert 0.15 < frac < 0.25  # multiplicative hash tracks the target rate
+
+
+def test_modulo_sample_negative_keys_cross_engine(spark):
+    # Spark pmod is non-negative, DuckDB % keeps the dividend's sign — the
+    # explicit canonicalization must make NEGATIVE keys agree too.
+    import duckdb
+
+    keys = list(range(-500, 500, 7))
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = sorted(r["k"] for r in S.modulo_sample(df, "k", 0.3).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS k", [keys])
+    pred = S.modulo_sample_predicate_sql("k", 0.3)
+    want = sorted(r[0] for r in
+                  con.execute(f"SELECT k FROM t WHERE {pred}").fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_modulo_sample_no_million_periodicity(spark):
+    # r3 ADVICE: without high-bit mixing, keys exactly 1e6 apart were always
+    # co-sampled. The div-2^16 step must break that lockstep.
+    pairs = [(k, k + 1_000_000) for k in range(0, 200_000_000, 9_999_937)]
+    flat = [(k,) for p in pairs for k in p]
+    df = spark.createDataFrame(flat, "k bigint")
+    kept = {r["k"] for r in S.modulo_sample(df, "k", 0.3).collect()}
+    disagree = sum((a in kept) != (b in kept) for a, b in pairs)
+    assert disagree > 0, "keys 1e6 apart still co-sample in lockstep"
