@@ -123,6 +123,13 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     if driver:
         reader = reader.option("driver", driver)
     if partition_column is not None:
+        # str(None) would reach Spark as the literal 'None' and fail with an
+        # opaque parse error at runtime — fail fast with a clear message.
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "read_jdbc: partition_column requires explicit lower_bound "
+                "and upper_bound (Spark splits [lower, upper) into "
+                "num_partitions range queries)")
         reader = (reader.option("partitionColumn", partition_column)
                   .option("lowerBound", str(lower_bound))
                   .option("upperBound", str(upper_bound))

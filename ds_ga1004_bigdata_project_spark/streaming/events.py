@@ -156,16 +156,36 @@ def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      output_mode: str = "complete") -> None:
+                      output_mode: str = "complete",
+                      shuffle_partitions: int | None = 8) -> None:
     """Drain everything currently available through the streaming engine into
     an in-memory table named ``query_name`` — the batch-parity test hook.
 
     ``availableNow`` processes all existing input then stops (deterministic);
     'complete' mode emits every window including ones the watermark hasn't
-    closed, which is what a finite-input parity check wants."""
-    handle = (stream_df.writeStream.format("memory").queryName(query_name)
-              .outputMode(output_mode).trigger(availableNow=True).start())
-    handle.awaitTermination()
+    closed, which is what a finite-input parity check wants.
+
+    ``shuffle_partitions`` pins the STREAM's shuffle width for the run (set
+    before start, restored after): a streaming query materializes one state
+    store — and for ``applyInPandasWithState`` one Python worker — PER
+    shuffle partition, every micro-batch, so the batch session's width (32
+    locally, hundreds on a cluster) is pure fixed cost on a short drain.
+    The stream checkpoints its width at first start anyway (state layout is
+    partition-count-dependent), so pinning it is also the production-correct
+    move; size it to expected state volume, not to the batch width. ``None``
+    leaves the session value untouched."""
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        handle = (stream_df.writeStream.format("memory")
+                  .queryName(query_name)
+                  .outputMode(output_mode).trigger(availableNow=True).start())
+        handle.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 def run_foreach_batch_to_parquet(stream_df: DataFrame, out_path: str,

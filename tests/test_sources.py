@@ -90,3 +90,13 @@ def test_read_jdbc_sqlite_skip_gated(spark, tmp_path):
         pytest.skip(f"sqlite JDBC driver unavailable: {type(e).__name__}")
     assert sorted((r["tag_id"], r["tag"]) for r in rows) == \
         [(1, "rock"), (2, "jazz"), (3, "pop")]
+
+
+def test_read_jdbc_partition_bounds_validated(spark):
+    # partition_column without bounds used to pass the literal string 'None'
+    # to Spark (opaque runtime failure) — must be a clear ValueError instead.
+    import pytest
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        C.read_jdbc(spark, "jdbc:sqlite:/nonexistent.db", "t",
+                    partition_column="id")
