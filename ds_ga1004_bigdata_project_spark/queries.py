@@ -2793,13 +2793,16 @@ def q102_modulo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver correctness-window ordering
 # =====================================================================
 # The driver certifies the FIRST 50 entries of ``queries()`` in dict
-# (registration) order. Rounds 1-2 certified the original first 50 —
-# the keys of CORRECTNESS_r02.json, frozen below. Round 3 rotates the
-# 49 never-checked queries to the front of the dict (plus q01 as a
-# cross-round sanity anchor in slot 50) so that r02 + r03 together give
-# every registered query a driver CORRECTNESS row. Relative order
-# within each group is preserved; nothing else about the registry
-# changes — ``queries()``/``oracle_sql()`` still expose all entries.
+# (registration) order. Rounds 1-2 certified the original first 50
+# (CORRECTNESS_r02.json keys, frozen below); round 3 rotated the 49
+# never-checked queries to the front so r02 ∪ r03 covers every entry.
+# From round 4 on, the policy is CHANGED-SINCE-CERTIFIED FIRST: queries
+# whose code (or whose operators' code) changed after their last driver
+# row lead the window — the driver always re-certifies exactly what the
+# current round touched (r3's gap: q41/q32/q53 shipped changed code but
+# kept pre-change driver rows). Remaining slots refresh the STALEST
+# certifications (r02 before r03). Relative order within each group is
+# preserved; ``queries()``/``oracle_sql()`` still expose all entries.
 
 _R02_CERTIFIED: tuple[str, ...] = (
     "q01_top_parts", "q02_pricing_summary", "q03_scan_filter_project",
@@ -2822,15 +2825,38 @@ _R02_CERTIFIED: tuple[str, ...] = (
 )
 
 
-def _reorder_for_round3() -> None:
+#: Queries whose code path changed since their last driver certification.
+#: Round 4: the new oracle sampler; the AUC/quality/tfidf restructures; the
+#: ranks-backed q67/q101; the bounded-LSH q59; the pinned-width streaming
+#: quartet; and the r3-modified q41 (blocked cosine tier), q32 (caches
+#: param), q53 (array stringification) whose driver rows predate their code.
+_CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
+    "q102_modulo_sample",
+    "q92_auc_native", "q93_quality_classifier", "q90_tfidf_top_terms",
+    "q67_distribution_ranks", "q101_scalable_ranks",
+    "q59_brp_lsh_neighbors",
+    "q62_streaming_hourly", "q63_stateful_stream",
+    "q80_sliding_stream", "q81_stream_static_join",
+    "q41_cosine_neardup_pairs", "q32_ngram_jaccard_topk",
+    "q53_als_recommend",
+)
+
+#: Cross-round sanity anchor: one never-changed query certified every round.
+_ANCHOR = "q01_top_parts"
+
+
+def _reorder_for_certification_window() -> None:
+    """Front: changed-since-certified + anchor. Middle: stalest rows first
+    (r02-certified before r03-certified). The driver reads the first 50."""
     global REGISTRY
-    certified = set(_R02_CERTIFIED)
-    unchecked = [n for n in REGISTRY if n not in certified]
-    window = unchecked + ["q01_top_parts"]
-    tail = [n for n in _R02_CERTIFIED if n not in window]
-    ordered = window + tail
+    front = [n for n in _CHANGED_SINCE_CERTIFIED if n in REGISTRY]
+    front.append(_ANCHOR)
+    seen = set(front)
+    r02 = [n for n in _R02_CERTIFIED if n not in seen]
+    rest = [n for n in REGISTRY if n not in seen and n not in set(r02)]
+    ordered = front + r02 + rest
     assert sorted(ordered) == sorted(REGISTRY), "registry reorder lost entries"
     REGISTRY = {n: REGISTRY[n] for n in ordered}
 
 
-_reorder_for_round3()
+_reorder_for_certification_window()

@@ -1,36 +1,50 @@
 """Driver correctness-window composition — the first 50 registry entries.
 
 The driver certifies only the FIRST 50 entries of ``queries()``. Round 2
-certified the original first 50 (CORRECTNESS_r02.json); round 3 rotates the
-never-checked queries into the window. This pins the rotation so a later
-refactor can't silently push a query back out of certification."""
+certified the original first 50 (CORRECTNESS_r02.json); round 3 rotated the
+never-checked queries in (r02 ∪ r03 covers everything). From round 4 the
+policy is changed-since-certified first: every query this round touched must
+lead the window, ahead of staleness refreshes. This pins that policy so a
+later refactor can't silently ship changed code outside certification."""
 
 from __future__ import annotations
 
-from ds_ga1004_bigdata_project_spark.queries import _R02_CERTIFIED, REGISTRY
+from ds_ga1004_bigdata_project_spark.queries import (
+    _ANCHOR, _CHANGED_SINCE_CERTIFIED, _R02_CERTIFIED, REGISTRY)
 
 
-def test_window_holds_all_previously_unchecked_queries():
+def test_changed_queries_lead_the_window():
     names = list(REGISTRY)
-    window = set(names[:50])
-    unchecked = set(names) - set(_R02_CERTIFIED)
-    assert unchecked <= window, \
-        f"previously uncertified queries outside the window: {unchecked - window}"
+    window = names[:50]
+    n = len(_CHANGED_SINCE_CERTIFIED)
+    assert list(_CHANGED_SINCE_CERTIFIED) == window[:n], \
+        "changed-since-certified queries must occupy the front of the window"
+    assert window[n] == _ANCHOR
 
 
 def test_window_has_cross_round_anchor_and_nothing_lost():
     names = list(REGISTRY)
-    assert "q01_top_parts" in names[:50]  # sanity anchor across rounds
+    assert _ANCHOR in names[:50]  # sanity anchor across rounds
     assert len(names) == len(set(names))
     assert set(_R02_CERTIFIED) <= set(names)
+    assert set(_CHANGED_SINCE_CERTIFIED) <= set(names)
 
 
-def test_oracle_queries_all_certifiable_across_rounds():
-    # Every oracle-bearing query is either in the r02-certified list or in
-    # this round's window — i.e. after r03 runs, no oracle query has never
-    # been driver-checked.
+def test_every_query_has_a_certification_round():
+    # r02 ∪ r03 certified every pre-r4 query (oracle AND rows-only); anything
+    # newer must be in the changed-since-certified front (and therefore
+    # inside this window) — no query ever exists without a certification
+    # round, past or scheduled.
+    import json
+    import os
+
     names = list(REGISTRY)
     window = set(names[:50])
-    for name, q in REGISTRY.items():
-        if q.oracle is not None:
-            assert name in window or name in _R02_CERTIFIED, name
+    r03_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CORRECTNESS_r03.json")
+    with open(r03_path) as fh:
+        r03 = set(json.load(fh))
+    ever_certified = set(_R02_CERTIFIED) | r03
+    for name in names:
+        assert name in ever_certified or name in window, \
+            f"{name} has no past certification and is outside the window"
