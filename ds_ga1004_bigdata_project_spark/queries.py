@@ -1558,7 +1558,7 @@ def q62_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as SE
 
     name = f"q62_hourly_{next(_STREAM_SEQ)}"
-    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = SE.read_event_stream_auto(spark, os.path.join(sf_dir, "events.parquet"))
     SE.run_available_now(SE.hourly_counts(stream), name)
     return (spark.table(name)
             .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
@@ -1586,7 +1586,7 @@ def q63_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as SE
 
     name = f"q63_state_{next(_STREAM_SEQ)}"
-    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = SE.read_event_stream_auto(spark, os.path.join(sf_dir, "events.parquet"))
     SE.run_available_now(SE.running_user_totals(stream), name, output_mode="update")
     # update-mode memory sink may hold one row per user per micro-batch; the
     # final state per user is the max-n row.
@@ -2047,7 +2047,7 @@ def q80_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as SE
 
     name = f"q80_sliding_{next(_STREAM_SEQ)}"
-    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = SE.read_event_stream_auto(spark, os.path.join(sf_dir, "events.parquet"))
     SE.run_available_now(SE.sliding_counts(stream), name)
     return (spark.table(name)
             .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
@@ -2075,7 +2075,7 @@ def q81_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     name = f"q81_enrich_{next(_STREAM_SEQ)}"
-    stream = SE.read_event_stream_nanos(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = SE.read_event_stream_auto(spark, os.path.join(sf_dir, "events.parquet"))
     enriched = SE.enrich_with_dim(
         stream, cat.customer.select("c_custkey", "c_mktsegment"),
         "user_id", "c_custkey")
@@ -2826,19 +2826,12 @@ _R02_CERTIFIED: tuple[str, ...] = (
 
 
 #: Queries whose code path changed since their last driver certification.
-#: Round 4: the new oracle sampler; the AUC/quality/tfidf restructures; the
-#: ranks-backed q67/q101; the bounded-LSH q59; the pinned-width streaming
-#: quartet; and the r3-modified q41 (blocked cosine tier), q32 (caches
-#: param), q53 (array stringification) whose driver rows predate their code.
+#: Round 5: the streaming quartet rides the new unit-aware
+#: ``read_event_stream_auto`` (the r4 q62/q80 regression fix — these four are
+#: the round's must-recertify set).
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
-    "q102_modulo_sample",
-    "q92_auc_native", "q93_quality_classifier", "q90_tfidf_top_terms",
-    "q67_distribution_ranks", "q101_scalable_ranks",
-    "q59_brp_lsh_neighbors",
-    "q62_streaming_hourly", "q63_stateful_stream",
-    "q80_sliding_stream", "q81_stream_static_join",
-    "q41_cosine_neardup_pairs", "q32_ngram_jaccard_topk",
-    "q53_als_recommend",
+    "q62_streaming_hourly", "q80_sliding_stream",
+    "q63_stateful_stream", "q81_stream_static_join",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

@@ -84,20 +84,48 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
         stream_key, "inner")
 
 
-def read_event_stream_nanos(spark: SparkSession, path: str) -> DataFrame:
-    """Event stream over the driver's nanosecond-timestamp parquet: declare
-    ``ts`` as raw int64 nanos (legacy conf) and convert to a µs timestamp in
-    the stream — mirroring the batch catalog's handling."""
+def read_event_stream_auto(spark: SparkSession, path: str) -> DataFrame:
+    """Unit-aware event stream over an events parquet file.
+
+    A file stream source takes a DECLARED schema — it never looks at the
+    footer — so the declaration must match the file's physical ``ts`` type,
+    which has differed across fixture generations (int64 nanoseconds vs
+    native ``timestamp[us]``). Probe the type with a one-off batch read
+    (footer metadata only, no data scan) and branch exactly as the batch
+    catalog's LongType guard does (``sources/catalog.py``):
+
+    - footer says timestamp → declare ``ts timestamp``, no arithmetic;
+    - footer says int64 nanos (loads as ``LongType`` under the legacy
+      ``nanosAsLong`` conf) → declare ``ts bigint`` and truncate nanos→µs
+      in the stream.
+
+    Declaring bigint over a timestamp[us] file silently parses the raw µs
+    int64 and the ÷1000 collapses every event into 1970 — the unguarded
+    failure this probe exists to prevent."""
+    import os
+
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ddl = ("event_id bigint, ts bigint, user_id bigint, "
-           "event_type string, value double, props string")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    ts_is_nanos_long = isinstance(ts_type, LongType)
+    ddl = ("event_id bigint, ts {}, user_id bigint, "
+           "event_type string, value double, props string").format(
+               "bigint" if ts_is_nanos_long else "timestamp")
     # File stream sources require a DIRECTORY; point at the parent dir with a
     # glob filter so only the events file matches.
-    import os
     directory, fname = os.path.split(path.rstrip("/"))
     raw = (spark.readStream.format("parquet").schema(ddl)
            .option("pathGlobFilter", fname).load(directory))
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if ts_is_nanos_long:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw
+
+
+#: Back-compat name from when the fixtures were always int64-nanos; the auto
+#: reader handles that case and the current timestamp[us] files.
+read_event_stream_nanos = read_event_stream_auto
 
 
 def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

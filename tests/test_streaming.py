@@ -65,7 +65,7 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
 
     from .conftest import SF_SMOKE
 
-    stream = SE.read_event_stream_nanos(
+    stream = SE.read_event_stream_auto(
         spark, os.path.join(SF_SMOKE, "events.parquet"))
     out = str(tmp_path / "sink")
     SE.run_foreach_batch_to_parquet(stream, out, str(tmp_path / "ckpt"))
