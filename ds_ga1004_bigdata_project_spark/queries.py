@@ -1680,13 +1680,12 @@ def q66_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q67_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions over a total order (acctbal, custkey
-    tiebreak) — computed through the RANGE-PARTITIONED construction
-    (``operators/ranks.py``), never ``Window.orderBy`` with no partitioning:
-    the oracle stays the plain window SQL, certifying the distributed form
-    against window semantics. (acctbal, custkey) is unique, so rank equals
-    row_number and percent_rank/cume_dist have no tie groups; ntile is
-    arithmetic over the global row number (VERDICT r3 #7: the registry no
-    longer contains any intentionally-unpartitioned global window)."""
+    tiebreak) — via ``global_distribution_ranks``'s ADAPTIVE dispatch
+    (``operators/ranks.py``): a size probe bounds the input, small inputs
+    run the plain window directly, large ones the range-partitioned
+    construction — so this query is fast at sf0.1 AND safe at 100 TB
+    (VERDICT r4 #4; the scalable construction itself stays oracle-certified
+    by q101, which forces it)."""
     from .operators.ranks import global_distribution_ranks
     cat = Catalog(spark, sf_dir)
     out = global_distribution_ranks(
@@ -2748,9 +2747,13 @@ def q101_scalable_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics."""
     from .operators.ranks import global_distribution_ranks
     cat = Catalog(spark, sf_dir)
+    # small_input_max=0: q101's whole point is oracle-certifying the
+    # range-partitioned construction, so it must never take the adaptive
+    # small-input window path (q67 does — it is the production entry).
     out = global_distribution_ranks(
         cat.customer.select("c_custkey", "c_acctbal"),
-        key_cols=["c_acctbal"], tiebreak_cols=["c_custkey"])
+        key_cols=["c_acctbal"], tiebreak_cols=["c_custkey"],
+        small_input_max=0)
     return out.select(
         "c_custkey", "rank",
         F.round("percent_rank", 6).alias("percent_rank"),

@@ -18,7 +18,7 @@ def test_global_row_numbers_match_window(spark):
     order = [F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
              F.col("l_linenumber").asc()]
     scalable = global_row_numbers(li, order, num_partitions=7,
-                                  out_col="rn")
+                                  out_col="rn", small_input_max=0)
     w = Window.orderBy(*order)
     windowed = li.withColumn("rn", F.row_number().over(w))
     key = ["l_extendedprice", "l_orderkey", "l_linenumber"]
@@ -34,7 +34,8 @@ def test_global_row_numbers_match_window(spark):
 
 def test_distribution_ranks_match_window(spark):
     cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
-    scalable = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"])
+    scalable = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"],
+                                         small_input_max=0)
     w = Window.orderBy(F.col("c_acctbal").asc())
     windowed = cust.select(
         "c_custkey",
@@ -60,7 +61,8 @@ def test_distribution_ranks_no_forced_broadcast(spark):
     # logical plan is hint-free (AQE may still pick a small-table broadcast
     # at runtime from real statistics; that is fine and size-gated).
     cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
-    out = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"])
+    out = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"],
+                                    small_input_max=0)
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical, logical
 
@@ -92,7 +94,7 @@ def test_ranks_caches_are_released(spark):
     cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
     caches: list = []
     out = global_distribution_ranks(cust, ["c_acctbal"], ["c_custkey"],
-                                    caches=caches)
+                                    caches=caches, small_input_max=0)
     out.count()
     assert caches, "internal persist not surfaced to the caller"
     for c in caches:
@@ -106,10 +108,50 @@ def test_ntile_matches_window(spark):
     cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
     for k in (3, 4, 7):
         scalable = global_distribution_ranks(
-            cust, ["c_acctbal", "c_custkey"], [], ntile=k)
+            cust, ["c_acctbal", "c_custkey"], [], ntile=k, small_input_max=0)
         w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
         windowed = cust.select("c_custkey", F.ntile(k).over(w).alias("nt"))
         bad = (scalable.select("c_custkey", "ntile")
                .join(windowed, "c_custkey")
                .filter(F.col("ntile") != F.col("nt")).count())
         assert bad == 0, f"ntile({k}) mismatch"
+
+
+def test_adaptive_dispatch_small_equals_large(spark):
+    # The two dispatch arms must be value-identical: run the same input
+    # through the forced-small and forced-large paths and compare rows.
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    small = global_distribution_ranks(
+        cust, ["c_acctbal"], ["c_custkey"], ntile=4,
+        small_input_max=10**9)
+    large = global_distribution_ranks(
+        cust, ["c_acctbal"], ["c_custkey"], ntile=4, small_input_max=0)
+    cols = ["c_custkey", "row_number", "rank", "percent_rank",
+            "cume_dist", "ntile"]
+    a = sorted(tuple(r) for r in small.select(*cols).collect())
+    b = sorted(tuple(r) for r in large.select(*cols).collect())
+    assert a == b and len(a) == cust.count()
+
+
+def test_adaptive_dispatch_small_path_plan_has_no_range_machinery(spark):
+    # Below the threshold the plan must be ONE window stage: no
+    # repartitionByRange exchange, no InMemoryRelation from the internal
+    # persist, no spark_partition_id column.
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    out = global_distribution_ranks(
+        cust, ["c_acctbal"], ["c_custkey"], small_input_max=10**9)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan
+    assert "InMemoryRelation" not in plan
+    assert "SPARK_PARTITION_ID" not in plan.upper()
+
+
+def test_adaptive_dispatch_row_numbers_small_equals_large(spark):
+    cust = Catalog(spark, SF_SMOKE).customer.select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    small = global_row_numbers(cust, order, out_col="rn",
+                               small_input_max=10**9)
+    large = global_row_numbers(cust, order, out_col="rn", small_input_max=0)
+    a = sorted(tuple(r) for r in small.select("c_custkey", "rn").collect())
+    b = sorted(tuple(r) for r in large.select("c_custkey", "rn").collect())
+    assert a == b

@@ -31,20 +31,21 @@ def test_window_has_cross_round_anchor_and_nothing_lost():
 
 
 def test_every_query_has_a_certification_round():
-    # r02 ∪ r03 certified every pre-r4 query (oracle AND rows-only); anything
-    # newer must be in the changed-since-certified front (and therefore
-    # inside this window) — no query ever exists without a certification
-    # round, past or scheduled.
+    # The union of every driver correctness round certified every existing
+    # query (oracle AND rows-only); anything newer must be in the
+    # changed-since-certified front (and therefore inside this window) — no
+    # query ever exists without a certification round, past or scheduled.
+    import glob
     import json
     import os
 
     names = list(REGISTRY)
     window = set(names[:50])
-    r03_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CORRECTNESS_r03.json")
-    with open(r03_path) as fh:
-        r03 = set(json.load(fh))
-    ever_certified = set(_R02_CERTIFIED) | r03
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever_certified = set(_R02_CERTIFIED)
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            ever_certified |= set(json.load(fh))
     for name in names:
         assert name in ever_certified or name in window, \
             f"{name} has no past certification and is outside the window"
