@@ -55,13 +55,24 @@ def main() -> None:
             print(f"bench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(json.dumps({
+    payload = {
         "metric": "engine_query_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    # The driver's stdout capture truncates the tail (r3/r4 both recorded
+    # "parsed: null", losing the q01-q27 head) — also persist the full
+    # per-query dict next to the repo so every round's timings stay
+    # recoverable. Stdout stays ONE line for the driver.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench artifact write failed: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -2830,11 +2830,14 @@ _R02_CERTIFIED: tuple[str, ...] = (
 
 #: Queries whose code path changed since their last driver certification.
 #: Round 5: the streaming quartet rides the new unit-aware
-#: ``read_event_stream_auto`` (the r4 q62/q80 regression fix — these four are
-#: the round's must-recertify set).
+#: ``read_event_stream_auto`` (the r4 q62/q80 regression fix — those four are
+#: the round's must-recertify set); q67/q101 ride the adaptive ranks
+#: dispatch; q52 rides the array-fold ranking_metrics rewrite.
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q62_streaming_hourly", "q80_sliding_stream",
     "q63_stateful_stream", "q81_stream_static_join",
+    "q67_distribution_ranks", "q101_scalable_ranks",
+    "q52_ranking_metrics",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

@@ -61,6 +61,26 @@ def test_als_end_to_end_deterministic(spark, interactions):
     assert m1.asDict() == m2.asDict()
 
 
+def test_als_seeded_metric_pin_sf001(spark):
+    """Cross-round regression pin for the no-oracle ALS path (VERDICT r4 #6):
+    the seeded end-to-end MAP/P@k/NDCG@k on the sf0.01 interactions table,
+    asserted to the 6-decimal values ranking_metrics emits. ALS with a fixed
+    seed is deterministic for a fixed partitioning, which the session
+    fixture pins (local[8], shuffle=8) — verified identical across fresh
+    JVM sessions before pinning. A legitimate change to ALS defaults,
+    interactions_from_orders, or ranking_metrics moves these values: update
+    the pin IN THE SAME COMMIT and say why."""
+    cat = Catalog(spark, "/root/testdata/sf0.01")
+    inter = A.interactions_from_orders(cat.lineitem, cat.orders).persist()
+    try:
+        model = A.train_als(inter, A.ALSConfig(rank=4, max_iter=3, seed=123))
+        m = A.evaluate_model(model, inter, k=5).collect()[0].asDict()
+    finally:
+        inter.unpersist()
+    assert m == {"map": 0.001712, "precision_at_k": 0.025867,
+                 "ndcg_at_k": 0.026741, "n_users": 1500}
+
+
 def test_recommend_topk_shape(spark, interactions):
     model = A.train_als(interactions, A.ALSConfig(rank=4, max_iter=2))
     users = interactions.select("user_id").distinct().limit(10)
