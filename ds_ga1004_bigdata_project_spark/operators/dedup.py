@@ -245,8 +245,17 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
     return verified
 
 
+#: Edge count at or below which duplicate-cluster resolution runs as ONE
+#: driver-side union-find over the collected edge list instead of iterative
+#: distributed propagation. Edges are two longs each — 100k edges is ~2 MB,
+#: metadata scale (the edge count is already materialized for cache
+#: correctness, so the dispatch is free). Above it: the distributed loop.
+RESOLVE_DRIVER_EDGE_MAX = 100_000
+
+
 def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
-                      max_iters: int = 8) -> DataFrame:
+                      max_iters: int = 8,
+                      driver_edge_max: int = RESOLVE_DRIVER_EDGE_MAX) -> DataFrame:
     """Turn near-duplicate PAIRS into a per-document keep decision via
     min-label propagation (connected-components-lite).
 
@@ -264,8 +273,13 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
 
     Input: ``ids`` (col ``id``), ``pairs`` (cols ``a``,``b``). Output:
     (id, keep_id, is_kept) — one row per doc, survivor = min id per cluster.
-    All joins/aggs, no driver state: at 100 TB this is iterated
-    shuffle-on-id, each round touching only docs adjacent to a dup edge."""
+    All joins/aggs, no driver state — and the ITERATION ONLY EVER TOUCHES
+    DOCS ADJACENT TO A DUP EDGE: a doc with no candidate pair keeps itself
+    by definition, so the label table in the loop is |edge endpoints| rows
+    (typically a few % of the corpus), not |corpus|. Untouched docs are
+    stitched back with one final left join. At 100 TB that is the
+    difference between iterating over the dedup frontier and re-shuffling
+    the whole corpus every round."""
     from pyspark import StorageLevel
 
     # Materialize the (possibly expensive) pair-finding ONCE — the iteration
@@ -274,7 +288,49 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
              .unionByName(pairs.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
              .persist(StorageLevel.MEMORY_AND_DISK))
-    edges.count()
+    n_edges = edges.count()
+
+    if n_edges <= driver_edge_max:
+        # Small-edge tier (the AUC/ranks adaptive-dispatch pattern): the
+        # verified dup-edge list is almost always tiny relative to the
+        # corpus — collect it (metadata-sized by the guard above), run exact
+        # path-compressed union-find on the driver, ship the per-touched-doc
+        # keep table back as ONE broadcast-joinable mapping. Replaces the
+        # whole iterative join loop (persists + convergence counts) with a
+        # single tiny join; results identical to full propagation (exact CC
+        # either way, survivor = min id per component).
+        try:
+            rows = edges.filter(F.col("src") < F.col("dst")).collect()
+        finally:
+            edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        members = set(parent) | {find(k) for k in parent}
+        for node in members:
+            root = find(node)
+            comp_min[root] = min(comp_min.get(root, node), node)
+        mapping = [(node, comp_min[find(node)]) for node in members]
+        id_t = ids.schema["id"].dataType.simpleString()
+        keep_df = ids.sparkSession.createDataFrame(
+            mapping, schema=f"id {id_t}, keep_id {id_t}")
+        return (ids.join(F.broadcast(keep_df), "id", "left")
+                .select(F.col("id"),
+                        F.coalesce(F.col("keep_id"), F.col("id"))
+                        .alias("keep_id"))
+                .withColumn("is_kept", F.col("id") == F.col("keep_id")))
 
     def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (edges.join(lbl, edges.dst == lbl.id)
@@ -285,13 +341,12 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                                 F.coalesce(F.col("nbr_min"), F.col("keep_id")))
                         .alias("keep_id")))
 
-    # Seeded initialization == identity labels + one propagation, in one job.
-    seed_min = edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
-    labels = (ids.join(seed_min, ids.id == seed_min.src, "left")
-              .select(F.col("id"),
-                      F.least(F.col("id"),
-                              F.coalesce(F.col("nbr_min"), F.col("id")))
-                      .alias("keep_id"))
+    # Seeded initialization over the TOUCHED set only: label(src) =
+    # min(src, min(neighbors)) — identity labels + one propagation, one job,
+    # and star-shaped clusters (the common case) are already converged.
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+              .select(F.col("src").alias("id"),
+                      F.least(F.col("src"), F.col("nbr_min")).alias("keep_id"))
               .persist(StorageLevel.MEMORY_AND_DISK))
     steps_done = 1
     try:
@@ -309,7 +364,12 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
             steps_done += batch
             if changed == 0:
                 break
-        return labels.withColumn("is_kept", F.col("id") == F.col("keep_id"))
+        # Stitch the untouched majority back in: no edge → keeps itself.
+        return (ids.join(labels, "id", "left")
+                .select(F.col("id"),
+                        F.coalesce(F.col("keep_id"), F.col("id"))
+                        .alias("keep_id"))
+                .withColumn("is_kept", F.col("id") == F.col("keep_id")))
     finally:
         edges.unpersist()
 

@@ -2837,7 +2837,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q62_streaming_hourly", "q80_sliding_stream",
     "q63_stateful_stream", "q81_stream_static_join",
     "q67_distribution_ranks", "q101_scalable_ranks",
-    "q52_ranking_metrics",
+    "q52_ranking_metrics", "q64_neardup_corpus",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

@@ -26,3 +26,36 @@ def test_dedup_corpus_keeps_min_per_cluster(spark):
     pairs = spark.createDataFrame([(1, 2), (4, 5)], "a long, b long")
     cleaned = dedup_corpus(docs, pairs)
     assert sorted(r["doc_id"] for r in cleaned.collect()) == [0, 1, 3, 4]
+
+
+def test_driver_and_distributed_tiers_agree(spark):
+    # The adaptive small-edge tier (driver union-find) and the distributed
+    # min-label propagation must produce identical keep lists on a graph
+    # with chains, a clique, cross-links, and isolated nodes.
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = set()
+    # random clusters of varying shapes
+    for _ in range(60):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+    small = {r["id"]: r["keep_id"] for r in
+             resolve_keep_list(ids, pairs, driver_edge_max=10**6).collect()}
+    dist = {r["id"]: r["keep_id"] for r in
+            resolve_keep_list(ids, pairs, driver_edge_max=0).collect()}
+    assert small == dist
+    # survivors are component minima: every keep_id maps to itself
+    assert all(small[k] == k for k in set(small.values()))
+
+
+def test_driver_tier_empty_edges(spark):
+    ids = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = {r["id"]: (r["keep_id"], r["is_kept"])
+           for r in resolve_keep_list(ids, pairs).collect()}
+    assert out == {i: (i, True) for i in range(5)}
