@@ -2087,6 +2087,44 @@ def q81_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q103_stream_stream_join",
+    survey="streaming-streaming interval join (net-new; watermark-bounded state, append mode)",
+    oracle="""
+        SELECT c.user_id AS user_id, c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q103_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join through the real streaming engine: clicks and
+    purchases flow as two independent streams; each click matches purchases
+    by the same user within the following hour (attribution). Both sides
+    watermarked + the time-range join condition bounds the buffered state;
+    the drained append-mode output must equal the batch interval self-join
+    the oracle runs — stream/batch semantic parity for the last stateful
+    operator class the engine supports."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q103_ssj_{next(_STREAM_SEQ)}"
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = (SE.read_event_stream_auto(spark, path)
+              .filter(F.col("event_type") == "click"))
+    purchases = (SE.read_event_stream_auto(spark, path)
+                 .filter(F.col("event_type") == "purchase"))
+    joined = SE.interval_join_streams(clicks, purchases, key="user_id",
+                                      max_span="1 hour")
+    SE.run_available_now(joined, name, output_mode="append")
+    return (spark.table(name)
+            .select("user_id", F.col("l_id").alias("click_id"),
+                    F.col("r_id").alias("purchase_id")))
+
+
+@_register(
     "q82_doc_repetition",
     survey="text-quality (intra-document repetition: max-token-frequency ratio)",
     oracle="""
@@ -2838,6 +2876,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q63_stateful_stream", "q81_stream_static_join",
     "q67_distribution_ranks", "q101_scalable_ranks",
     "q52_ranking_metrics", "q64_neardup_corpus",
+    "q103_stream_stream_join",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

@@ -84,6 +84,40 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
         stream_key, "inner")
 
 
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key: str = "user_id", max_span: str = "1 hour",
+                          watermark: str = "2 hours",
+                          how: str = "inner") -> DataFrame:
+    """STREAM-STREAM event-time interval join: match each left event to
+    right events with the same ``key`` whose ``ts`` falls in
+    ``[left.ts, left.ts + max_span]`` — the attribution shape (click →
+    purchase within the hour) at 100 TB/day.
+
+    Both sides carry a watermark and the join condition bounds the two
+    event times against each other; together those let Spark DROP buffered
+    rows once they can no longer match (state per side ≈ watermark + span
+    of data, not the whole stream — without the time-range condition a
+    stream-stream join buffers everything forever). Inner-join results
+    emit eagerly as matches arrive; ``left_outer``/``right_outer`` are
+    supported by Spark but null-padded results only emit once the
+    watermark closes the row, so a finite availableNow drain can end
+    before emitting the tail — use outer modes on genuinely continuous
+    streams, and the oracle-checked query uses inner.
+
+    Output: (key, l_id, l_ts, r_id, r_ts)."""
+    l = (left.withWatermark("ts", watermark)
+         .select(F.col(key).alias("k"),
+                 F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")))
+    r = (right.withWatermark("ts", watermark)
+         .select(F.col(key).alias("rk"),
+                 F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")))
+    cond = ((F.col("k") == F.col("rk"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_span}")))
+    return (l.join(r, cond, how)
+            .select(F.col("k").alias(key), "l_id", "l_ts", "r_id", "r_ts"))
+
+
 def read_event_stream_auto(spark: SparkSession, path: str) -> DataFrame:
     """Unit-aware event stream over an events parquet file.
 

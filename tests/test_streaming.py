@@ -74,3 +74,31 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert written.count() == batch.count()
     assert sorted(r["event_id"] for r in written.select("event_id").collect()) \
         == sorted(r["event_id"] for r in batch.select("event_id").collect())
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_dir):
+    from pyspark.sql import functions as F
+
+    clicks = SE.read_event_stream(spark, event_dir) \
+        .filter(F.col("event_type") == "click")
+    purchases = SE.read_event_stream(spark, event_dir) \
+        .filter(F.col("event_type") == "purchase")
+    joined = SE.interval_join_streams(clicks, purchases, key="user_id",
+                                      max_span="1 hour")
+    assert joined.isStreaming
+    SE.run_available_now(joined, "ssj_test", output_mode="append")
+    got = sorted((r["user_id"], r["l_id"], r["r_id"])
+                 for r in spark.table("ssj_test").collect())
+
+    ev = spark.read.parquet(event_dir)
+    c = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("uid"), F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"))
+    want = sorted((r["user_id"], r["l_id"], r["r_id"]) for r in
+                  c.join(p, (c.user_id == p.uid)
+                         & (p.r_ts >= c.l_ts)
+                         & (p.r_ts <= c.l_ts + F.expr("INTERVAL 1 HOUR")))
+                  .select("user_id", "l_id", "r_id").collect())
+    assert got == want and len(got) > 0
