@@ -438,6 +438,40 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def decontaminate_corpus(docs: DataFrame, eval_sources: list[str],
+                         n: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         source_col: str = "source") -> DataFrame:
+    """DROP train documents sharing any n-gram with the eval split — the
+    production decontamination direction (:func:`cross_split_ngram_overlap`
+    is the REPORT direction: per-eval-doc overlap counts).
+
+    Scale design: the eval n-gram set is BROADCAST, so the train corpus —
+    the 100 TB side — never shuffles at all. Plan shape:
+
+    1. eval side: explode → distinct n-grams (a shuffle of the SMALL split
+       only; eval sets are small by definition — benchmark suites are MBs);
+    2. train side: explode map-side → broadcast LEFT SEMI against the eval
+       set → distinct contaminated doc ids (a shuffle of hit IDS only,
+       bounded by contamination volume, not corpus size);
+    3. corpus: broadcast LEFT ANTI against the contaminated-id set.
+
+    Two columnar scans of the train text, zero train-side wide exchanges —
+    the broadcast plays the role a bloom-filter pre-filter plays in
+    shuffle-based engines, with exact (not probabilistic) semantics.
+    ``tests/test_plans.py`` asserts the no-train-shuffle property."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    sh = docs.select(F.col(id_col), F.col(source_col),
+                     F.explode(word_shingles(toks, n)).alias("ng"))
+    is_eval = F.col(source_col).isin(eval_sources)
+    eval_ng = sh.filter(is_eval).select("ng").distinct()
+    contaminated = (sh.filter(~is_eval)
+                    .join(F.broadcast(eval_ng), "ng", "left_semi")
+                    .select(id_col).distinct())
+    return (docs.filter(~is_eval)
+            .join(F.broadcast(contaminated), id_col, "left_anti"))
+
+
 def cross_split_ngram_overlap(docs: DataFrame, eval_sources: list[str],
                               n: int = 5, text_col: str = "text",
                               id_col: str = "doc_id",

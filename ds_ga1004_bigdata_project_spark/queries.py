@@ -2682,6 +2682,42 @@ def q98_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q104_decontaminated_corpus",
+    survey="pipeline-decontamination, drop direction (broadcast eval n-grams; train side never shuffles)",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(len(t) - 4),
+                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                             || ' ' || t[i+4] || ' ' || t[i+5])) AS ng
+          FROM tok WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT ng FROM sh WHERE source IN ('src0', 'src1')),
+        bad AS (SELECT DISTINCT doc_id FROM sh
+                WHERE source NOT IN ('src0', 'src1')
+                  AND ng IN (SELECT ng FROM ev))
+        SELECT source, count(*) AS n_docs
+        FROM documents
+        WHERE source NOT IN ('src0', 'src1')
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+        GROUP BY source
+    """,
+)
+def q104_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop direction of decontamination (q98 is the report direction):
+    remove every train doc sharing a 5-gram with the src0/src1 eval split,
+    return the surviving corpus per source. The eval n-gram set broadcasts,
+    so the train side — the 100 TB side in production — never shuffles
+    (plan-asserted in tests/test_plans.py)."""
+    cat = Catalog(spark, sf_dir)
+    cleaned = dedup.decontaminate_corpus(cat.documents, ["src0", "src1"], n=5)
+    return cleaned.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register(
     "q99_data_quality_report",
     survey="data-quality audit (row/null/orphan/duplicate-key counts in one report)",
     oracle="""
@@ -2876,7 +2912,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q63_stateful_stream", "q81_stream_static_join",
     "q67_distribution_ranks", "q101_scalable_ranks",
     "q52_ranking_metrics", "q64_neardup_corpus",
-    "q103_stream_stream_join",
+    "q103_stream_stream_join", "q104_decontaminated_corpus",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

@@ -130,3 +130,19 @@ def test_snapshot_diff_single_join_of_hashes(spark):
     assert "xxhash64" in plan
     assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan \
         or "FullOuter" in plan
+
+
+def test_decontamination_never_shuffles_train_corpus(spark):
+    # q104: the train side (the 100 TB side) must reach both its joins
+    # through broadcasts only — every non-broadcast Exchange in the plan
+    # must sit under the eval-side distinct or the contaminated-id
+    # distinct, never carry the exploded train n-grams or the corpus rows.
+    plan = physical_plan(_build(spark, "q104_decontaminated_corpus"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # the only wide exchanges allowed: eval n-gram distinct, contaminated-id
+    # distinct, and the final small groupBy — 3, none of them corpus-wide
+    wide = [ln for ln in plan.splitlines()
+            if ln.strip().startswith("(") and "Exchange" in ln
+            and "Broadcast" not in ln]
+    assert len(wide) <= 3, f"unexpected wide exchanges:\n{plan}"
