@@ -94,12 +94,71 @@ def modulo_sample(df: DataFrame, key_col: str, fraction: float,
     - Knuth's hash scrambles sequential ids well enough that the kept
       fraction tracks ``fraction`` closely; for adversarial keys use
       :func:`deterministic_hash_sample` instead."""
-    k = F.pmod(F.col(key_col), F.lit(1 << 31))
     # shiftright == div 2¹⁶ for the non-negative numerator; `/` would be
     # DOUBLE division in Spark (53-bit mantissa — inexact near 2⁶³).
-    h = F.pmod(F.shiftright(k * F.lit(_KNUTH_C) + F.lit(salt), 16),
-               F.lit(1_000_000))
+    h = F.pmod(_knuth_hash(key_col, salt), F.lit(1_000_000))
     return df.filter(h < int(fraction * 1_000_000))
+
+
+def _knuth_hash(key_col: str, salt: int):
+    """The shared multiplicative hash: canonical non-negative key residue →
+    (k·C + salt) div 2¹⁶. Overflow-free 64-bit arithmetic (see
+    :func:`modulo_sample`); every deterministic sampler/sharder derives its
+    decision from this value so the SQL twins stay in one convention."""
+    k = F.pmod(F.col(key_col), F.lit(1 << 31))
+    return F.shiftright(k * F.lit(_KNUTH_C) + F.lit(salt), 16)
+
+
+def _knuth_hash_sql(key_col: str, salt: int) -> str:
+    return (f"((((({key_col} % 2147483648) + 2147483648) % 2147483648)"
+            f" * {_KNUTH_C} + {salt}) // 65536)")
+
+
+def shard_assign(df: DataFrame, key_col: str, n_shards: int,
+                 salt: int = DEFAULT_SEED, out_col: str = "shard") -> DataFrame:
+    """Deterministic cross-engine shard assignment over an integer key —
+    the write-the-training-corpus step: ``shard = knuth_hash(key) mod n``.
+
+    Pure per-row arithmetic: no shuffle, no skew sensitivity, stable under
+    reruns and engine swaps (the SQL twin is :func:`shard_assign_sql`), so
+    shard membership can be asserted by an external system. Pair with
+    ``write.partitionBy(out_col)`` for one directory per shard."""
+    return df.withColumn(
+        out_col, F.pmod(_knuth_hash(key_col, salt), F.lit(n_shards)).cast("int"))
+
+
+def shard_assign_sql(key_col: str, n_shards: int,
+                     salt: int = DEFAULT_SEED) -> str:
+    """ANSI-SQL twin of :func:`shard_assign`'s shard expression."""
+    return f"CAST({_knuth_hash_sql(key_col, salt)} % {n_shards} AS INTEGER)"
+
+
+def per_group_quota_sample(df: DataFrame, group_col: str, key_col: str,
+                           quota: int, salt: int = DEFAULT_SEED) -> DataFrame:
+    """Deterministic per-group quota sample: keep the ``quota`` rows of each
+    group with the smallest multiplicative-hash of ``key_col`` (key asc as
+    the collision tiebreak) — balanced per-source corpus construction with
+    a reproducible, engine-independent keep-set.
+
+    Plan: one hash-partitioned window per group — each group sorts only its
+    own rows. For groups large enough that a single group's rows strain one
+    task, pre-thin with :func:`modulo_sample` at a few× the target rate
+    first; the quota then resolves among survivors."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _knuth_hash(key_col, salt).asc(), F.col(key_col).asc())
+    return (df.withColumn("_quota_rn", F.row_number().over(w))
+            .filter(F.col("_quota_rn") <= quota).drop("_quota_rn"))
+
+
+def per_group_quota_sql(table: str, group_col: str, key_col: str,
+                        quota: int, salt: int = DEFAULT_SEED) -> str:
+    """ANSI-SQL twin of :func:`per_group_quota_sample` (as a subquery)."""
+    h = _knuth_hash_sql(key_col, salt)
+    return (f"(SELECT * FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {group_col} ORDER BY {h} ASC, {key_col} ASC) "
+            f"AS _quota_rn FROM {table}) WHERE _quota_rn <= {quota})")
 
 
 def modulo_sample_predicate_sql(key_col: str, fraction: float,

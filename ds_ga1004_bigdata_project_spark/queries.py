@@ -2866,6 +2866,61 @@ def q102_modulo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.exact_sum("l_quantity", "sum_qty"))
 
 
+def _q105_oracle() -> str:
+    shard = sampling.shard_assign_sql("doc_id", 16)
+    return f"""
+        SELECT {shard} AS shard, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY 1
+    """
+
+
+@_register(
+    "q105_corpus_shards",
+    survey="pipeline-output (deterministic cross-engine shard assignment + per-shard budget)",
+    oracle=_q105_oracle(),
+)
+def q105_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus sharding, oracle-certified: every doc's shard is pure
+    integer arithmetic (``sampling.shard_assign`` — the multiplicative-hash
+    family q102 certified), so an external engine reproduces the identical
+    shard membership; per-shard doc and whitespace-token budgets must match
+    exactly. Zero-shuffle assignment; the groupBy is 16 rows."""
+    cat = Catalog(spark, sf_dir)
+    sharded = sampling.shard_assign(cat.documents, "doc_id", 16)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("n_tokens"))
+
+
+def _q106_oracle() -> str:
+    sub = sampling.per_group_quota_sql("documents", "source", "doc_id", 5)
+    return f"""
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM {sub} GROUP BY source
+    """
+
+
+@_register(
+    "q106_source_quota_sample",
+    survey="pipeline-balance (deterministic per-source quota sample, cross-engine keep-set)",
+    oracle=_q106_oracle(),
+)
+def q106_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source corpus construction: keep exactly 5 docs per
+    source, chosen by multiplicative-hash order — reproducible and
+    engine-independent, so the oracle certifies the EXACT keep-set
+    (id_sum pins membership, not just counts)."""
+    cat = Catalog(spark, sf_dir)
+    kept = sampling.per_group_quota_sample(
+        cat.documents, "source", "doc_id", quota=5)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -2913,6 +2968,8 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q67_distribution_ranks", "q101_scalable_ranks",
     "q52_ranking_metrics", "q64_neardup_corpus",
     "q103_stream_stream_join", "q104_decontaminated_corpus",
+    "q105_corpus_shards", "q106_source_quota_sample",
+    "q102_modulo_sample",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

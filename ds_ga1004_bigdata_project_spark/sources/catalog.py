@@ -164,6 +164,20 @@ class Catalog:
         raise AttributeError(name)
 
 
+def write_training_shards(df: DataFrame, path: str, key_col: str,
+                          n_shards: int, salt: int = 42) -> None:
+    """Training-corpus output: deterministic shard assignment
+    (``operators.sampling.shard_assign`` — cross-engine multiplicative
+    hash) + one parquet directory per shard via ``partitionBy``. Shard
+    membership is pure per-row arithmetic, so downstream consumers (data
+    loaders reading ``shard=K/``) see a stable, rerun-identical layout and
+    external engines can verify it (q105's oracle does)."""
+    from ..operators.sampling import shard_assign
+
+    write_parquet(shard_assign(df, key_col, n_shards, salt=salt), path,
+                  partition_by=["shard"])
+
+
 def audited_write_parquet(df: DataFrame, path: str) -> dict:
     """Write parquet, then audit WHAT WAS WRITTEN: row count + per-column
     null counts computed from the produced files, returned to the driver —

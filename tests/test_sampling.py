@@ -90,3 +90,59 @@ def test_modulo_sample_no_million_periodicity(spark):
     kept = {r["k"] for r in S.modulo_sample(df, "k", 0.3).collect()}
     disagree = sum((a in kept) != (b in kept) for a, b in pairs)
     assert disagree > 0, "keys 1e6 apart still co-sample in lockstep"
+
+
+def test_shard_assign_matches_duckdb_and_is_uniform(spark):
+    import duckdb
+
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        shard_assign, shard_assign_sql)
+
+    df = spark.range(-500, 10_000).withColumnRenamed("id", "k")
+    got = {r["k"]: r["shard"]
+           for r in shard_assign(df, "k", 16).collect()}
+    con = duckdb.connect()
+    want = dict(con.execute(
+        f"SELECT k, {shard_assign_sql('k', 16)} AS s "
+        "FROM (SELECT unnest(range(-500, 10000)) AS k)").fetchall())
+    assert got == want
+    # rough uniformity: every shard within 2x of the mean occupancy
+    from collections import Counter
+    occ = Counter(got.values())
+    assert len(occ) == 16
+    mean = len(got) / 16
+    assert all(0.5 * mean < c < 2 * mean for c in occ.values()), occ
+
+
+def test_per_group_quota_deterministic_and_exact(spark):
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        per_group_quota_sample)
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(1000)], "grp int, k long")
+    a = sorted((r["grp"], r["k"])
+               for r in per_group_quota_sample(df, "grp", "k", 3).collect())
+    b = sorted((r["grp"], r["k"])
+               for r in per_group_quota_sample(
+                   df.repartition(13), "grp", "k", 3).collect())
+    assert a == b, "keep-set must not depend on partitioning"
+    from collections import Counter
+    assert all(c == 3 for c in Counter(g for g, _ in a).values())
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from ds_ga1004_bigdata_project_spark.sources.catalog import (
+        write_training_shards)
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", 8)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(8)]
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # partition pruning: reading one shard touches one directory
+    one = spark.read.parquet(out).filter("shard = 3")
+    assert 0 < one.count() < 2000
