@@ -161,6 +161,39 @@ def per_group_quota_sql(table: str, group_col: str, key_col: str,
             f"AS _quota_rn FROM {table}) WHERE _quota_rn <= {quota})")
 
 
+def mixture_sample(df: DataFrame, source_col: str, key_col: str,
+                   fractions: dict[str, float], default: float = 0.0,
+                   salt: int = DEFAULT_SEED) -> DataFrame:
+    """Deterministic training-data MIXTURE: sample each source at its own
+    rate (the up/down-weighting step of corpus mixing — e.g. wiki 3×
+    oversampled relative to web crawl) with the cross-engine keep predicate
+    of :func:`modulo_sample`, so the mixed corpus is reproducible and
+    externally verifiable. Sources absent from ``fractions`` keep
+    ``default`` (0 = dropped).
+
+    Per-row arithmetic against a CASE over the source column — no shuffle,
+    no per-source scans: one pass whatever the number of sources."""
+    h = F.pmod(_knuth_hash(key_col, salt), F.lit(1_000_000))
+    thresh = F.lit(int(default * 1_000_000))
+    for src, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(source_col) == src,
+                        F.lit(int(frac * 1_000_000))).otherwise(thresh)
+    return df.filter(h < thresh)
+
+
+def mixture_sample_predicate_sql(source_col: str, key_col: str,
+                                 fractions: dict[str, float],
+                                 default: float = 0.0,
+                                 salt: int = DEFAULT_SEED) -> str:
+    """ANSI-SQL twin of :func:`mixture_sample`'s keep predicate."""
+    h = f"({_knuth_hash_sql(key_col, salt)} % 1000000)"
+    cases = " ".join(
+        f"WHEN '{src}' THEN {int(frac * 1_000_000)}"
+        for src, frac in sorted(fractions.items()))
+    return (f"{h} < (CASE {source_col} {cases} "
+            f"ELSE {int(default * 1_000_000)} END)")
+
+
 def modulo_sample_predicate_sql(key_col: str, fraction: float,
                                 salt: int = DEFAULT_SEED) -> str:
     """The ANSI-SQL twin of :func:`modulo_sample`'s keep predicate — run it

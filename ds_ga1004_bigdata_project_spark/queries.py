@@ -2921,6 +2921,37 @@ def q106_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"))
 
 
+def _q107_oracle() -> str:
+    pred = sampling.mixture_sample_predicate_sql(
+        "source", "doc_id", {"src0": 1.0, "src1": 0.5, "src2": 0.5},
+        default=0.1)
+    return f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents WHERE {pred}
+        GROUP BY source
+    """
+
+
+@_register(
+    "q107_mixture_sample",
+    survey="pipeline-mixing (per-source rate mixture, cross-engine keep-set)",
+    oracle=_q107_oracle(),
+)
+def q107_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: src0 kept whole, src1/src2 at 50%, the long tail at
+    10% — one pass, per-row arithmetic, no shuffle before the summary agg.
+    The keep-set is the q102 cross-engine hash family, so the oracle
+    certifies exact membership (id_sum), not just rates."""
+    cat = Catalog(spark, sf_dir)
+    mixed = sampling.mixture_sample(
+        cat.documents, "source", "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.5}, default=0.1)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -2969,7 +3000,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q52_ranking_metrics", "q64_neardup_corpus",
     "q103_stream_stream_join", "q104_decontaminated_corpus",
     "q105_corpus_shards", "q106_source_quota_sample",
-    "q102_modulo_sample",
+    "q102_modulo_sample", "q107_mixture_sample",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

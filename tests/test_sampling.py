@@ -146,3 +146,30 @@ def test_write_training_shards_layout(spark, tmp_path):
     # partition pruning: reading one shard touches one directory
     one = spark.read.parquet(out).filter("shard = 3")
     assert 0 < one.count() < 2000
+
+
+def test_mixture_sample_matches_duckdb_and_respects_rates(spark):
+    import duckdb
+
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        mixture_sample, mixture_sample_predicate_sql)
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(9000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    fr = {"a": 1.0, "b": 0.25}
+    got = sorted(r["k"] for r in mixture_sample(df, "src", "k", fr,
+                                                default=0.0).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, src VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = mixture_sample_predicate_sql("src", "k", fr, default=0.0)
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT k FROM t WHERE {pred}").fetchall())
+    assert got == want
+    # per-source realized rates near nominal; 'c' fully dropped
+    kept_src = {k % 3 for k in got}
+    assert 2 not in kept_src
+    n_a = sum(1 for k in got if k % 3 == 0)
+    n_b = sum(1 for k in got if k % 3 == 1)
+    assert n_a == 3000                      # rate 1.0 keeps everything
+    assert 0.15 * 3000 < n_b < 0.35 * 3000  # rate 0.25 ± tolerance
