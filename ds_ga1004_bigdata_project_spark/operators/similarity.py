@@ -281,7 +281,8 @@ def brp_lsh_neighbors(df: DataFrame, threshold_l2: float, id_col: str = "vec_id"
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+             vec_col: str = "embedding", seed: int = 42,
+             init_mode: str = "random", max_iter: int = 4) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer assigns corpus vectors to cells;
     each query scores only its ``n_probe`` nearest cells' vectors.
 
@@ -293,9 +294,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     corp = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
                          array_to_vector(F.col(vec_col)).alias("features"))
-    # Coarse quantizer: cell assignment only needs rough centroids; few
-    # iterations suffice and fit time dominates the operator.
-    km = KMeans(k=n_cells, seed=seed, maxIter=5,
+    # Coarse quantizer: cell assignment only needs rough centroids — random
+    # init + few Lloyd iterations, the FAISS-IVF convention. The default
+    # k-means|| init is itself several full passes over the corpus and
+    # dominated this operator's fit time for no recall benefit at the
+    # coarse-partitioning level (recall is pinned in
+    # tests/test_similarity_tiers.py::test_ivf_recall_vs_brute_force).
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, initMode=init_mode,
                 featuresCol="features", predictionCol="cell")
     model = km.fit(corp)
     corp_cells = with_norm(model.transform(corp).select("n_id", "n_vec", "cell"),

@@ -3000,7 +3000,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q52_ranking_metrics", "q64_neardup_corpus",
     "q103_stream_stream_join", "q104_decontaminated_corpus",
     "q105_corpus_shards", "q106_source_quota_sample",
-    "q102_modulo_sample", "q107_mixture_sample",
+    "q102_modulo_sample", "q107_mixture_sample", "q58_ivf_topk",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

