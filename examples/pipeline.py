@@ -80,6 +80,37 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     dedup.cross_split_ngram_overlap(docs, ["src0", "src1"], n=5) \
         .orderBy(F.desc("n_shared_ngrams")).show(3)
 
+    print("== 9. corpus assembly: decontaminate -> mix -> quota -> shard ==")
+    import tempfile
+
+    from ds_ga1004_bigdata_project_spark.operators import sampling as S
+    from ds_ga1004_bigdata_project_spark.sources.catalog import (
+        write_training_shards)
+
+    clean = dedup.decontaminate_corpus(docs, ["src0", "src1"], n=5)
+    mixed = S.mixture_sample(clean, "source", "doc_id",
+                             {"src2": 1.0, "src3": 0.5}, default=0.25)
+    balanced = S.per_group_quota_sample(mixed, "source", "doc_id", quota=20)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_training_shards(balanced, f"{tmp}/shards", "doc_id", n_shards=4)
+        out = spark.read.parquet(f"{tmp}/shards")
+        out.groupBy("shard").count().orderBy("shard").show()
+    print(f"corpus: {docs.count()} -> clean {clean.count()} "
+          f"-> mixed {mixed.count()} -> balanced {balanced.count()}")
+
+    print("== 10. stream-stream interval join (click -> purchase attribution) ==")
+    from ds_ga1004_bigdata_project_spark.streaming import events as SE
+
+    epath = os.path.join(sf_dir, "events.parquet")
+    clicks = SE.read_event_stream_auto(spark, epath) \
+        .filter(F.col("event_type") == "click")
+    purchases = SE.read_event_stream_auto(spark, epath) \
+        .filter(F.col("event_type") == "purchase")
+    SE.run_available_now(
+        SE.interval_join_streams(clicks, purchases, max_span="1 hour"),
+        "tour_ssj", output_mode="append")
+    spark.table("tour_ssj").show(3)
+
     spark.stop()
 
 
