@@ -475,22 +475,40 @@ def decontaminate_corpus(docs: DataFrame, eval_sources: list[str],
 def cross_split_ngram_overlap(docs: DataFrame, eval_sources: list[str],
                               n: int = 5, text_col: str = "text",
                               id_col: str = "doc_id",
-                              source_col: str = "source") -> DataFrame:
+                              source_col: str = "source",
+                              broadcast_eval: bool = True) -> DataFrame:
     """Benchmark decontamination: for every EVAL document, count its distinct
     n-gram shingles that also occur anywhere in the TRAIN split.
 
     The canonical pre-training hygiene op (eval sets leak into web-scale
-    corpora; n-gram overlap is the standard detector). One pass builds each
-    side's distinct shingle set; the train side collapses to DISTINCT
-    shingles only — so the join shuffles (shingle, doc) vs (shingle) pairs,
-    never documents, and the train side dedupes BEFORE the shuffle via
-    partial aggregation. Returns (doc_id, n_shared_ngrams) for eval docs with
-    ≥1 collision; downstream either drops those docs or masks the spans."""
+    corpora; n-gram overlap is the standard detector). Returns
+    (doc_id, n_shared_ngrams) for eval docs with ≥1 collision; downstream
+    either drops those docs or masks the spans.
+
+    Two plans (``broadcast_eval``):
+
+    - True (default, the :func:`decontaminate_corpus` shape): the eval
+      (doc, n-gram) set — small by definition — BROADCASTS to a map-side
+      inner join against the train explode, so the train corpus never
+      shuffles its n-grams; only MATCHED (doc, ng) hits cross a wide
+      exchange for the distinct (map-side partially deduped). At 100 TB
+      train / MB-scale eval this is the only shape that avoids shuffling
+      the train shingle universe.
+    - False (inverted-index form): both sides collapse to distinct shingles
+      and hash-join on ng — the fallback when the eval split is itself too
+      large to broadcast (cross-CORPUS overlap rather than benchmark
+      decontamination)."""
     toks = ws_tokens(F.lower(F.col(text_col)))
     sh = docs.select(F.col(id_col), F.col(source_col),
                      F.explode(word_shingles(toks, n)).alias("ng"))
     is_eval = F.col(source_col).isin(eval_sources)
     eval_ng = sh.filter(is_eval).select(id_col, "ng").distinct()
+    if broadcast_eval:
+        hits = (sh.filter(~is_eval).select("ng")
+                .join(F.broadcast(eval_ng), "ng")
+                .select(id_col, "ng").distinct())
+        return hits.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_shared_ngrams"))
     train_ng = sh.filter(~is_eval).select("ng").distinct()
     return (eval_ng.join(train_ng, "ng", "left_semi")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams")))

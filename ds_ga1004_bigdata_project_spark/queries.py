@@ -3001,6 +3001,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q103_stream_stream_join", "q104_decontaminated_corpus",
     "q105_corpus_shards", "q106_source_quota_sample",
     "q102_modulo_sample", "q107_mixture_sample", "q58_ivf_topk",
+    "q98_decontamination",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

@@ -59,3 +59,18 @@ def test_driver_tier_empty_edges(spark):
     out = {r["id"]: (r["keep_id"], r["is_kept"])
            for r in resolve_keep_list(ids, pairs).collect()}
     assert out == {i: (i, True) for i in range(5)}
+
+
+def test_overlap_broadcast_and_index_plans_agree(spark):
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        cross_split_ngram_overlap)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    a = {r["doc_id"]: r["n_shared_ngrams"] for r in cross_split_ngram_overlap(
+        docs, ["src0", "src1"], n=5, broadcast_eval=True).collect()}
+    b = {r["doc_id"]: r["n_shared_ngrams"] for r in cross_split_ngram_overlap(
+        docs, ["src0", "src1"], n=5, broadcast_eval=False).collect()}
+    assert a == b and len(a) > 0
