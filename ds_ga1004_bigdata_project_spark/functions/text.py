@@ -129,3 +129,40 @@ def content_fingerprint(col: Column) -> Column:
     canon = F.array_join(
         F.sort_array(F.array_distinct(word_tokens(F.lower(col)))), " ")
     return F.md5(canon)
+
+
+def chunk_documents(df, chunk_size: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed token windows with overlap — the
+    context-window packing prep step of a training pipeline. Emits one row
+    per chunk: (id, chunk_idx, n_tokens, chunk_text, chunk_md5).
+
+    Pure array arithmetic per row (tokenize once; each chunk is a
+    ``slice`` over the token array at stride ``chunk_size - overlap``), then
+    one explode — no shuffle, no UDF; output volume ≈ input tokens ×
+    (1 + overlap/stride). The md5 over the re-joined chunk makes chunk
+    CONTENT cross-engine checkable (q108's oracle recomputes it in SQL),
+    not just chunk counts."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    # Number of chunks: 1 + ceil(max(0, n - chunk_size) / stride); integer
+    # form avoids float division (exact for any n).
+    extra = F.greatest(n - F.lit(chunk_size), F.lit(0))
+    n_chunks = F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, chunk_size).alias("toks")))
+    # split("") yields [""] (size 1), so empty/whitespace-only docs must be
+    # excluded by trimmed content, not token count.
+    return (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col,
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.size("c.toks").alias("n_tokens"),
+                    F.array_join("c.toks", " ").alias("chunk_text"))
+            .withColumn("chunk_md5", F.md5(F.col("chunk_text"))))

@@ -2952,6 +2952,40 @@ def q107_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"))
 
 
+@_register(
+    "q108_doc_chunks",
+    survey="pipeline-chunking (fixed token windows with overlap; content md5-pinned)",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''),
+        c AS (
+          SELECT doc_id, t,
+                 unnest(range(1 + CAST((greatest(len(t) - 50, 0) + 39) // 40
+                                       AS INT))) AS chunk_idx
+          FROM tok)
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(list_slice(t, chunk_idx*40 + 1, chunk_idx*40 + 50))
+                    AS INT) AS n_tokens,
+               md5(array_to_string(
+                   list_slice(t, chunk_idx*40 + 1, chunk_idx*40 + 50), ' '))
+                 AS chunk_md5
+        FROM c
+    """,
+)
+def q108_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 50-token windows, 10-token overlap
+    (stride 40), one output row per chunk with an md5 over the re-joined
+    chunk text — so the oracle certifies the exact chunk CONTENT and
+    boundaries, not just counts. Pure array arithmetic + one explode; no
+    shuffle before the (tiny) result."""
+    from .functions.text import chunk_documents
+    cat = Catalog(spark, sf_dir)
+    return chunk_documents(cat.documents, chunk_size=50, overlap=10) \
+        .select("doc_id", "chunk_idx", F.col("n_tokens").cast("int").alias("n_tokens"),
+                "chunk_md5")
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -3001,7 +3035,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q103_stream_stream_join", "q104_decontaminated_corpus",
     "q105_corpus_shards", "q106_source_quota_sample",
     "q102_modulo_sample", "q107_mixture_sample", "q58_ivf_topk",
-    "q98_decontamination",
+    "q98_decontamination", "q108_doc_chunks",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

@@ -1,0 +1,51 @@
+"""Document chunking: boundary arithmetic pinned on hand-computable cases."""
+
+from __future__ import annotations
+
+from ds_ga1004_bigdata_project_spark.functions.text import chunk_documents
+
+
+def _chunks(spark, text, size, overlap):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return [(r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(df, size, overlap)
+            .orderBy("chunk_idx").collect()]
+
+
+def test_short_doc_is_one_chunk(spark):
+    assert _chunks(spark, "a b c", 5, 2) == [(0, 3, "a b c")]
+
+
+def test_exact_multiple_has_no_empty_tail(spark):
+    # 6 tokens, size 3, no overlap → exactly two chunks
+    got = _chunks(spark, "a b c d e f", 3, 0)
+    assert got == [(0, 3, "a b c"), (1, 3, "d e f")]
+
+
+def test_overlap_windows(spark):
+    # 7 tokens, size 4, overlap 2 (stride 2) → starts at 0,2,4 (ceil((7-4)/2)=2 extra)
+    got = _chunks(spark, "a b c d e f g", 4, 2)
+    assert got == [(0, 4, "a b c d"), (1, 4, "c d e f"), (2, 3, "e f g")]
+
+
+def test_empty_text_yields_no_rows(spark):
+    df = spark.createDataFrame([(1, ""), (2, "x y")], "doc_id long, text string")
+    rows = chunk_documents(df, 5, 0).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_every_token_covered_and_strides_align(spark):
+    text = " ".join(f"t{i}" for i in range(103))
+    got = _chunks(spark, text, 50, 10)
+    # stride 40: starts 0, 40, 80 → 3 chunks; last has 103-80=23 tokens
+    assert [(i, n) for i, n, _ in got] == [(0, 50), (1, 50), (2, 23)]
+    # overlap regions repeat exactly
+    assert got[0][2].split()[40:] == got[1][2].split()[:10]
+
+
+def test_bad_overlap_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, 5, 5)
