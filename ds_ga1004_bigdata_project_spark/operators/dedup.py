@@ -184,31 +184,32 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
 
     k = bands * rows_per_band
     tokens = ws_tokens(F.col(text_col))
+    # Shingles are hashed to int64 AT CONSTRUCTION: each multi-word shingle
+    # string is hashed exactly once, and everything downstream — the
+    # persisted canonical set, the k minhash functions (re-hash the 8-byte
+    # long with per-function seeds), the exact-Jaccard verify
+    # (array_intersect over longs) — works on fixed-width integers. Jaccard
+    # over the hashed sets equals Jaccard over the string sets up to
+    # xxhash64 collisions (~2⁻⁶⁴ per pair — far below any dedup threshold's
+    # sensitivity), the persist is ~5× smaller than string shingles, and
+    # the verify compares longs instead of variable-length strings.
+    # (Arithmetic families like h1+i·h2 for the k functions would be
+    # cheaper still but overflow under ANSI mode, Spark 4's default.)
     shingled = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokens, n)).alias("shingles"),
+        F.array_distinct(
+            F.transform(word_shingles(tokens, n),
+                        lambda s: F.xxhash64(s, F.lit(seed)))).alias("shingles"),
     ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
         caches.append(shingled)
 
-    # k independent minhashes via hash-of-hash: each shingle STRING is hashed
-    # ONCE (the expensive part — multi-word shingle bytes), then the k
-    # functions re-hash that 8-byte long with per-function seeds. Hashing a
-    # long is a constant handful of mixes vs a length-proportional string
-    # hash, so this cuts the signature build by ~k× on the string work —
-    # this operator's hot spot. (Arithmetic families like h1+i·h2 would be
-    # cheaper still but overflow under ANSI mode, Spark 4's default.)
-    hashed = shingled.select(
-        "id",
-        F.transform(F.col("shingles"),
-                    lambda s: F.xxhash64(s, F.lit(seed))).alias("_hs"))
-
     def _minhash(i: int):
         return F.array_min(
-            F.transform("_hs", lambda h: F.xxhash64(h, F.lit(seed + i)))
+            F.transform("shingles", lambda h: F.xxhash64(h, F.lit(seed + i)))
         ).alias(f"mh_{i}")
 
-    sigs = hashed.select("id", *[_minhash(i) for i in range(k)])
+    sigs = shingled.select("id", *[_minhash(i) for i in range(k)])
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),

@@ -74,3 +74,30 @@ def test_overlap_broadcast_and_index_plans_agree(spark):
     b = {r["doc_id"]: r["n_shared_ngrams"] for r in cross_split_ngram_overlap(
         docs, ["src0", "src1"], n=5, broadcast_eval=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_minhash_banded_pairs_finds_planted_dups(spark):
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        minhash_banded_pairs)
+
+    base = " ".join(f"w{i}" for i in range(60))
+    mutated = " ".join(f"w{i}" for i in range(58)) + " x1 x2"  # ~high overlap
+    distinct = " ".join(f"z{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, mutated), (3, distinct)],
+        "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in minhash_banded_pairs(docs, n=5, min_jaccard=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert all(3 not in p for p in pairs)  # the distinct doc never pairs
+
+    # jaccard must equal the hand-computed STRING-shingle jaccard (the
+    # int64-hashed set representation is an implementation detail)
+    def sh(text, n=5):
+        t = text.split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    if (0, 2) in pairs:
+        a, b = sh(base), sh(mutated)
+        expect = round(len(a & b) / len(a | b), 6)
+        assert pairs[(0, 2)] == expect
