@@ -3036,7 +3036,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q105_corpus_shards", "q106_source_quota_sample",
     "q102_modulo_sample", "q107_mixture_sample", "q58_ivf_topk",
     "q98_decontamination", "q108_doc_chunks",
-    "q56_minhash_pairs", "q57_simhash_groups",
+    "q56_minhash_pairs",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.
