@@ -148,8 +148,10 @@ def chunk_documents(df, chunk_size: int, overlap: int = 0,
     stride = chunk_size - overlap
     toks = ws_tokens(F.col(text_col))
     n = F.size(toks)
-    # Number of chunks: 1 + ceil(max(0, n - chunk_size) / stride); integer
-    # form avoids float division (exact for any n).
+    # Number of chunks: 1 + ceil(max(0, n - chunk_size) / stride). Spark's
+    # `/` is DOUBLE division with the floor applied after — exact here
+    # because n is an array size (INT, < 2^31), far inside the 2^53 mantissa;
+    # it would NOT be safe for arbitrary bigint numerators.
     extra = F.greatest(n - F.lit(chunk_size), F.lit(0))
     n_chunks = F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
     chunks = F.transform(

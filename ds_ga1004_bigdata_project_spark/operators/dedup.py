@@ -289,7 +289,10 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
              .unionByName(pairs.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
              .persist(StorageLevel.MEMORY_AND_DISK))
-    n_edges = edges.count()
+    # `edges` holds BOTH orientations, so the undirected edge count is half
+    # the materialized row count — the dispatch threshold is in undirected
+    # edges (matching RESOLVE_DRIVER_EDGE_MAX's "100k edges ~ 2 MB" sizing).
+    n_edges = edges.count() // 2
 
     if n_edges <= driver_edge_max:
         # Small-edge tier (the AUC/ranks adaptive-dispatch pattern): the

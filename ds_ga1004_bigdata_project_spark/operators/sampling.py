@@ -79,7 +79,7 @@ def modulo_sample(df: DataFrame, key_col: str, fraction: float,
     Trino, BigQuery) computes the identical keep-set, which makes sampled
     pipelines oracle-checkable end-to-end (Spark's ``sample()`` and
     ``xxhash64`` are both engine-specific).
-    :func:`modulo_sample_predicate_sql` emits the matching ANSI-SQL
+    :func:`modulo_sample_predicate_sql` emits the matching DuckDB-SQL
     predicate so the two sides can never drift.
 
     Design notes (r3 ADVICE):
@@ -110,6 +110,12 @@ def _knuth_hash(key_col: str, salt: int):
 
 
 def _knuth_hash_sql(key_col: str, salt: int) -> str:
+    """DuckDB-SQL twin of :func:`_knuth_hash`. Deliberately DuckDB-dialect:
+    ``//`` (exact int64 floor division) and C-style ``%`` keep every step in
+    integer arithmetic — a portable ``CAST(x/65536 ...)`` would route through
+    DOUBLE and lose exactness above 2^53, which the pre-shift product here
+    (up to ~5.5e18) exceeds. Porting to another engine means swapping in its
+    exact integer-division operator (e.g. Postgres ``div(x, 65536)``)."""
     return (f"((((({key_col} % 2147483648) + 2147483648) % 2147483648)"
             f" * {_KNUTH_C} + {salt}) // 65536)")
 
@@ -129,7 +135,7 @@ def shard_assign(df: DataFrame, key_col: str, n_shards: int,
 
 def shard_assign_sql(key_col: str, n_shards: int,
                      salt: int = DEFAULT_SEED) -> str:
-    """ANSI-SQL twin of :func:`shard_assign`'s shard expression."""
+    """DuckDB-SQL twin (see :func:`_knuth_hash_sql` dialect note) of :func:`shard_assign`'s shard expression."""
     return f"CAST({_knuth_hash_sql(key_col, salt)} % {n_shards} AS INTEGER)"
 
 
@@ -154,7 +160,7 @@ def per_group_quota_sample(df: DataFrame, group_col: str, key_col: str,
 
 def per_group_quota_sql(table: str, group_col: str, key_col: str,
                         quota: int, salt: int = DEFAULT_SEED) -> str:
-    """ANSI-SQL twin of :func:`per_group_quota_sample` (as a subquery)."""
+    """DuckDB-SQL twin (see :func:`_knuth_hash_sql` dialect note) of :func:`per_group_quota_sample` (as a subquery)."""
     h = _knuth_hash_sql(key_col, salt)
     return (f"(SELECT * FROM (SELECT *, row_number() OVER "
             f"(PARTITION BY {group_col} ORDER BY {h} ASC, {key_col} ASC) "
@@ -185,10 +191,13 @@ def mixture_sample_predicate_sql(source_col: str, key_col: str,
                                  fractions: dict[str, float],
                                  default: float = 0.0,
                                  salt: int = DEFAULT_SEED) -> str:
-    """ANSI-SQL twin of :func:`mixture_sample`'s keep predicate."""
+    """DuckDB-SQL twin (see :func:`_knuth_hash_sql` dialect note) of :func:`mixture_sample`'s keep predicate."""
     h = f"({_knuth_hash_sql(key_col, salt)} % 1000000)"
     cases = " ".join(
-        f"WHEN '{src}' THEN {int(frac * 1_000_000)}"
+        # SQL string literals escape an embedded quote by doubling it — a
+        # source name like "o'reilly" must not produce a malformed CASE arm.
+        f"WHEN '{src.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {int(frac * 1_000_000)}"
         for src, frac in sorted(fractions.items()))
     return (f"{h} < (CASE {source_col} {cases} "
             f"ELSE {int(default * 1_000_000)} END)")
@@ -196,7 +205,7 @@ def mixture_sample_predicate_sql(source_col: str, key_col: str,
 
 def modulo_sample_predicate_sql(key_col: str, fraction: float,
                                 salt: int = DEFAULT_SEED) -> str:
-    """The ANSI-SQL twin of :func:`modulo_sample`'s keep predicate — run it
+    """The DuckDB-SQL twin (see :func:`_knuth_hash_sql` dialect note) of :func:`modulo_sample`'s keep predicate — run it
     in DuckDB/Trino/BigQuery to reproduce the exact keep-set. Kept in one
     place so the Spark expression and the oracle SQL cannot drift.
 

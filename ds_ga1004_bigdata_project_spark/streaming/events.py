@@ -135,14 +135,38 @@ def read_event_stream_auto(spark: SparkSession, path: str) -> DataFrame:
 
     Declaring bigint over a timestamp[us] file silently parses the raw µs
     int64 and the ÷1000 collapses every event into 1970 — the unguarded
-    failure this probe exists to prevent."""
+    failure this probe exists to prevent.
+
+    Session-conf hygiene (r5 ADVICE): the probe needs the legacy
+    ``nanosAsLong`` conf, which is SESSION-wide. When the footer says native
+    timestamp (the current fixtures), the conf is restored to its prior
+    state before returning — no side effect on later batch reads. When the
+    footer says int64 nanos it must STAY set: the stream's scan-time parquet
+    reader needs it to map TIMESTAMP(NANOS) onto the declared bigint column,
+    so in that case (and only that case) the session keeps the legacy
+    setting for as long as the stream may run."""
     import os
 
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
+        raise
     ts_is_nanos_long = isinstance(ts_type, LongType)
+    if not ts_is_nanos_long:
+        # Native-timestamp file: the stream never needs the legacy conf.
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
     ddl = ("event_id bigint, ts {}, user_id bigint, "
            "event_type string, value double, props string").format(
                "bigint" if ts_is_nanos_long else "timestamp")

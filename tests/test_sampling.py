@@ -173,3 +173,24 @@ def test_mixture_sample_matches_duckdb_and_respects_rates(spark):
     n_b = sum(1 for k in got if k % 3 == 1)
     assert n_a == 3000                      # rate 1.0 keeps everything
     assert 0.15 * 3000 < n_b < 0.35 * 3000  # rate 0.25 ± tolerance
+
+
+def test_mixture_sql_escapes_quoted_source_names(spark):
+    """A source name containing a single quote must produce a well-formed,
+    correctly-matching DuckDB predicate (r5 ADVICE: quote escaping)."""
+    import duckdb
+
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        mixture_sample, mixture_sample_predicate_sql)
+
+    rows = [(i, ["o'reilly", "plain"][i % 2]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    fr = {"o'reilly": 0.5, "plain": 0.1}
+    got = sorted(r["k"] for r in mixture_sample(df, "src", "k", fr).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, src VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = mixture_sample_predicate_sql("src", "k", fr)
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT k FROM t WHERE {pred}").fetchall())
+    assert got == want and len(got) > 0

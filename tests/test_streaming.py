@@ -144,3 +144,24 @@ def test_stream_stream_left_outer_emits_unmatched_except_tail(spark, event_dir):
         F.col("l_ts") > F.lit(max_ts) - F.expr("INTERVAL 5 HOURS")).count()
     assert n_clicks - tail <= n_emitted_clicks <= n_clicks
     assert n_emitted_clicks > n_clicks * 0.9  # the tail is small on this data
+
+
+def test_auto_reader_restores_nanos_conf_on_timestamp_files(spark):
+    """r5 ADVICE: the unit probe must not leave the session-wide legacy
+    ``nanosAsLong`` conf flipped when the file's ts is a native timestamp
+    (the current fixture encoding)."""
+    import glob
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    if prev is not None:
+        spark.conf.unset(key)
+    try:
+        path = glob.glob(f"{SF_SMOKE}/events.parquet")[0]
+        stream = SE.read_event_stream_auto(spark, path)
+        assert stream.isStreaming
+        assert spark.conf.get(key, None) is None, \
+            "probe leaked session-wide nanosAsLong=true"
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
