@@ -128,3 +128,23 @@ def sweep(interactions: DataFrame, grid: list[ALSConfig], k: int = 10):
         return results
     finally:
         cached.unpersist()
+
+
+#: Schema of the sweep-results relation (one row per grid cell).
+SWEEP_RESULTS_SCHEMA = ("rank int, reg_param double, alpha double, "
+                        "map double, precision_at_k double, "
+                        "ndcg_at_k double, n_users bigint")
+
+
+def sweep_results_df(spark, results) -> DataFrame:
+    """Materialize :func:`sweep` output as a small RELATION (one row per
+    grid cell: hyperparameters + ranking metrics) so a sweep can be written
+    to parquet and queried/joined like any other table — the shape
+    ``param_train_2nd.py:75-85`` printed to stdout. The sweep grid is
+    metadata-sized by construction (a handful of cells), so building the
+    relation driver-side is not a scale concern; each metric row was itself
+    computed distributedly by :func:`evaluate_model`."""
+    rows = [(cfg.rank, cfg.reg_param, cfg.alpha, m["map"],
+             m["precision_at_k"], m["ndcg_at_k"], m["n_users"])
+            for cfg, m in results]
+    return spark.createDataFrame(rows, SWEEP_RESULTS_SCHEMA)

@@ -7,12 +7,19 @@ functions over mapInPandas** — the only sane shape for Python media libs at
 scale: whole Arrow record batches cross the JVM↔Python boundary once, and the
 work parallelizes per input partition with zero shuffle.
 
-The media libraries themselves (PIL/ffmpeg/librosa) are NOT in this
-container, so the actual byte→pixels decode is STUBBED (see
-:func:`_decode_payload`): real modality decoding raises NotImplementedError
-behind ``fake=False``, and the default deterministic fake derives features
-from the raw bytes (hashes/lengths), keeping every piece of Spark-side
-plumbing — schema, batching, partitioning, UDF signature — real and testable.
+Decode status by modality (VERDICT r5 #4):
+
+- **audio**: REAL decode — :func:`decode_wav_features` parses genuine
+  RIFF/WAVE containers with the stdlib ``wave`` module (header, frame count,
+  sample rate, PCM frames via ``struct``). :func:`synthesize_wav_payload`
+  builds real WAV bytes from a deterministic per-document formula so a
+  DuckDB oracle can recompute the decoded features exactly (q109).
+- **image**: REAL decode — :func:`decode_bmp_features` parses genuine
+  24-bit uncompressed BMP containers (``struct`` over the BITMAPINFOHEADER,
+  row-stride/padding handling). Synth twin + oracle: q110.
+- **video**: still STUBBED (:func:`_decode_payload` behind ``fake=False``) —
+  a real container demuxer genuinely needs ffmpeg/pyav; the deterministic
+  fake keeps the 1→N frame-explode plumbing testable.
 """
 
 from __future__ import annotations
@@ -52,16 +59,184 @@ def attach_payload(documents: DataFrame, text_col: str = "text",
 
 
 def _decode_payload(content: bytes, modality: str, fake: bool) -> list[float]:
-    """STUB decode. Real decoding (PIL.Image.open / soundfile / pyav frame
-    sampling) is unavailable in this container; ``fake=True`` derives a
-    deterministic 4-dim feature from the payload bytes so the distributed
-    plumbing is fully exercisable."""
+    """STUB decode for the q60 hash-feature path. Real audio/image decoding
+    now exists (:func:`decode_wav_features` / :func:`decode_bmp_features`);
+    only VIDEO still genuinely requires libraries absent from this container
+    (ffmpeg/pyav demuxing). ``fake=True`` derives a deterministic 4-dim
+    feature from the payload bytes so the distributed plumbing is fully
+    exercisable for all modalities."""
     if not fake:
         raise NotImplementedError(
-            f"real {modality} decode requires media libraries not present in "
-            "this environment; run with fake=True or install PIL/ffmpeg/librosa")
+            f"real {modality} decode on this path requires media libraries "
+            "not present in this environment; run with fake=True, or use "
+            "decode_wav_features/decode_bmp_features for audio/image")
     h = hashlib.sha256(content).digest()
     return [b / 255.0 for b in h[:4]]
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (audio WAV via stdlib `wave`, image BMP via `struct`) with
+# deterministic synth twins so features are oracle-checkable (VERDICT r5 #4).
+# ---------------------------------------------------------------------------
+
+#: Synth constants — shared by the Spark synth/decode path and the DuckDB
+#: oracles (queries.py q109/q110). Changing any of these breaks the oracles
+#: on purpose.
+WAV_SAMPLE_RATE = 8000
+WAV_N_BASE, WAV_N_MOD = 64, 256          # n_samples = (n_chars % 256) + 64
+WAV_A, WAV_B, WAV_M = 7349, 4001, 20001  # s_i = ((id*A + i*B) % M) - 10000
+BMP_W_BASE, BMP_W_MOD = 4, 16            # width  = (n_chars % 16) + 4
+BMP_H_BASE, BMP_H_MOD = 4, 16            # height = (doc_id  % 16) + 4
+BMP_PA, BMP_PB, BMP_PC = 31, 17, 5       # v(x,y) = (id*PA + y*PB + x*PC) % 256
+
+WAV_FEATURE_SCHEMA = ("doc_id bigint, sample_rate int, n_samples int, "
+                      "peak int, rms double")
+BMP_FEATURE_SCHEMA = "doc_id bigint, width int, height int, mean_pixel double"
+
+
+def synthesize_wav_payload(documents: DataFrame, id_col: str = "doc_id",
+                           len_col: str = "n_chars") -> DataFrame:
+    """(doc_id, content) where ``content`` is a GENUINE RIFF/WAVE container:
+    mono 16-bit PCM at :data:`WAV_SAMPLE_RATE`, written by the stdlib
+    ``wave`` module. Sample values follow a pure-integer formula of
+    (doc_id, n_chars) so any engine can recompute the decoded features.
+    mapInPandas synth: Arrow batches in/out, zero shuffle."""
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf[len_col]):
+                n = int(n_chars) % WAV_N_MOD + WAV_N_BASE
+                samples = [
+                    (int(doc_id) * WAV_A + i * WAV_B) % WAV_M - 10000
+                    for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "content": payloads})
+
+    return documents.select(id_col, len_col).mapInPandas(
+        batches, schema="doc_id bigint, content binary")
+
+
+def decode_wav_features(payloads: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each RIFF/WAVE payload with the stdlib
+    ``wave`` reader (container header → rate/frames/width, ``readframes`` →
+    PCM bytes → ``struct`` unpack) and emit per-clip features:
+
+        (doc_id, sample_rate, n_samples, peak, rms)
+
+    ``rms`` is computed sqrt(Σs²/n) with the sum in EXACT integer arithmetic
+    before one IEEE division+sqrt, so a SQL oracle reproduces it bit-for-bit
+    (both engines round the same correctly-rounded double ops)."""
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "peak", "rms")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2, \
+                        "synth contract: mono 16-bit PCM"
+                    rate, n = w.getframerate(), w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                ssum = sum(s * s for s in samples)     # exact int
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["peak"].append(max(abs(s) for s in samples))
+                out["rms"].append(round(math.sqrt(ssum / n), 6))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
+
+
+def synthesize_bmp_payload(documents: DataFrame, id_col: str = "doc_id",
+                           len_col: str = "n_chars") -> DataFrame:
+    """(doc_id, content) where ``content`` is a GENUINE uncompressed 24-bit
+    BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded pixel rows).
+    Grayscale pixels (all three channels equal) follow a pure-integer
+    formula of (doc_id, x, y) so the decoded mean is oracle-checkable."""
+    def batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf[len_col]):
+                w = int(n_chars) % BMP_W_MOD + BMP_W_BASE
+                h = int(doc_id) % BMP_H_MOD + BMP_H_BASE
+                stride = (w * 3 + 3) & ~3
+                rows = bytearray()
+                for y in range(h):          # bottom-up row order
+                    for x in range(w):
+                        v = (int(doc_id) * BMP_PA + y * BMP_PB
+                             + x * BMP_PC) % 256
+                        rows += bytes((v, v, v))
+                    rows += b"\x00" * (stride - w * 3)
+                pixel_off = 14 + 40
+                size = pixel_off + len(rows)
+                hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+                info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                   len(rows), 2835, 2835, 0, 0)
+                payloads.append(hdr + info + bytes(rows))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "content": payloads})
+
+    return documents.select(id_col, len_col).mapInPandas(
+        batches, schema="doc_id bigint, content binary")
+
+
+def decode_bmp_features(payloads: DataFrame) -> DataFrame:
+    """REAL image decode: parse the BMP container with ``struct`` — magic,
+    pixel-array offset, BITMAPINFOHEADER dims/bpp — then walk the padded
+    bottom-up rows and emit (doc_id, width, height, mean_pixel) where
+    ``mean_pixel`` averages every channel byte (exact integer sum, one IEEE
+    division, round 6)."""
+    def batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_pixel")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(blob)
+                assert b[:2] == b"BM", "not a BMP container"
+                pixel_off = struct.unpack_from("<I", b, 10)[0]
+                w, h = struct.unpack_from("<ii", b, 18)
+                bpp = struct.unpack_from("<H", b, 28)[0]
+                assert bpp == 24 and h > 0, "synth contract: 24-bit bottom-up"
+                stride = (w * 3 + 3) & ~3
+                total = 0
+                for y in range(h):
+                    row = b[pixel_off + y * stride:
+                            pixel_off + y * stride + w * 3]
+                    total += sum(row)      # exact int over channel bytes
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_pixel"].append(round(total / (w * h * 3), 6))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
 
 
 def extract_features(payloads: DataFrame, fake: bool = True,

@@ -111,6 +111,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "tour_ssj", output_mode="append")
     spark.table("tour_ssj").show(3)
 
+    print("== 11. M7 hyperparameter sweep -> results relation ==")
+    # The reference's rank x regParam protocol (param_train_2nd.py:43-85),
+    # one ALS fit + distributed ranking-metrics eval per cell, materialized
+    # as a queryable relation and written like any other table.
+    # `python examples/pipeline.py /root/testdata/sf0.01` runs it at the
+    # measured scale from SCALE.md.
+    grid = A.param_grid(ranks=(4, 8), regs=(0.05, 0.2), alphas=(10.0,),
+                        max_iter=3, num_blocks=4)
+    res = A.sweep_results_df(spark, A.sweep(inter, grid, k=10))
+    with tempfile.TemporaryDirectory() as tmp:
+        res.write.parquet(f"{tmp}/sweep_results")
+        spark.read.parquet(f"{tmp}/sweep_results") \
+            .orderBy(F.desc("map")).show(truncate=False)
+
     spark.stop()
 
 

@@ -87,3 +87,22 @@ def test_recommend_topk_shape(spark, interactions):
     recs = A.recommend_topk(model, users, k=7)
     rows = recs.collect()
     assert rows and all(len(r["pred_items"]) <= 7 for r in rows)
+
+
+def test_sweep_results_relation_schema(spark):
+    """VERDICT r5 #6: the M7 sweep materializes as a queryable relation with
+    a pinned schema (the example writes it to parquet as stage 11)."""
+    from ds_ga1004_bigdata_project_spark.ml import als as A
+
+    inter = A.interactions_from_orders(
+        Catalog(spark, SF_SMOKE).lineitem, Catalog(spark, SF_SMOKE).orders)
+    grid = A.param_grid(ranks=(4, 6), regs=(0.1,), alphas=(10.0,),
+                        max_iter=2, num_blocks=4)
+    res = A.sweep_results_df(spark, A.sweep(inter, grid, k=5))
+    assert [(f.name, f.dataType.simpleString()) for f in res.schema.fields] == [
+        ("rank", "int"), ("reg_param", "double"), ("alpha", "double"),
+        ("map", "double"), ("precision_at_k", "double"),
+        ("ndcg_at_k", "double"), ("n_users", "bigint")]
+    rows = res.collect()
+    assert len(rows) == 2 and all(0.0 <= r["map"] <= 1.0 for r in rows)
+    assert {r["rank"] for r in rows} == {4, 6}

@@ -52,3 +52,48 @@ def test_frame_sample_explode_shape(spark, payloads):
     frames = MM.frame_sample_stub(payloads)
     assert set(frames.columns) == {"doc_id", "modality", "frame_no", "frame_digest"}
     assert frames.count() >= payloads.count()  # 1→N explode (N=1 in the stub)
+
+
+def test_wav_roundtrip_decodes_real_container(spark):
+    """The synth writes a genuine RIFF/WAVE container and the decoder reads
+    it back with the stdlib wave parser — verified against a hand-computed
+    expectation for one document (VERDICT r5 #4: real decode path)."""
+    import math
+    import struct
+    import wave as wave_mod
+    import io
+
+    docs = spark.createDataFrame([(7, 100)], "doc_id long, n_chars int")
+    wavs = MM.synthesize_wav_payload(docs)
+    blob = bytes(wavs.first()["content"])
+    # container genuineness: stdlib wave parses the header we wrote
+    with wave_mod.open(io.BytesIO(blob)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == \
+            (1, 2, MM.WAV_SAMPLE_RATE)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    row = MM.decode_wav_features(wavs).first()
+    n = 100 % MM.WAV_N_MOD + MM.WAV_N_BASE
+    samples = [(7 * MM.WAV_A + i * MM.WAV_B) % MM.WAV_M - 10000
+               for i in range(n)]
+    assert row["n_samples"] == n == 164
+    assert row["sample_rate"] == MM.WAV_SAMPLE_RATE
+    assert row["peak"] == max(abs(s) for s in samples)
+    assert row["rms"] == round(
+        math.sqrt(sum(s * s for s in samples) / n), 6)
+
+
+def test_bmp_roundtrip_decodes_real_container(spark):
+    """The synth writes a genuine 24-bit bottom-up BMP (with row padding)
+    and the decoder struct-parses it back; mean verified by hand."""
+    docs = spark.createDataFrame([(9, 37)], "doc_id long, n_chars int")
+    bmps = MM.synthesize_bmp_payload(docs)
+    blob = bytes(bmps.first()["content"])
+    assert blob[:2] == b"BM"
+    w = 37 % MM.BMP_W_MOD + MM.BMP_W_BASE   # 9
+    h = 9 % MM.BMP_H_MOD + MM.BMP_H_BASE    # 13
+    # stride padding present: 9*3=27 -> padded to 28
+    row = MM.decode_bmp_features(bmps).first()
+    assert (row["width"], row["height"]) == (w, h)
+    vals = [(9 * MM.BMP_PA + y * MM.BMP_PB + x * MM.BMP_PC) % 256
+            for y in range(h) for x in range(w)]
+    assert row["mean_pixel"] == round(sum(vals) / len(vals), 6)
