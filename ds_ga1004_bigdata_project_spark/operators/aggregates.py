@@ -111,3 +111,32 @@ def group_counts(df: DataFrame, group_by: Sequence[str],
 def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Global describe (A8) kept DataFrame-native."""
     return df.select(*cols).summary("count", "mean", "min", "max")
+
+
+def distinct_sketch_partials(df: DataFrame, group_by: Sequence[str],
+                             col: str, lg_k: int = 12,
+                             sketch_alias: str = "sketch") -> DataFrame:
+    """Per-group mergeable HLL distinct-count sketch partials
+    (``hll_sketch_agg``, Apache DataSketches under the hood).
+
+    THE 100 TB distinct-count pattern: computing an exact count-distinct
+    over a year of data re-shuffles the raw keys every time, but sketch
+    partials are computed once per shard/day/partition (this function),
+    PERSISTED as small binary blobs, and merged on demand with
+    :func:`merge_distinct_sketches` — a rollup over kilobytes instead of a
+    rescan over terabytes. Standard error ≈ 1.04/√(2^lg_k) (~1.6 % at the
+    default lg_k=12)."""
+    return df.groupBy(*group_by).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias(sketch_alias))
+
+
+def merge_distinct_sketches(partials: DataFrame, group_by: Sequence[str],
+                            sketch_col: str = "sketch",
+                            est_alias: str = "distinct_est") -> DataFrame:
+    """Merge persisted HLL partials (``hll_union_agg``) and estimate. The
+    merge is associative/commutative, so any slicing of the data into
+    partials yields the same cardinality information — only the sketch
+    registers travel through the rollup."""
+    return partials.groupBy(*group_by).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(sketch_col)).alias(est_alias))

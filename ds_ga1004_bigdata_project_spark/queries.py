@@ -3056,6 +3056,53 @@ def q110_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_bmp_features(bmps)
 
 
+@_register(
+    "q111_distinct_sketch_rollup",
+    survey="net-new mergeable HLL distinct sketches (per-shard partials → union rollup)",
+    oracle="""
+        -- Tolerance-certificate oracle: DuckDB certifies the EXACT distinct
+        -- counts cross-engine; the two booleans are literal TRUE because the
+        -- CONTRACT is "each sketch estimate lands within 5 % of exact" —
+        -- Spark computes them from the real sketches, so any sketch
+        -- regression (or merge-path corruption) flips a boolean and the
+        -- driver records a value mismatch.
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+               TRUE AS direct_within_5pct,
+               TRUE AS merged_within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB cardinality pattern:
+    HLL partials per (group, shard) are small binary blobs that persist and
+    MERGE associatively (``operators/aggregates.distinct_sketch_partials`` /
+    ``merge_distinct_sketches``), so rolling distinct counts never re-scan
+    raw keys. The query computes the exact per-flag distinct (certified by
+    the oracle), a direct single-pass sketch estimate, and a partial→union
+    rollup estimate over 7 synthetic shards, asserting both estimates land
+    within the 5 % tolerance (≈3σ at lg_k=12; measured ~1 % on this data).
+    Estimates are value-pinned at sf0.001 in tests/test_approx_aggregates."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct"))
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("direct_est"))
+    partials = agg.distinct_sketch_partials(
+        li.withColumn("_shard", F.pmod(F.col("l_orderkey"), F.lit(7))),
+        ["l_returnflag", "_shard"], "l_orderkey")
+    merged = agg.merge_distinct_sketches(partials, ["l_returnflag"],
+                                         est_alias="merged_est")
+    ok = lambda est: (F.abs(F.col(est) - F.col("exact_distinct"))
+                      / F.col("exact_distinct") <= 0.05)  # noqa: E731
+    return (exact.join(direct, "l_returnflag").join(merged, "l_returnflag")
+            .select("l_returnflag", "exact_distinct",
+                    ok("direct_est").alias("direct_within_5pct"),
+                    ok("merged_est").alias("merged_within_5pct")))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -3103,6 +3150,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q63_stateful_stream", "q81_stream_static_join",
     "q103_stream_stream_join",
     "q109_wav_features", "q110_bmp_features",
+    "q111_distinct_sketch_rollup",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

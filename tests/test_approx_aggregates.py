@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_approx_count_distinct_within_tolerance(spark):
@@ -26,3 +26,32 @@ def test_approx_percentile_close_to_exact(spark):
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
     ).collect()[0]
     assert abs(row["approx_med"] - row["exact_med"]) / row["exact_med"] < 0.02
+
+
+def test_distinct_sketch_partials_merge_and_pin(spark):
+    """Mergeable HLL rollup (q111's operators): partial sketches per shard
+    union into a per-group estimate. Estimates are deterministic for fixed
+    data + lg_k, so they are VALUE-pinned at sf0.001 (exact: A=1081,
+    N=1110, R=1096); both paths must land within the 5% contract."""
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.operators import aggregates as agg
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    direct = {r[0]: r[1] for r in li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("e")).collect()}
+    partials = agg.distinct_sketch_partials(
+        li.withColumn("_s", F.pmod(F.col("l_orderkey"), F.lit(7))),
+        ["l_returnflag", "_s"], "l_orderkey")
+    merged = {r[0]: r[1] for r in agg.merge_distinct_sketches(
+        partials, ["l_returnflag"]).collect()}
+    assert direct == {"A": 1079, "N": 1102, "R": 1103}
+    assert merged == {"A": 1082, "N": 1115, "R": 1101}
+    exact = {"A": 1081, "N": 1110, "R": 1096}
+    for k, ex in exact.items():
+        assert abs(direct[k] - ex) / ex <= 0.05
+        assert abs(merged[k] - ex) / ex <= 0.05
+    # partials are SMALL (the whole point: kilobytes travel, not keys)
+    sizes = [len(bytes(r["sketch"])) for r in partials.collect()]
+    assert max(sizes) < 64 * 1024
