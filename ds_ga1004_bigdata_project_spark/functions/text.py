@@ -168,3 +168,38 @@ def chunk_documents(df, chunk_size: int, overlap: int = 0,
                     F.size("c.toks").alias("n_tokens"),
                     F.array_join("c.toks", " ").alias("chunk_text"))
             .withColumn("chunk_md5", F.md5(F.col("chunk_text"))))
+
+
+def sequence_pack_offsets(df, seq_len: int, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_partitions: int | None = None,
+                          caches: list | None = None):
+    """GPT-style sequence packing offsets: conceptually concatenate the
+    whole corpus token stream in ``id_col`` order and cut it every
+    ``seq_len`` tokens; each document's tokens then live in packs
+    ``first_pack..last_pack`` starting at global ``start_offset``. Output:
+    (doc_id, n_tokens, start_offset, first_pack, last_pack).
+
+    This packing style (documents concatenated, training sequences cut at a
+    fixed length regardless of document boundaries) is a pure PREFIX
+    function — unlike first-fit bin packing, which is sequential and
+    non-associative — so it distributes: the global token offset comes from
+    ``operators.ranks.global_prefix_sum`` (range-partitioned sort + per-
+    partition offsets; no single-partition window at any input size), and
+    everything after is per-row arithmetic. Pack ids use floor division on
+    DOUBLE, exact while total corpus tokens stay under 2^53 (~9e15 —
+    two orders of magnitude above a 100 TB text corpus)."""
+    from ..operators.ranks import global_prefix_sum
+
+    sized = df.select(F.col(id_col).alias("doc_id"),
+                      token_count(F.col(text_col)).alias("n_tokens"))
+    cum = global_prefix_sum(sized, [F.col("doc_id").asc()], "n_tokens",
+                            out_col="_cum", num_partitions=num_partitions,
+                            caches=caches)
+    start = (F.col("_cum") - F.col("n_tokens")).cast("long")
+    return cum.select(
+        "doc_id", "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(seq_len)).cast("long").alias("first_pack"),
+        F.floor((F.col("_cum") - 1) / F.lit(seq_len)).cast("long")
+            .alias("last_pack"))

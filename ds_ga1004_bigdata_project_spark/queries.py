@@ -3103,6 +3103,47 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ok("merged_est").alias("merged_within_5pct")))
 
 
+@_register(
+    "q112_sequence_packing",
+    survey="net-new GPT-style sequence packing (global token offsets -> fixed-length packs)",
+    oracle="""
+        WITH c AS (
+          SELECT doc_id,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens,
+                 sum(len(string_split_regex(text, '\\s+')))
+                     OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        SELECT doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset,
+               CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_pack,
+               CAST((cum - 1) // 2048 AS BIGINT) AS last_pack
+        FROM c
+    """,
+)
+def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-cut style): every document gets
+    its global token offset and the range of fixed-length (2048-token)
+    training sequences it lands in. The global offset runs through
+    ``operators.ranks.global_prefix_sum`` — range-partitioned sort with
+    per-partition offsets, so the construction that the oracle writes as an
+    unpartitioned window cumsum executes WITHOUT a single-partition window
+    at any input size (same machinery as q101/AUC; that is the 100 TB
+    difference between this and the SQL twin's plan)."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        return T.sequence_pack_offsets(cat.documents, seq_len=2048,
+                                       caches=caches)
+    finally:
+        # The per-partition offsets were collected EAGERLY inside the
+        # builder, so the internal persist has served its purpose; releasing
+        # it here (before the driver's collect) costs one re-sort of the
+        # 2-column sized table and cannot leak storage across the suite.
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -3150,7 +3191,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q63_stateful_stream", "q81_stream_static_join",
     "q103_stream_stream_join",
     "q109_wav_features", "q110_bmp_features",
-    "q111_distinct_sketch_rollup",
+    "q111_distinct_sketch_rollup", "q112_sequence_packing",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

@@ -155,3 +155,33 @@ def test_adaptive_dispatch_row_numbers_small_equals_large(spark):
     a = sorted(tuple(r) for r in small.select("c_custkey", "rn").collect())
     b = sorted(tuple(r) for r in large.select("c_custkey", "rn").collect())
     assert a == b
+
+
+def test_sequence_pack_offsets_match_window_and_plan(spark):
+    """q112's operator: pack assignment equals the naive unpartitioned-window
+    cumsum form, and its plan contains no unpartitioned Window (the
+    range-partitioned construction is the point)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.functions.text import (
+        sequence_pack_offsets, token_count)
+    from ds_ga1004_bigdata_project_spark.plans.inspect import physical_plan
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    caches = []
+    got = sequence_pack_offsets(docs, seq_len=512, caches=caches)
+    naive = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")) \
+        .withColumn("cum", F.sum("n_tokens").over(
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0))) \
+        .select("doc_id", "n_tokens",
+                (F.col("cum") - F.col("n_tokens")).cast("long").alias("start_offset"),
+                F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("long").alias("first_pack"),
+                F.floor((F.col("cum") - 1) / 512).cast("long").alias("last_pack"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    plan = physical_plan(got)
+    assert "Window [" not in plan.replace("partitionBy", "") or \
+        "_pid" in plan, "expected the range-partitioned (_pid-local) window"
+    for c in caches:
+        c.unpersist()
