@@ -215,3 +215,35 @@ def modulo_sample_predicate_sql(key_col: str, fraction: float,
     return (f"((((({key_col} % 2147483648) + 2147483648) % 2147483648)"
             f" * {_KNUTH_C} + {salt}) // 65536) % 1000000"
             f" < {int(fraction * 1_000_000)}")
+
+
+def weighted_bernoulli_sample(df: DataFrame, key_col: str, weight_col,
+                              salt: int = DEFAULT_SEED,
+                              scale: int = 1_000_000) -> DataFrame:
+    """Deterministic PER-ROW weighted Bernoulli sample: keep a row with
+    probability equal to its own ``weight_col`` value (clamped to [0, 1]) —
+    the quality-proportional document-sampling step of corpus construction
+    (rows carry a learned quality score; high-quality documents survive at
+    higher rates). The row-level generalization of :func:`mixture_sample`'s
+    per-source rates.
+
+    Keep predicate: ``knuth_hash(key) mod scale < floor(weight * scale)`` —
+    the weight is quantized to ``1/scale`` resolution ONCE, so the decision
+    is pure integer comparison and any engine reproduces the identical
+    keep-set (:func:`weighted_bernoulli_predicate_sql`). Per-row arithmetic,
+    no shuffle, streaming-safe."""
+    w = F.least(F.greatest(F.col(weight_col) if isinstance(weight_col, str)
+                           else weight_col, F.lit(0.0)), F.lit(1.0))
+    h = F.pmod(_knuth_hash(key_col, salt), F.lit(scale))
+    return df.filter(h < F.floor(w * scale).cast("long"))
+
+
+def weighted_bernoulli_predicate_sql(key_col: str, weight_expr: str,
+                                     salt: int = DEFAULT_SEED,
+                                     scale: int = 1_000_000) -> str:
+    """DuckDB-SQL twin (see :func:`_knuth_hash_sql` dialect note) of
+    :func:`weighted_bernoulli_sample`'s keep predicate. ``weight_expr`` is
+    any SQL expression computing the per-row weight."""
+    w = f"least(greatest(({weight_expr}), 0.0), 1.0)"
+    return (f"({_knuth_hash_sql(key_col, salt)} % {scale})"
+            f" < CAST(floor({w} * {scale}) AS BIGINT)")

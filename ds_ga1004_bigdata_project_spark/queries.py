@@ -3104,6 +3104,38 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q113_weighted_sample",
+    survey="net-new per-row weighted Bernoulli (quality-proportional corpus sampling)",
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ((((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                 * 2654435761 + 42) // 65536) % 1000000)
+              < CAST(floor(least(greatest(
+                    CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+                    / len(string_split_regex(text, '\\s+')), 0.0), 1.0)
+                    * 1000000) AS BIGINT)
+    """,
+)
+def q113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional sampling: each document survives with
+    probability equal to its own lexical-diversity score (any per-row
+    quality signal works — a learned classifier score in production).
+    ``sampling.weighted_bernoulli_sample`` quantizes the weight once and
+    decides by pure integer comparison, so the oracle reproduces the EXACT
+    keep-set — per-row arithmetic, no shuffle, streaming-safe. The weight
+    here (distinct tokens / tokens) divides two exact integers, so both
+    engines compute the identical double and floor to the identical
+    threshold."""
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    weighted = cat.documents.withColumn(
+        "_w", T.distinct_token_ratio(toks, scale=None))
+    return sampling.weighted_bernoulli_sample(weighted, "doc_id", "_w") \
+        .select("doc_id", "lang")
+
+
+@_register(
     "q112_sequence_packing",
     survey="net-new GPT-style sequence packing (global token offsets -> fixed-length packs)",
     oracle="""
@@ -3192,6 +3224,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q103_stream_stream_join",
     "q109_wav_features", "q110_bmp_features",
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
+    "q113_weighted_sample",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

@@ -194,3 +194,32 @@ def test_mixture_sql_escapes_quoted_source_names(spark):
     want = sorted(r[0] for r in con.execute(
         f"SELECT k FROM t WHERE {pred}").fetchall())
     assert got == want and len(got) > 0
+
+
+def test_weighted_bernoulli_matches_duckdb_and_tracks_weight(spark):
+    """Per-row weighted Bernoulli: exact cross-engine keep-set via the SQL
+    twin, realized rates tracking the row weights, clamping outside [0,1]."""
+    import duckdb
+
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        weighted_bernoulli_sample, weighted_bernoulli_predicate_sql)
+
+    # weights 0.0/0.25/0.75/1.3(→1.0) cycling by k
+    rows = [(i, [0.0, 0.25, 0.75, 1.3][i % 4]) for i in range(8000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = sorted(r["k"] for r in
+                 weighted_bernoulli_sample(df, "k", "w").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = weighted_bernoulli_predicate_sql("k", "w")
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT k FROM t WHERE {pred}").fetchall())
+    assert got == want and len(got) > 0
+    by_w = {0: 0, 1: 0, 2: 0, 3: 0}
+    for k in got:
+        by_w[k % 4] += 1
+    assert by_w[0] == 0                      # weight 0 drops everything
+    assert by_w[3] == 2000                   # clamped weight 1 keeps all
+    assert 0.15 * 2000 < by_w[1] < 0.35 * 2000
+    assert 0.65 * 2000 < by_w[2] < 0.85 * 2000
