@@ -523,3 +523,33 @@ def cross_split_ngram_overlap(docs: DataFrame, eval_sources: list[str],
     train_ng = sh.filter(~is_eval).select("ng").distinct()
     return (eval_ng.join(train_ng, "ng", "left_semi")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams")))
+
+
+def incremental_ingest_dedup(new_docs: DataFrame, index: DataFrame,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             fp_col: str = "fingerprint") -> DataFrame:
+    """Incremental corpus ingestion: dedup a NEW batch of documents against
+    a persisted fingerprint INDEX of everything already ingested, plus
+    within-batch — the daily-ingest shape of a training-data pipeline
+    (the full-corpus operators above re-scan everything; this touches only
+    the new batch and the index).
+
+    Returns the surviving (id, fingerprint) rows: batch docs whose
+    canonical content fingerprint (:func:`~..functions.text.
+    content_fingerprint` — order/duplication-invariant) appears neither in
+    the index nor earlier (min id) in the batch. ``index`` needs a
+    ``fp_col`` column; chain runs by unioning the survivors back in.
+
+    Scale shape: the batch side is days-sized, the index corpus-sized —
+    keep the index WRITTEN BUCKETED BY ``fp_col`` (``write.bucketBy``), so
+    the anti-join reads only matching buckets and the batch (the small
+    side) is the only thing that shuffles; the within-batch groupBy
+    shuffles (fp, id) pairs, never text. Nothing here re-reads historical
+    documents — only their fingerprints."""
+    fps = new_docs.select(
+        F.col(id_col),
+        content_fingerprint(F.col(text_col)).alias(fp_col))
+    fresh = fps.join(index.select(fp_col), fp_col, "left_anti")
+    return (fresh.groupBy(fp_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, fp_col))

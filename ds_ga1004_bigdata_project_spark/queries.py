@@ -3104,6 +3104,41 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q114_incremental_dedup",
+    survey="net-new incremental ingestion dedup (new batch vs persisted fingerprint index)",
+    oracle="""
+        WITH fp AS (
+          SELECT doc_id, source,
+                 md5(array_to_string(list_sort(list_distinct(
+                     regexp_extract_all(lower(text), '[a-z0-9'']+'))), ' '))
+                     AS fingerprint
+          FROM documents),
+        idx AS (SELECT DISTINCT fingerprint FROM fp
+                WHERE source IN ('src0', 'src1')),
+        batch AS (SELECT * FROM fp WHERE source NOT IN ('src0', 'src1'))
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fingerprint
+        FROM batch
+        WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
+        GROUP BY fingerprint
+    """,
+)
+def q114_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: treat src0/src1 as the already-ingested corpus
+    (its fingerprint INDEX is all that persists) and the other sources as
+    the incoming batch; survivors are batch docs whose canonical content
+    fingerprint is new to both the index and the batch (min id wins).
+    ``dedup.incremental_ingest_dedup`` — the anti-join touches only
+    fingerprints (never historical text), and with the index bucketed by
+    fingerprint only the days-sized batch shuffles at 100 TB."""
+    cat = Catalog(spark, sf_dir)
+    is_ingested = F.col("source").isin("src0", "src1")
+    index = dedup.fingerprint_dedup(cat.documents.filter(is_ingested)) \
+        .select("fingerprint")
+    batch = cat.documents.filter(~is_ingested)
+    return dedup.incremental_ingest_dedup(batch, index)
+
+
+@_register(
     "q113_weighted_sample",
     survey="net-new per-row weighted Bernoulli (quality-proportional corpus sampling)",
     oracle="""
@@ -3224,7 +3259,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q103_stream_stream_join",
     "q109_wav_features", "q110_bmp_features",
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
-    "q113_weighted_sample",
+    "q113_weighted_sample", "q114_incremental_dedup",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

@@ -101,3 +101,24 @@ def test_minhash_banded_pairs_finds_planted_dups(spark):
         a, b = sh(base), sh(mutated)
         expect = round(len(a & b) / len(a | b), 6)
         assert pairs[(0, 2)] == expect
+
+
+def test_incremental_ingest_dedup_semantics(spark):
+    """Hand-built fixture: batch doc dropped if its fingerprint is in the
+    index; within-batch dups resolve to min id; order/repetition-invariant
+    fingerprints (bag-of-words canonical) count as duplicates."""
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        fingerprint_dedup, incremental_ingest_dedup)
+
+    ingested = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string")
+    index = fingerprint_dedup(ingested).select("fingerprint")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma"),      # exact dup of indexed -> dropped
+         (11, "gamma beta alpha"),      # reordered dup of indexed -> dropped
+         (12, "delta epsilon"),         # new -> kept
+         (13, "epsilon delta delta"),   # bag-dup of 12 -> loses to min id
+         (14, "zeta")],                 # new -> kept
+        "doc_id long, text string")
+    out = incremental_ingest_dedup(batch, index)
+    assert sorted(r["doc_id"] for r in out.collect()) == [12, 14]
