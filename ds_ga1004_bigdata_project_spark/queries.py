@@ -3200,13 +3200,17 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     caches: list[DataFrame] = []
     try:
-        return T.sequence_pack_offsets(cat.documents, seq_len=2048,
-                                       caches=caches)
+        out = T.sequence_pack_offsets(cat.documents, seq_len=2048,
+                                      caches=caches)
+        # The offset literals baked into the plan are only valid for the
+        # EXACT materialized range partitioning they were collected from —
+        # releasing the cache and re-executing would re-sample range
+        # boundaries and mis-assign offsets (caught by the sf0.1 tri-SF
+        # parity sweep). localCheckpoint pins the computed result
+        # executor-side (lineage truncated, nothing crosses the driver —
+        # the q93 pattern), after which the cache is safe to release.
+        return out.localCheckpoint(eager=True)
     finally:
-        # The per-partition offsets were collected EAGERLY inside the
-        # builder, so the internal persist has served its purpose; releasing
-        # it here (before the driver's collect) costs one re-sort of the
-        # 2-column sized table and cannot leak storage across the suite.
         for c in caches:
             c.unpersist()
 

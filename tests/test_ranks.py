@@ -170,7 +170,12 @@ def test_sequence_pack_offsets_match_window_and_plan(spark):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     caches = []
-    got = sequence_pack_offsets(docs, seq_len=512, caches=caches)
+    # num_partitions=4 forces the MULTI-partition offset arithmetic even on
+    # the small fixture — the path where stale range boundaries mis-assign
+    # offsets if the cache-ownership contract is violated (the q112 sf0.1
+    # parity bug: unpersisting before the consuming action).
+    got = sequence_pack_offsets(docs, seq_len=512, num_partitions=4,
+                                caches=caches)
     naive = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")) \
         .withColumn("cum", F.sum("n_tokens").over(
