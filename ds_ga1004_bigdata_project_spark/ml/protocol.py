@@ -47,6 +47,36 @@ def make_splits(interactions: DataFrame, user_col: str = "user_id",
     return Splits(train=train, validation=val, test=test)
 
 
+def temporal_leave_last_out(interactions: DataFrame,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            tiebreak_col: str | None = None) -> Splits:
+    """Temporal leave-last-out split — the sequential-recommender evaluation
+    protocol (next-item prediction): each user's chronologically LAST
+    interaction is the test example; everything earlier is train. Unlike
+    :func:`make_splits`' user-level random split, this never lets the model
+    see the future, and every user appears in both sides.
+
+    Plan: ONE hash-partitioned window per user (each user sorts only their
+    own history — no global sort, no skew beyond the largest single user),
+    then two filters off the same ranked projection. ``tiebreak_col``
+    (descending, e.g. an event id) makes the split deterministic when a
+    user's max timestamp ties. Validation is empty by protocol (use the
+    second-to-last rank if needed).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    ranked = interactions.withColumn("_rn", F.row_number().over(w))
+    test = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    train = ranked.filter(F.col("_rn") > 1).drop("_rn")
+    empty = interactions.limit(0)
+    return Splits(train=train, validation=empty, test=test)
+
+
 def downsample_train_users(train: DataFrame, fraction: float,
                            user_col: str = "user_id",
                            seed: int = DEFAULT_SEED) -> DataFrame:

@@ -3104,6 +3104,39 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q115_leave_last_out",
+    survey="net-new temporal leave-last-out split (sequential-recsys next-item eval protocol)",
+    oracle="""
+        WITH r AS (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_hist
+          FROM events)
+        SELECT user_id, event_id, CAST(n_hist - 1 AS BIGINT) AS n_train
+        FROM r WHERE rn = 1
+    """,
+)
+def q115_leave_last_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal leave-last-out split (``ml.protocol.temporal_leave_last_out``):
+    each user's chronologically last event becomes the held-out next-item
+    test example, the rest train — the sequential-recommender protocol the
+    reference's random user split cannot express (no future leakage). One
+    hash-partitioned per-user window; the oracle certifies the exact test
+    membership AND the per-user train size in one pass."""
+    from .ml.protocol import temporal_leave_last_out
+    cat = Catalog(spark, sf_dir)
+    splits = temporal_leave_last_out(cat.events, user_col="user_id",
+                                     ts_col="ts", tiebreak_col="event_id")
+    train_sizes = splits.train.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_train"))
+    return (splits.test.select("user_id", "event_id")
+            .join(train_sizes, "user_id", "left")
+            .select("user_id", "event_id",
+                    F.coalesce("n_train", F.lit(0)).alias("n_train")))
+
+
+@_register(
     "q114_incremental_dedup",
     survey="net-new incremental ingestion dedup (new batch vs persisted fingerprint index)",
     oracle="""
@@ -3264,6 +3297,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q109_wav_features", "q110_bmp_features",
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
     "q113_weighted_sample", "q114_incremental_dedup",
+    "q115_leave_last_out",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

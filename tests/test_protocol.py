@@ -149,3 +149,21 @@ def test_snapshot_diff_null_shift_detected(spark):
     out = {r["k"]: r["diff_status"]
            for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
     assert out == {1: "changed", 2: "changed", 3: "changed"}
+
+
+def test_temporal_leave_last_out_semantics(spark):
+    """Hand-built history: last-by-ts (tiebreak id desc) goes to test, the
+    rest to train, every user in both sides, no future leakage."""
+    from ds_ga1004_bigdata_project_spark.ml.protocol import (
+        temporal_leave_last_out)
+
+    inter = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 20), (1, 102, 20),   # tie at ts=20 -> 102
+         (2, 200, 5)],                               # single-event user
+        "user_id long, event_id long, ts long")
+    sp = temporal_leave_last_out(inter, ts_col="ts", tiebreak_col="event_id")
+    test = {(r.user_id, r.event_id) for r in sp.test.collect()}
+    train = {(r.user_id, r.event_id) for r in sp.train.collect()}
+    assert test == {(1, 102), (2, 200)}
+    assert train == {(1, 100), (1, 101)}
+    assert sp.validation.count() == 0
