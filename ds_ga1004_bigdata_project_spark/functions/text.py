@@ -203,3 +203,35 @@ def sequence_pack_offsets(df, seq_len: int, id_col: str = "doc_id",
         F.floor(start / F.lit(seq_len)).cast("long").alias("first_pack"),
         F.floor((F.col("_cum") - 1) / F.lit(seq_len)).cast("long")
             .alias("last_pack"))
+
+
+def sequence_pack_slices(df, seq_len: int, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_partitions: int | None = None,
+                         caches: list | None = None):
+    """Materialize :func:`sequence_pack_offsets` into per-pack slices: one
+    row per (pack_id, document) overlap — ``slice_start`` is the 0-based
+    position INSIDE the document where the pack's portion begins and
+    ``slice_len`` its length, so a writer can assemble every fixed-length
+    training sequence by concatenating its slices in (pack_id, start_offset)
+    order. Output: (pack_id, doc_id, slice_start, slice_len).
+
+    Per-row arithmetic + one explode over the (tiny) span of packs a
+    document touches — ⌈n_tokens/seq_len⌉+1 rows max per doc; the output
+    volume is corpus tokens / seq_len extra rows, i.e. ~linear."""
+    offs = sequence_pack_offsets(df, seq_len, id_col=id_col,
+                                 text_col=text_col,
+                                 num_partitions=num_partitions,
+                                 caches=caches)
+    L = F.lit(seq_len)
+    pack = F.explode(F.sequence(F.col("first_pack"),
+                                F.col("last_pack"))).alias("pack_id")
+    with_pack = offs.select("doc_id", "n_tokens", "start_offset", pack)
+    p0 = F.col("pack_id") * L                     # pack's global start
+    doc_end = F.col("start_offset") + F.col("n_tokens")
+    sl_start = F.greatest(p0 - F.col("start_offset"), F.lit(0))
+    sl_end = F.least(doc_end, p0 + L) - F.col("start_offset")
+    return with_pack.select(
+        "pack_id", "doc_id",
+        sl_start.cast("long").alias("slice_start"),
+        (sl_end - sl_start).cast("long").alias("slice_len"))

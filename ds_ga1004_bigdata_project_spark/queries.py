@@ -3104,6 +3104,55 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q116_pack_slices",
+    survey="net-new pack materialization (per-pack document slices for sequence assembly)",
+    oracle="""
+        -- packs per doc <= ceil(maxlen/2048)+1; series bound 4 is ample for
+        -- the fixtures' ~100-token docs (uncorrelated bound + filter, as in
+        -- q109/q110).
+        WITH c AS (
+          SELECT doc_id,
+                 len(string_split_regex(text, '\\s+')) AS n,
+                 sum(len(string_split_regex(text, '\\s+')))
+                     OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents),
+        o AS (
+          SELECT doc_id, n, cum - n AS start,
+                 (cum - n) // 2048 AS first_pack, (cum - 1) // 2048 AS last_pack
+          FROM c)
+        SELECT CAST(o.first_pack + t.i AS BIGINT) AS pack_id,
+               o.doc_id,
+               CAST(greatest((o.first_pack + t.i) * 2048 - o.start, 0)
+                    AS BIGINT) AS slice_start,
+               CAST(least(o.start + o.n, (o.first_pack + t.i + 1) * 2048)
+                    - o.start
+                    - greatest((o.first_pack + t.i) * 2048 - o.start, 0)
+                    AS BIGINT) AS slice_len
+        FROM o JOIN generate_series(0, 4) AS t(i)
+          ON t.i <= o.last_pack - o.first_pack
+    """,
+)
+def q116_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization side of q112: every (pack, document) overlap as
+    a slice row, so fixed-length training sequences assemble by
+    concatenating slices per pack. Same scalable prefix-sum offsets
+    underneath; the explode adds ≈ corpus_tokens/2048 rows. Certified
+    value-exactly against the window-cumsum SQL twin."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        out = T.sequence_pack_slices(cat.documents, seq_len=2048,
+                                     caches=caches)
+        # Same cache-ownership rule as q112: pin the computed result before
+        # releasing the range-sort cache (offset literals are only valid
+        # for the materialized partitioning).
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+@_register(
     "q115_leave_last_out",
     survey="net-new temporal leave-last-out split (sequential-recsys next-item eval protocol)",
     oracle="""
@@ -3297,7 +3346,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q109_wav_features", "q110_bmp_features",
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
     "q113_weighted_sample", "q114_incremental_dedup",
-    "q115_leave_last_out",
+    "q115_leave_last_out", "q116_pack_slices",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from ds_ga1004_bigdata_project_spark.functions.text import chunk_documents
 
+from .conftest import SF_SMOKE
+
 
 def _chunks(spark, text, size, overlap):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
@@ -49,3 +51,34 @@ def test_bad_overlap_rejected(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, 5, 5)
+
+
+def test_pack_slices_reassemble_exactly(spark):
+    """Invariants over the pack materialization: per-doc slice lengths sum
+    to the doc's token count; per-pack lengths sum to seq_len for every
+    interior (full) pack; slices within a doc are contiguous from 0."""
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.functions.text import (
+        sequence_pack_slices)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    caches = []
+    sl = sequence_pack_slices(docs, seq_len=512, num_partitions=4,
+                              caches=caches).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    # per-doc: contiguous coverage of [0, n_tokens)
+    per_doc = sl.groupBy("doc_id").agg(
+        F.sum("slice_len").alias("tot"),
+        F.min("slice_start").alias("mn"))
+    toks = docs.select("doc_id",
+                       F.size(F.split(F.col("text"), r"\s+")).alias("n"))
+    bad = per_doc.join(toks, "doc_id") \
+        .filter((F.col("tot") != F.col("n")) | (F.col("mn") != 0)).count()
+    assert bad == 0
+    # per-pack: every pack except the last sums to exactly seq_len
+    last_pack = sl.agg(F.max("pack_id")).first()[0]
+    partial = sl.groupBy("pack_id").agg(F.sum("slice_len").alias("tot")) \
+        .filter((F.col("pack_id") < last_pack) & (F.col("tot") != 512)).count()
+    assert partial == 0
