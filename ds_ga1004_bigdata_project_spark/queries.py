@@ -3104,6 +3104,46 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q117_quantized_topk",
+    survey="net-new int8-quantized vector search (exact integer dot ranking)",
+    oracle="""
+        WITH qz AS (
+          SELECT vec_id,
+                 CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding, x -> CAST(floor(
+                           x::DOUBLE * 127.0 /
+                           list_max(list_transform(embedding, y -> abs(y)))::DOUBLE)
+                           AS BIGINT)) END AS q
+          FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                      i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+          FROM qz a JOIN qz b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, qdot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY qdot DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def q117_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized vector search (``similarity.quantized_topk``): corpus
+    and queries quantize to int8 (4× less candidate traffic at 100 TB) and
+    neighbors rank by an EXACT integer dot product — deterministic,
+    summation-order-free, and therefore oracle-certifiable where float
+    cosine rankings need round-6 guards. The quantization itself
+    (floor(v·127/max|v|)) is two correctly-rounded IEEE ops, bit-identical
+    across engines."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return sim.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@_register(
     "q116_pack_slices",
     survey="net-new pack materialization (per-pack document slices for sequence assembly)",
     oracle="""
@@ -3346,7 +3386,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q109_wav_features", "q110_bmp_features",
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
     "q113_weighted_sample", "q114_incremental_dedup",
-    "q115_leave_last_out", "q116_pack_slices",
+    "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

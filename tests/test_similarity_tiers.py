@@ -100,3 +100,34 @@ def test_ivf_recall_vs_brute_force(spark):
     # quantizer is finding real structure, and any future collapse (wrong
     # cell join, degenerate centroids) trips this.
     assert recall >= 0.45, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_quantize_int8_bounds_and_recall(spark):
+    """Quantized components stay in [-127, 127]; zero vectors quantize to
+    zeros; quantized top-5 recalls most of the exact-cosine top-5 on the
+    unit-norm fixture corpus (int8 on 64-dim unit vectors loses little)."""
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qz = sim.quantize_int8(emb)
+    mx = qz.select(F.array_max(F.transform(
+        "qvec", lambda x: F.abs(x))).alias("m")).agg(F.max("m")).first()[0]
+    assert mx <= 127
+    zero = spark.createDataFrame([(1, [0.0] * 4)],
+                                 "vec_id long, embedding array<float>")
+    assert sim.quantize_int8(zero).first()["qvec"] == [0, 0, 0, 0]
+
+    # Candidate-tier contract (the production shape: quantized candidates,
+    # full-precision re-rank): the exact top-5 must be contained in the
+    # quantized top-20 — strict rank-for-rank agreement is NOT the claim
+    # (int8 noise ~sqrt(d)/127 reshuffles near-ties on random unit vectors).
+    queries = emb.filter(F.col("vec_id") < 10)
+    quant20 = {(r.query_id, r.neighbor_id) for r in
+               sim.quantized_topk(emb, queries, k=20).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in
+             sim.cosine_topk(emb, queries, k=5).collect()}
+    candidate_recall = len(quant20 & exact) / len(exact)
+    assert candidate_recall >= 0.95, \
+        f"exact top-5 not covered by quantized top-20: {candidate_recall:.2f}"
