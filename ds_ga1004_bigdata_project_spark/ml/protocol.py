@@ -129,3 +129,51 @@ def umap_project(factors_pdf, **umap_kwargs):
     import numpy as np
     mat = np.vstack(factors_pdf["features"].to_numpy())
     return umap.UMAP(**umap_kwargs).fit_transform(mat)
+
+
+def negative_sample(interactions: DataFrame, items: DataFrame,
+                    n_negatives: int, user_col: str = "user_id",
+                    item_col: str = "item_id",
+                    salt: int = DEFAULT_SEED) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training: for
+    each user, propose ``n_negatives`` candidate items by hashing
+    (user, slot) into a DENSE item index, then drop candidates the user has
+    actually interacted with (and hash collisions). Output:
+    (user_col, item_col, slot) — the (user, negative-item) pairs a BPR/ALS
+    trainer consumes alongside the positives.
+
+    Everything is reproducible integer arithmetic on the shared
+    multiplicative hash (``operators.sampling._knuth_hash``), so the exact
+    pair set is engine-independent (SQL twin in the q118 oracle). Yield is
+    slightly under ``n_negatives`` per user (collisions + positives are
+    dropped, the standard trade — re-salt for more).
+
+    Plan shape: users × n_negatives explode (map-side), one join against
+    the dense item index (broadcast — item dims are small relative to
+    interactions), one LEFT ANTI against the positives on (user, item).
+    The interactions table — the 100 TB side — shuffles once, hash-
+    partitioned by (user, item), and nothing ever collects."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _KNUTH_C
+
+    n_items = items.count()
+    # dense 0-based index over the item dimension (small; single window
+    # over the dim table only, never over interactions)
+    idx = items.select(F.col(item_col).alias("_item")).distinct() \
+        .withColumn("_idx", F.row_number().over(
+            Window.orderBy("_item")) - 1)
+    users = interactions.select(user_col).distinct()
+    slots = users.select(
+        user_col, F.explode(F.sequence(
+            F.lit(0), F.lit(n_negatives - 1))).alias("slot"))
+    # salt mixes into the KEY (scaled past the >>16 truncation) — adding it
+    # after the multiply would mostly vanish under the shift.
+    key = F.pmod(F.col(user_col) * n_negatives + F.col("slot")
+                 + F.lit(salt) * F.lit(1_000_003), F.lit(1 << 31))
+    hashed = F.shiftright(key * F.lit(_KNUTH_C), 16)
+    cand = slots.withColumn("_idx", F.pmod(hashed, F.lit(n_items)))
+    cand = cand.join(F.broadcast(idx), "_idx") \
+        .select(user_col, F.col("_item").alias(item_col), "slot")
+    return cand.join(interactions.select(user_col, item_col),
+                     [user_col, item_col], "left_anti")

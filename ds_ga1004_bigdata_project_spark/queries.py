@@ -3104,6 +3104,50 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q118_negative_sample",
+    survey="net-new deterministic negative sampling (implicit-feedback training pairs)",
+    oracle="""
+        WITH inter AS (
+          SELECT o_custkey AS user_id, l_partkey AS item_id
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        idx AS (
+          SELECT p_partkey AS item,
+                 row_number() OVER (ORDER BY p_partkey) - 1 AS i
+          FROM part),
+        n AS (SELECT count(*) AS n_items FROM part),
+        slots AS (SELECT DISTINCT user_id FROM inter),
+        cand AS (
+          SELECT s.user_id, t.i AS slot,
+                 (((((s.user_id * 8 + t.i + 42 * 1000003) % 2147483648)
+                    + 2147483648) % 2147483648) * 2654435761) // 65536 AS h
+          FROM slots s JOIN generate_series(0, 7) AS t(i) ON TRUE),
+        m AS (SELECT c.user_id, c.slot, (c.h % n.n_items) AS i FROM cand c, n)
+        SELECT m.user_id, idx.item AS item_id, CAST(m.slot AS INT) AS slot
+        FROM m JOIN idx ON idx.i = m.i
+        WHERE NOT EXISTS (SELECT 1 FROM inter
+                          WHERE inter.user_id = m.user_id
+                            AND inter.item_id = idx.item)
+    """,
+)
+def q118_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for the implicit-feedback trainer
+    (``ml.protocol.negative_sample``): 8 hash-proposed non-interacted items
+    per customer over the part dimension — the (user, negative) pairs a
+    BPR/ALS-style objective consumes. Pure integer arithmetic on the shared
+    multiplicative hash makes the exact pair set engine-independent; the
+    oracle reproduces index construction, hashing, and the anti-join."""
+    from .ml.protocol import negative_sample
+    cat = Catalog(spark, sf_dir)
+    inter = (cat.lineitem.join(cat.orders.select("o_orderkey", "o_custkey"),
+                               F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(F.col("o_custkey").alias("user_id"),
+                     F.col("l_partkey").alias("item_id")).distinct())
+    items = cat.part.select(F.col("p_partkey").alias("item_id"))
+    return negative_sample(inter, items, n_negatives=8)
+
+
+@_register(
     "q117_quantized_topk",
     survey="net-new int8-quantized vector search (exact integer dot ranking)",
     oracle="""
@@ -3387,6 +3431,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
     "q113_weighted_sample", "q114_incremental_dedup",
     "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
+    "q118_negative_sample",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

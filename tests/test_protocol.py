@@ -167,3 +167,24 @@ def test_temporal_leave_last_out_semantics(spark):
     assert test == {(1, 102), (2, 200)}
     assert train == {(1, 100), (1, 101)}
     assert sp.validation.count() == 0
+
+
+def test_negative_sample_excludes_positives_and_is_deterministic(spark):
+    """Negatives never collide with a user's positives; same salt -> same
+    pair set; different salt -> (almost surely) different proposals."""
+    from ds_ga1004_bigdata_project_spark.ml.protocol import negative_sample
+
+    inter = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "user_id long, item_id long")
+    items = spark.createDataFrame([(i,) for i in range(10, 30)],
+                                  "item_id long")
+    out1 = {(r.user_id, r.item_id, r.slot)
+            for r in negative_sample(inter, items, 6).collect()}
+    out2 = {(r.user_id, r.item_id, r.slot)
+            for r in negative_sample(inter, items, 6).collect()}
+    assert out1 == out2 and len(out1) > 0
+    pos = {(1, 10), (1, 11), (2, 10)}
+    assert not {(u, i) for u, i, _ in out1} & pos
+    out_salt = {(r.user_id, r.item_id, r.slot)
+                for r in negative_sample(inter, items, 6, salt=7).collect()}
+    assert out_salt != out1
