@@ -3104,6 +3104,37 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q119_salted_join",
+    survey="net-new skew-resistant salted join (X-pattern; results invariant to salting)",
+    oracle="""
+        SELECT p_brand,
+               count(*) AS cnt,
+               CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+)
+def q119_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join certified for RESULT INVARIANCE: the
+    big side takes a random salt, the small side explodes across all salt
+    values, and the (key, salt) join splits any hot key across
+    ``salt_buckets`` tasks — the manual fallback when AQE's runtime skew
+    split can't see the skew (e.g. pre-shuffle aggregation hides it). The
+    oracle is the PLAIN join aggregate: salting must never change results,
+    only the task-level work distribution. Quantity sums go through an
+    integer cents cast so the certificate is exact."""
+    cat = Catalog(spark, sf_dir)
+    joined = rel.salted_join(
+        cat.lineitem.select("l_partkey", "l_quantity"),
+        cat.part.select("p_partkey", "p_brand").withColumnRenamed(
+            "p_partkey", "l_partkey"),
+        on="l_partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_cents"))
+
+
+@_register(
     "q118_negative_sample",
     survey="net-new deterministic negative sampling (implicit-feedback training pairs)",
     oracle="""
@@ -3431,7 +3462,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
     "q113_weighted_sample", "q114_incremental_dedup",
     "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
-    "q118_negative_sample",
+    "q118_negative_sample", "q119_salted_join",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
