@@ -111,6 +111,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "tour_ssj", output_mode="append")
     spark.table("tour_ssj").show(3)
 
+    print("== 11a. sequence packing: offsets + per-pack slices ==")
+    from ds_ga1004_bigdata_project_spark.functions.text import (
+        sequence_pack_slices)
+
+    caches: list = []
+    slices = sequence_pack_slices(docs, seq_len=512, caches=caches) \
+        .localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    slices.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("slice_len").alias("n_tokens")).orderBy("pack_id").show(3)
+
+    print("== 11b. int8-quantized neighbor candidates (exact integer dots) ==")
+    sim.quantized_topk(emb, emb.filter(F.col("vec_id") < 2), k=3).show(6)
+
+    print("== 11c. negative sampling for the implicit trainer ==")
+    from ds_ga1004_bigdata_project_spark.ml.protocol import negative_sample
+    items = cat.part.select(F.col("p_partkey").alias("item_id"))
+    inter_pairs = inter.select(F.col("user_id"),
+                               F.col("item_id")).distinct()
+    negs = negative_sample(inter_pairs, items, n_negatives=4)
+    print(f"negative pairs: {negs.count()} "
+          f"(~4/user minus positives and collisions)")
+
     print("== 11. M7 hyperparameter sweep -> results relation ==")
     # The reference's rank x regParam protocol (param_train_2nd.py:43-85),
     # one ALS fit + distributed ranking-metrics eval per cell, materialized
