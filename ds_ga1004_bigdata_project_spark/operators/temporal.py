@@ -144,3 +144,57 @@ def range_count_binned(points: DataFrame, intervals: DataFrame,
 
     return (interior.unionByName(boundary)
             .groupBy(*out_keys).agg(F.sum("n_points").alias("n_points")))
+
+
+def resample_ffill(events: DataFrame, key_col: str, ts_col: str,
+                   value_col: str, step: str = "1 hour") -> DataFrame:
+    """Per-key time-grid resampling with forward fill — the telemetry/
+    feature-engineering shape: snap each key's observations onto a regular
+    ``step`` grid spanning [min(ts), max(ts)] and carry the last observed
+    value forward across gaps. Output: (key_col, grid_ts, value_col,
+    is_observed).
+
+    Plan: per-key min/max (one partial-aggregated shuffle) → ``sequence()``
+    explodes the grid MAP-SIDE (no shuffle grows with grid length) → as-of
+    attach the latest observation at-or-before each grid point via a
+    union + last(ignorenulls) window per key — each key sorts only its own
+    grid+events. Value rows are carried verbatim (no arithmetic), so the
+    result is engine-exact. The hour-truncated grid start can precede the
+    key's first observation; those unfillable cells are dropped. Ties at
+    an identical (key, ts) resolve to the LARGEST value on both engines
+    (deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    span = events.groupBy(key_col).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1"))
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence(
+            F.date_trunc("hour", F.col("_t0")),
+            F.col("_t1"), F.expr(f"INTERVAL {step}"))).alias("_grid_ts"))
+    obs = events.select(
+        F.col(key_col), F.col(ts_col).alias("_ev_ts"),
+        F.col(value_col).alias("_v"))
+    # Union grid points (null value) with observations, order by time with
+    # observations FIRST at equal timestamps so a grid point at an exact
+    # observation time picks it up; forward-fill via last(ignorenulls).
+    g = grid.select(key_col, F.col("_grid_ts").alias("_t"),
+                    F.lit(None).cast(obs.schema["_v"].dataType).alias("_v"),
+                    F.lit(1).alias("_is_grid"))
+    o = obs.select(key_col, F.col("_ev_ts").alias("_t"), "_v",
+                   F.lit(0).alias("_is_grid"))
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col("_t").asc(), F.col("_is_grid").asc(),
+                  F.col("_v").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = g.unionByName(o).withColumn(
+        "_ff", F.last("_v", ignorenulls=True).over(w))
+    exact = obs.select(key_col, F.col("_ev_ts").alias("_t"),
+                       F.lit(0).alias("_obs_flag")).distinct()
+    return (filled.filter((F.col("_is_grid") == 1)
+                          & F.col("_ff").isNotNull())
+            .join(exact, [key_col, "_t"], "left")
+            .select(F.col(key_col),
+                    F.col("_t").alias("grid_ts"),
+                    F.col("_ff").alias(value_col),
+                    (F.col("_obs_flag").isNotNull()).alias("is_observed")))

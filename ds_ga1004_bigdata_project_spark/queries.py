@@ -3104,6 +3104,53 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q120_resample_ffill",
+    survey="net-new time-grid resampling with forward fill (telemetry feature shape)",
+    oracle="""
+        -- correlated generate_series bounds are unsupported (q109 note);
+        -- events span ~30 days, so an uncorrelated 0..1000-hour index
+        -- joined on the span bound covers every key.
+        WITH span AS (
+          SELECT user_id, min(ts) AS t0, max(ts) AS t1
+          FROM events GROUP BY 1),
+        grid AS (
+          SELECT s.user_id,
+                 date_trunc('hour', s.t0) + to_hours(t.i) AS grid_ts
+          FROM span s JOIN generate_series(0, 1000) AS t(i)
+            ON date_trunc('hour', s.t0) + to_hours(t.i) <= s.t1),
+        ff AS (
+          SELECT g.user_id, g.grid_ts,
+                 (SELECT e.value FROM events e
+                  WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                  ORDER BY e.ts DESC, e.value DESC LIMIT 1) AS value
+          FROM grid g)
+        SELECT f.user_id,
+               strftime(f.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+               f.value,
+               EXISTS(SELECT 1 FROM events e
+                      WHERE e.user_id = f.user_id
+                        AND e.ts = f.grid_ts) AS is_observed
+        FROM ff f WHERE f.value IS NOT NULL
+    """,
+)
+def q120_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with forward fill
+    (``operators.temporal.resample_ffill``): every user's event values
+    snapped onto an hourly grid, gaps carrying the last observation
+    forward — the feature-engineering shape that turns irregular telemetry
+    into model-ready regular series. Values are carried verbatim (no
+    arithmetic), so the certificate is exact; the grid explode is
+    map-side and each key windows only its own rows."""
+    from .operators.temporal import resample_ffill
+    cat = Catalog(spark, sf_dir)
+    out = resample_ffill(cat.events, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        "value", "is_observed")
+
+
+@_register(
     "q119_salted_join",
     survey="net-new skew-resistant salted join (X-pattern; results invariant to salting)",
     oracle="""
@@ -3462,7 +3509,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q111_distinct_sketch_rollup", "q112_sequence_packing",
     "q113_weighted_sample", "q114_incremental_dedup",
     "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
-    "q118_negative_sample", "q119_salted_join",
+    "q118_negative_sample", "q119_salted_join", "q120_resample_ffill",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

@@ -94,3 +94,29 @@ def test_range_count_matches_pair_materializing_join(spark):
             .filter(F.col("a").isNull() | F.col("b").isNull()
                     | (F.col("a") != F.col("b"))).count())
     assert mism == 0
+
+
+def test_resample_ffill_semantics(spark):
+    """Hand-built series: grid spans trunc(min) .. max hourly; gaps carry
+    the last value forward; exact-at-grid observations flag is_observed;
+    pre-first-observation cells are dropped."""
+    from datetime import datetime
+
+    from ds_ga1004_bigdata_project_spark.operators.temporal import (
+        resample_ffill)
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),   # first obs 00:30
+        (1, datetime(2024, 1, 1, 2, 0), 20.0),    # exactly on the 02:00 grid
+        (1, datetime(2024, 1, 1, 4, 15), 30.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.grid_ts.strftime("%H:%M"): (r.value, r.is_observed)
+           for r in resample_ffill(ev, "user_id", "ts", "value").collect()}
+    assert out == {
+        # 00:00 dropped (before the first observation)
+        "01:00": (10.0, False),
+        "02:00": (20.0, True),
+        "03:00": (20.0, False),
+        "04:00": (20.0, False),   # 04:15 obs is after the 04:00 cell
+    }
