@@ -3104,6 +3104,78 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q121_approx_percentiles",
+    survey="net-new approximate percentiles under a certified error contract",
+    oracle="""
+        -- Tolerance-certificate oracle (the q111 pattern): DuckDB certifies
+        -- the EXACT per-group medians; the boolean is the CONTRACT that
+        -- Spark's percentile_approx(accuracy=10000) lands within 5% of
+        -- exact — computed Spark-side from the real sketch, so a sketch
+        -- regression flips the value and the driver records a mismatch.
+        -- 5% is sized for the SMALL fixture groups (~300 rows: the sketch
+        -- returns a sample value while exact interpolates — measured gap
+        -- up to 1.1% at sf0.001, shrinking ~1/n with group size).
+        SELECT o_orderpriority,
+               round(percentile_cont(0.5)
+                     WITHIN GROUP (ORDER BY o_totalprice), 2) AS exact_median,
+               TRUE AS approx_within_5pct
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q121_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles at scale: ``percentile_approx`` runs in one
+    pass with a mergeable bounded-memory sketch (exact percentiles need the
+    full value multiset per group — q71's cost), so it is the 100 TB
+    default. The certificate: exact median certified cross-engine, plus a
+    contract boolean that the sketch lands within 5 % (sized for the
+    ~300-row fixture groups; see the oracle comment) — same shape as
+    q111's HLL certificate."""
+    cat = Catalog(spark, sf_dir)
+    per = cat.orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2)
+            .alias("exact_median"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)")
+            .alias("_approx"))
+    return per.select(
+        "o_orderpriority", "exact_median",
+        (F.abs(F.col("_approx") - F.col("exact_median"))
+         / F.col("exact_median") <= 0.05).alias("approx_within_5pct"))
+
+
+@_register(
+    "q122_rolling_features",
+    survey="net-new per-key rolling window features (moving sum/avg, exact cents)",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    OVER w AS BIGINT) AS roll_sum_cents,
+               CAST(count(*) OVER w AS INT) AS roll_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q122_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rolling features (7-event moving sum + count of ``value``) —
+    the feature-engineering shape for sequence models over telemetry. The
+    sum runs over integer cents so the certificate is exact (float moving
+    sums accumulate in engine-specific order); each user windows only its
+    own events (hash-partitioned, event_id tiebreak for determinism).
+    ``floor`` before the long cast on BOTH engines — Spark's long cast
+    truncates toward zero while DuckDB's CAST rounds, so a bare cast
+    drifts by one cent on .5+ fractions."""
+    cat = Catalog(spark, sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(-6, Window.currentRow))
+    return cat.events.select(
+        "user_id", "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
+            .alias("roll_sum_cents"),
+        F.count(F.lit(1)).over(w).cast("int").alias("roll_n"))
+
+
+@_register(
     "q120_resample_ffill",
     survey="net-new time-grid resampling with forward fill (telemetry feature shape)",
     oracle="""
@@ -3510,6 +3582,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q113_weighted_sample", "q114_incremental_dedup",
     "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
     "q118_negative_sample", "q119_salted_join", "q120_resample_ffill",
+    "q121_approx_percentiles", "q122_rolling_features",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
