@@ -146,3 +146,34 @@ def test_decontamination_never_shuffles_train_corpus(spark):
             if ln.strip().startswith("(") and "Exchange" in ln
             and "Broadcast" not in ln]
     assert len(wide) <= 3, f"unexpected wide exchanges:\n{plan}"
+
+
+def test_weighted_sample_is_shuffle_free(spark):
+    """q113's claim: per-row integer predicate — the plan must contain no
+    Exchange at all (pure scan+filter, streaming-safe)."""
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        weighted_bernoulli_sample)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    toks = T.ws_tokens(F.col("text"))
+    w = docs.withColumn("_w", T.distinct_token_ratio(toks, scale=None))
+    plan = physical_plan(weighted_bernoulli_sample(w, "doc_id", "_w"))
+    assert "Exchange" not in plan, f"expected shuffle-free plan:\n{plan}"
+
+
+def test_shard_and_mixture_are_shuffle_free(spark):
+    """Same contract for the other per-row samplers (q105/q107 paths)."""
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        mixture_sample, shard_assign)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    assert "Exchange" not in physical_plan(shard_assign(docs, "doc_id", 16))
+    assert "Exchange" not in physical_plan(
+        mixture_sample(docs, "source", "doc_id", {"src0": 0.5}))

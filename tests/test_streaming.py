@@ -225,3 +225,27 @@ def test_stream_stream_outer_modes_emission(spark, event_dir, how):
     else:
         # right outer must NOT invent unmatched-left rows.
         assert out.filter("r_id IS NULL").count() == 0
+
+
+def test_weighted_sample_runs_on_a_stream(spark, event_dir):
+    """The weighted sampler's streaming-safe claim, proven: the identical
+    per-row predicate applies to a readStream source and drains clean
+    (stateless filter — no watermark, no state store)."""
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        weighted_bernoulli_sample)
+
+    stream = SE.read_event_stream(spark, event_dir).withColumn(
+        "_w", F.when(F.col("event_type") == "click", 1.0).otherwise(0.25))
+    sampled = weighted_bernoulli_sample(stream, "event_id", "_w")
+    assert sampled.isStreaming
+    SE.run_available_now(sampled, "weighted_stream_test",
+                         output_mode="append")
+    got = spark.table("weighted_stream_test")
+    batch = weighted_bernoulli_sample(
+        spark.read.parquet(event_dir).withColumn(
+            "_w", F.when(F.col("event_type") == "click", 1.0)
+                   .otherwise(0.25)), "event_id", "_w")
+    assert (sorted(r.event_id for r in got.collect())
+            == sorted(r.event_id for r in batch.collect()))
