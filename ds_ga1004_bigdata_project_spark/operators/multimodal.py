@@ -286,3 +286,85 @@ def frame_sample_stub(payloads: DataFrame, every_n: int = 30) -> DataFrame:
         "doc_id", "modality",
         F.explode(frames).alias("frame"),
     ).select("doc_id", "modality", "frame.frame_no", "frame.frame_digest")
+
+
+#: Spectral synth constants (q123): 512-sample sinusoids at EXACT FFT bins —
+#: bin k has frequency k·(rate/n), so the spectrum is a single spike and the
+#: decoded argmax is analytically known (zero leakage), making a real
+#: numpy-FFT decode oracle-certifiable.
+SPECTRAL_N = 512
+SPECTRAL_BIN_BASE, SPECTRAL_BIN_MOD = 5, 200  # bin = (doc_id % 200) + 5
+
+
+def synthesize_tone_payload(documents: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): a genuine RIFF/WAVE container holding a 512-sample
+    16-bit sinusoid whose frequency sits EXACTLY on FFT bin
+    ``(doc_id % 200) + 5`` of the 512-point spectrum."""
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                k = int(doc_id) % SPECTRAL_BIN_MOD + SPECTRAL_BIN_BASE
+                samples = [
+                    int(round(12000.0 * math.sin(
+                        2.0 * math.pi * k * i / SPECTRAL_N)))
+                    for i in range(SPECTRAL_N)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(struct.pack(f"<{SPECTRAL_N}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "content": payloads})
+
+    return documents.select(id_col).mapInPandas(
+        batches, schema="doc_id bigint, content binary")
+
+
+def decode_spectral_features(payloads: DataFrame) -> DataFrame:
+    """REAL DSP decode: parse the WAV container (stdlib ``wave``), then run
+    an actual numpy FFT over the PCM samples and emit the dominant
+    frequency bin — the feature-extraction shape for audio corpus
+    filtering (voice/music/tone detection). Output:
+    (doc_id, sample_rate, n_samples, peak_bin).
+
+    The argmax excludes DC; for the exact-bin synth the spectrum is a
+    single spike, so the decoded bin is deterministic and certified by the
+    q123 oracle's closed form. Arrow-batched mapInPandas; numpy vectorizes
+    the whole batch."""
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "peak_bin")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    rate, n = w.getframerate(), w.getnframes()
+                    raw = w.readframes(n)
+                x = np.array(struct.unpack(f"<{n}h", raw), dtype=np.float64)
+                mag = np.abs(np.fft.rfft(x))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["peak_bin"].append(int(np.argmax(mag[1:]) + 1))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        batches,
+        schema="doc_id bigint, sample_rate int, n_samples int, peak_bin int")

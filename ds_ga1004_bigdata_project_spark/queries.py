@@ -3104,6 +3104,34 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q123_wav_spectral",
+    survey="net-new spectral audio decode (numpy FFT dominant-bin over real WAV)",
+    oracle="""
+        -- Closed-form certificate: the synth places each tone EXACTLY on
+        -- FFT bin (doc_id % 200) + 5 of the 512-point spectrum, so the
+        -- numpy-FFT argmax Spark computes is analytically known.
+        SELECT doc_id,
+               8000 AS sample_rate,
+               512 AS n_samples,
+               CAST((doc_id % 200) + 5 AS INT) AS peak_bin
+        FROM documents
+    """,
+)
+def q123_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DSP over the multimodal path: synthesize genuine WAV tones
+    (stdlib ``wave``), decode them back, and run an ACTUAL numpy FFT per
+    clip to find the dominant frequency bin — the audio-corpus filtering
+    shape (tone/voice/music detection). The synth pins each tone exactly
+    on one FFT bin, so the decoded argmax has a closed-form oracle; the
+    FFT itself is real (numpy.fft.rfft over the unpacked PCM), Arrow-
+    batched, zero shuffle."""
+    from .operators import multimodal as mm
+    cat = Catalog(spark, sf_dir)
+    tones = mm.synthesize_tone_payload(cat.documents)
+    return mm.decode_spectral_features(tones)
+
+
+@_register(
     "q121_approx_percentiles",
     survey="net-new approximate percentiles under a certified error contract",
     oracle="""
@@ -3583,6 +3611,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
     "q118_negative_sample", "q119_salted_join", "q120_resample_ffill",
     "q121_approx_percentiles", "q122_rolling_features",
+    "q123_wav_spectral",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

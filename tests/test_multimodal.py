@@ -97,3 +97,17 @@ def test_bmp_roundtrip_decodes_real_container(spark):
     vals = [(9 * MM.BMP_PA + y * MM.BMP_PB + x * MM.BMP_PC) % 256
             for y in range(h) for x in range(w)]
     assert row["mean_pixel"] == round(sum(vals) / len(vals), 6)
+
+
+def test_spectral_decode_finds_the_planted_bin(spark):
+    """The numpy-FFT decode recovers the exact bin the sinusoid was planted
+    on, through a genuine WAV container round-trip."""
+    docs = spark.createDataFrame([(3,), (41,), (217,)], "doc_id long")
+    tones = MM.synthesize_tone_payload(docs)
+    got = {r.doc_id: (r.sample_rate, r.n_samples, r.peak_bin)
+           for r in MM.decode_spectral_features(tones).collect()}
+    assert got == {
+        3: (MM.WAV_SAMPLE_RATE, MM.SPECTRAL_N, 8),     # 3 % 200 + 5
+        41: (MM.WAV_SAMPLE_RATE, MM.SPECTRAL_N, 46),
+        217: (MM.WAV_SAMPLE_RATE, MM.SPECTRAL_N, 22),  # 217 % 200 + 5
+    }
