@@ -409,24 +409,35 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Grouping by signature (or banded substrings of it for hamming tolerance)
     gives the cheapest content-clustering shuffle possible: 8 bytes per doc."""
-    tokens = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(tokens, lambda t: F.xxhash64(t)).alias("_h"),
+        _simhash_token_hashes(text_col).alias("_h"),
     )
+    return hashed.select("id", simhash_vote_expr("_h", bits).alias("simhash"))
 
-    # Single-pass majority vote: ONE fold over the token-hash array whose
-    # accumulator is a `bits`-wide vote array (+1 if the bit is set, −1 if
-    # not), with the signature reassembled in the fold's finish lambda.
-    # Expressed as one SQL string on purpose: SQL's shiftright accepts a
-    # COLUMN shift amount (the PySpark wrapper only takes a Python int), so
-    # no per-bit unrolling is needed — the whole expression is a few hundred
-    # bytes instead of a 60-wide unrolled tree, and it reaches Catalyst in
-    # one py4j call instead of hundreds (the previous form spent ~1.6 s of
-    # driver time just BUILDING the Column; measured q57 4.7 s → 2.6 s at
-    # sf0.1 on an idle box, bit-identical signatures).
-    sig = F.expr(f"""aggregate(
-      _h, array_repeat(cast(0 as bigint), {bits}),
+
+def _simhash_token_hashes(text_col: str):
+    """Per-row array of xxhash64 token hashes feeding the simhash vote."""
+    tokens = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def simhash_vote_expr(hash_array_col: str, bits: int = 60):
+    """The SimHash majority-vote as ONE reusable column expression over an
+    ``array<bigint>`` of token hashes — shared by batch :func:`simhash` and
+    the streaming near-dup suppressor (``streaming.events``).
+
+    Single-pass: ONE fold whose accumulator is a ``bits``-wide vote array
+    (+1 if the bit is set, −1 if not), signature reassembled in the fold's
+    finish lambda. Expressed as one SQL string on purpose: SQL's shiftright
+    accepts a COLUMN shift amount (the PySpark wrapper only takes a Python
+    int), so no per-bit unrolling is needed — the whole expression is a few
+    hundred bytes instead of a 60-wide unrolled tree, and it reaches
+    Catalyst in one py4j call instead of hundreds (the previous form spent
+    ~1.6 s of driver time just BUILDING the Column; measured q57
+    4.7 s → 2.6 s at sf0.1 on an idle box, bit-identical signatures)."""
+    return F.expr(f"""aggregate(
+      {hash_array_col}, array_repeat(cast(0 as bigint), {bits}),
       (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
                            (a, b) -> a + (shiftright(h, b) & 1) * 2 - 1),
       acc -> aggregate(
@@ -435,7 +446,6 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                               cast(0 as bigint))),
         cast(0 as bigint), (s, x) -> s + x)
     )""")
-    return hashed.select("id", sig.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text",

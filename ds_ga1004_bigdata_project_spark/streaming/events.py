@@ -293,3 +293,30 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, out_path: str,
               .option("checkpointLocation", checkpoint_path)
               .trigger(availableNow=True).start())
     handle.awaitTermination()
+
+
+def stream_dedup_neardup(stream_df: DataFrame, text_col: str = "text",
+                         ts_col: str | None = None,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming NEAR-duplicate suppression: first-seen-wins on the
+    document's SimHash signature (``operators.dedup.simhash_vote_expr`` —
+    the identical compact SQL fold the batch tier uses), so reordered or
+    lightly-edited copies drop in-flight, not just byte-identical ones.
+    The signature is a per-row expression (no state, no shuffle of its
+    own) and the dedup state is one 8-byte key per surviving document —
+    with ``ts_col`` it prunes at the watermark exactly like
+    :func:`stream_dedup_exact`.
+
+    Ingestion-time near-dedup complements (not replaces) the batch funnel:
+    exact-signature grouping is hamming-distance-0; the banded MinHash /
+    verify tiers still catch lower-similarity pairs offline."""
+    from ..operators.dedup import _simhash_token_hashes, simhash_vote_expr
+
+    signed = (stream_df
+              .withColumn("_h", _simhash_token_hashes(text_col))
+              .withColumn("simhash", simhash_vote_expr("_h"))
+              .drop("_h"))
+    if ts_col:
+        return (signed.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["simhash"]))
+    return signed.dropDuplicates(["simhash"])

@@ -51,3 +51,37 @@ def test_param_grid_shape(spark):
     assert {(c.rank, c.reg_param) for c in grid} == \
         {(5, 0.01), (5, 0.1), (10, 0.01), (10, 0.1)}
     assert all(c.max_iter == 1 for c in grid)
+
+
+def test_stream_neardup_suppression_matches_batch_signatures(spark, tmp_path):
+    """Near-dup suppression on a stream: reordered copies share a SimHash
+    and collapse to one survivor; the surviving signature SET equals the
+    batch simhash distinct set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.operators.dedup import simhash
+    from ds_ga1004_bigdata_project_spark.streaming.events import (
+        run_available_now, stream_dedup_neardup)
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "epsilon delta gamma beta alpha"),   # reorder of 1 -> same sig
+        (3, "totally different content here now"),
+        (4, "alpha beta gamma delta epsilon"),   # exact copy of 1
+    ]
+    src = str(tmp_path / "neardup_docs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = stream_dedup_neardup(stream)
+    assert out.isStreaming
+    run_available_now(out, "neardup_stream_test", output_mode="append")
+    got = spark.table("neardup_stream_test")
+    sigs_stream = {r.simhash for r in got.select("simhash").collect()}
+    sigs_batch = {r.simhash for r in
+                  simhash(spark.read.parquet(src)).collect()}
+    assert sigs_stream == sigs_batch
+    assert got.count() == 2            # 1/2/4 collapse; 3 survives
+    shutil.rmtree(src, ignore_errors=True)
