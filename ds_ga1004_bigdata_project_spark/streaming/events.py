@@ -320,3 +320,49 @@ def stream_dedup_neardup(stream_df: DataFrame, text_col: str = "text",
         return (signed.withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["simhash"]))
     return signed.dropDuplicates(["simhash"])
+
+
+def lag_enrich_stream(events: DataFrame) -> DataFrame:
+    """Cross-batch stateful lag enrichment: attach each user's PREVIOUS
+    event value to every incoming event — the streaming twin of
+    ``lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)``, with
+    the carry surviving micro-batch boundaries via
+    ``applyInPandasWithState`` (state = one (ts, event_id, value) triple
+    per user). Output: (user_id, event_id, ts, value, prev_value).
+
+    The feature-engineering shape for online deltas (value - prev_value,
+    time-since-last) where the built-in window cannot reach across
+    micro-batches. Assumes per-user in-order arrival ACROSS batches (file
+    ordering / kafka per-key ordering); rows WITHIN a batch are sorted
+    before emission, so intra-batch disorder is absorbed."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        prev = state.get if state.exists else None
+        frames = [pdf for pdf in pdfs]
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        prev_vals = []
+        for v in batch["value"]:
+            prev_vals.append(prev[2] if prev is not None else None)
+            prev = (0, 0, float(v))
+        last = batch.iloc[-1]
+        state.update((int(last["event_id"]), 0, float(last["value"])))
+        out = batch[["user_id", "event_id", "ts", "value"]].copy()
+        out["prev_value"] = pd.array(prev_vals, dtype="float64")
+        yield out
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=("user_id bigint, event_id bigint, "
+                              "ts timestamp, value double, "
+                              "prev_value double"),
+            stateStructType="last_event bigint, pad int, last_value double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -249,3 +249,41 @@ def test_weighted_sample_runs_on_a_stream(spark, event_dir):
                    .otherwise(0.25)), "event_id", "_w")
     assert (sorted(r.event_id for r in got.collect())
             == sorted(r.event_id for r in batch.collect()))
+
+
+def test_lag_enrich_state_survives_micro_batches(spark, tmp_path):
+    """Cross-batch carry: with maxFilesPerTrigger=1 the second file's first
+    event must see the FIRST file's last value as prev_value — state
+    crossing the micro-batch boundary. Result equals the batch lag window."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from ds_ga1004_bigdata_project_spark.streaming.events import (
+        lag_enrich_stream)
+
+    d = str(tmp_path / "lag_events")
+    os.makedirs(d)
+    mk = lambda eid, h, v: {"event_id": eid, "ts": datetime(2024, 1, 1, h),
+                            "user_id": 1, "value": v}  # noqa: E731
+    f1 = [mk(1, 0, 10.0), mk(2, 1, 20.0)]
+    f2 = [mk(3, 2, 30.0), mk(4, 3, 40.0)]
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()), ("value", pa.float64())])
+    pq.write_table(pa.Table.from_pylist(f1, schema=schema), f"{d}/p0.parquet")
+    _time.sleep(1.1)   # distinct mtimes -> deterministic file order
+    pq.write_table(pa.Table.from_pylist(f2, schema=schema), f"{d}/p1.parquet")
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = lag_enrich_stream(stream)
+    (out.writeStream.format("memory").queryName("lag_enrich_test")
+        .outputMode("append").trigger(availableNow=True).start()
+        .awaitTermination(120))
+    got = {r.event_id: r.prev_value
+           for r in spark.table("lag_enrich_test").collect()}
+    assert got == {1: None, 2: 10.0, 3: 20.0, 4: 30.0}, got
