@@ -157,12 +157,15 @@ def negative_sample(interactions: DataFrame, items: DataFrame,
 
     from ..operators.sampling import _KNUTH_C
 
-    n_items = items.count()
-    # dense 0-based index over the item dimension (small; single window
-    # over the dim table only, never over interactions)
-    idx = items.select(F.col(item_col).alias("_item")).distinct() \
-        .withColumn("_idx", F.row_number().over(
-            Window.orderBy("_item")) - 1)
+    # dense 0-based index over the DISTINCT item dimension (small; single
+    # window over the dim table only, never over interactions). n_items is
+    # the distinct count so hash indexes always resolve — a dim with
+    # duplicate rows would otherwise leave dangling indexes (silent yield
+    # loss).
+    distinct_items = items.select(F.col(item_col).alias("_item")).distinct()
+    n_items = distinct_items.count()
+    idx = distinct_items.withColumn(
+        "_idx", F.row_number().over(Window.orderBy("_item")) - 1)
     users = interactions.select(user_col).distinct()
     slots = users.select(
         user_col, F.explode(F.sequence(
