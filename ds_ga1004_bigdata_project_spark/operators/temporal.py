@@ -152,7 +152,10 @@ def resample_ffill(events: DataFrame, key_col: str, ts_col: str,
     feature-engineering shape: snap each key's observations onto a regular
     ``step`` grid spanning [min(ts), max(ts)] and carry the last observed
     value forward across gaps. Output: (key_col, grid_ts, value_col,
-    is_observed).
+    is_observed). The grid anchors to the HOUR boundary at or before the
+    key's first observation (``date_trunc('hour', min(ts))``) regardless
+    of ``step`` — sub-hour steps subdivide hour-aligned cells, which keeps
+    grids from different keys phase-aligned.
 
     Plan: per-key min/max (one partial-aggregated shuffle) → ``sequence()``
     explodes the grid MAP-SIDE (no shuffle grows with grid length) → as-of
