@@ -3628,19 +3628,50 @@ _R02_VINTAGE: tuple[str, ...] = (
 _ANCHOR = "q01_top_parts"
 
 
+def _latest_certification_rounds() -> dict[str, int]:
+    """query -> newest round whose CORRECTNESS_r*.json certified it, read
+    from the driver artifacts next to the package. Best-effort: missing or
+    unreadable artifacts yield {} and the caller falls back to static
+    ordering (never let window composition break query registration)."""
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict[str, int] = {}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as fh:
+                for name in json.load(fh):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    except Exception:
+        return {}
+    return latest
+
+
 def _reorder_for_certification_window() -> None:
-    """Front: changed-since-certified + anchor. Middle: stalest rows first —
-    the r2-vintage ten ahead of the rest of the r02 set, then r03+. The
-    driver reads the first 50."""
+    """Front: changed-since-certified + anchor. Middle: stalest rows
+    first — the r2-vintage ten lead, then everything else ordered by its
+    NEWEST driver-certification round ascending (read from the
+    CORRECTNESS_r*.json artifacts; registration order is the tiebreak and
+    the fallback when artifacts are unavailable). The driver reads the
+    first 50, so refresh slots always go to the oldest certificates."""
     global REGISTRY
     front = [n for n in _CHANGED_SINCE_CERTIFIED if n in REGISTRY]
     front.append(_ANCHOR)
     seen = set(front)
     vintage = [n for n in _R02_VINTAGE if n not in seen]
     seen |= set(vintage)
-    r02 = [n for n in _R02_CERTIFIED if n not in seen]
-    rest = [n for n in REGISTRY if n not in seen and n not in set(r02)]
-    ordered = front + vintage + r02 + rest
+    latest = _latest_certification_rounds()
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    rest = sorted((n for n in REGISTRY if n not in seen),
+                  key=lambda n: (latest.get(n, 2), reg_pos[n]))
+    ordered = front + vintage + rest
     assert sorted(ordered) == sorted(REGISTRY), "registry reorder lost entries"
     REGISTRY = {n: REGISTRY[n] for n in ordered}
 
