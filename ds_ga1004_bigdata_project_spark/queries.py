@@ -3104,6 +3104,56 @@ def q111_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q124_session_sequences",
+    survey="net-new behavior-sequence construction (sessionized ordered event journeys)",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(count(*) AS INT) AS n_events,
+               md5(string_agg(event_type, ' ' ORDER BY ts, event_id))
+                   AS journey_md5
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def q124_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence construction for sequential models: per session
+    (native ``session_window``, 30-min gap), the user's event types in
+    exact time order, content-pinned by md5 so the oracle certifies the
+    SEQUENCE itself (q108's chunk-md5 idea applied to journeys). Ordering
+    is embedded in the aggregate — ``sort_array(collect_list(struct(ts,
+    event_id, type)))`` — so the result is shuffle-order-independent; one
+    session_window shuffle on user_id, same cost shape as q96."""
+    cat = Catalog(spark, sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")))),
+            lambda s: s.getField("event_type")), " ")
+    return (cat.events
+            .groupBy(F.session_window("ts", "30 minutes").alias("s"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_events"),
+                 F.md5(seq).alias("journey_md5"))
+            .select("user_id",
+                    F.date_format("s.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    "n_events", "journey_md5"))
+
+
+@_register(
     "q123_wav_spectral",
     survey="net-new spectral audio decode (numpy FFT dominant-bin over real WAV)",
     oracle="""
@@ -3611,7 +3661,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
     "q118_negative_sample", "q119_salted_join", "q120_resample_ffill",
     "q121_approx_percentiles", "q122_rolling_features",
-    "q123_wav_spectral",
+    "q123_wav_spectral", "q124_session_sequences",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
