@@ -56,3 +56,46 @@ def test_clustered_write_produces_prunable_rowgroups(spark, tmp_path):
     # and the data is identical either way
     assert (spark.read.parquet(clustered).count()
             == spark.read.parquet(plain).count() == li.count())
+
+
+def test_morton_code_interleaves_bits():
+    """Hand-check the Morton expression on known values."""
+    from ds_ga1004_bigdata_project_spark.session import get_local_session
+    from ds_ga1004_bigdata_project_spark.sources.catalog import (
+        morton_code_expr)
+
+    spark = get_local_session(2)
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    z = df.select(morton_code_expr("a", "b").alias("z")).first()["z"]
+    # a bits at even positions: 1,0,1 -> 0b010001 ; b bits at odd:
+    # 1,1,0 -> 0b001010 ; interleaved = 0b011011 = 27
+    assert z == 0b011011 == 27
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered layout: narrow slices on EITHER clustered column overlap
+    far fewer row groups than the unclustered layout."""
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.sources.catalog import (
+        write_zordered_parquet)
+
+    li = Catalog(spark, SF_SMOKE).lineitem.select(
+        "l_partkey", "l_suppkey", "l_quantity")
+    zpath, plain = str(tmp_path / "zorder"), str(tmp_path / "plain2")
+    write_zordered_parquet(li, zpath, "l_partkey", "l_suppkey", num_files=8)
+    li.repartition(8).write.parquet(plain)
+
+    for col in ("l_partkey", "l_suppkey"):
+        zs = _rowgroup_spans(f"{zpath}/*.parquet", col)
+        ps = _rowgroup_spans(f"{plain}/*.parquet", col)
+        lo = min(s for s, _ in ps)
+        hi = max(e for _, e in ps)
+        a = lo + int((hi - lo) * 0.40)
+        b = lo + int((hi - lo) * 0.45)
+        f_plain = sum(1 for s, e in ps if not (e < a or s > b)) / len(ps)
+        f_z = sum(1 for s, e in zs if not (e < a or s > b)) / len(zs)
+        assert f_plain > 0.9, (col, f_plain)
+        assert f_z < 0.7, f"{col}: z-order should prune some groups: {f_z}"
+
+    assert spark.read.parquet(zpath).count() == li.count()
