@@ -28,6 +28,27 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _stable_shuffle_width(request):
+    """Tripwire for session-conf leakage between tests: any test that leaves
+    ``spark.sql.shuffle.partitions`` different from how it found it (directly,
+    or indirectly via a ``getOrCreate`` that merges builder confs into the
+    live session) silently re-partitions every later seeded-sample path. The
+    q54 snapshot pin caught one such leak; restore + flag it at the source."""
+    if "spark" not in request.fixturenames:
+        yield
+        return
+    s = request.getfixturevalue("spark")
+    before = s.conf.get("spark.sql.shuffle.partitions")
+    yield
+    after = s.conf.get("spark.sql.shuffle.partitions")
+    if after != before:
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        pytest.fail(
+            f"test leaked spark.sql.shuffle.partitions ({before} -> {after}); "
+            f"restore session conf before returning")
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

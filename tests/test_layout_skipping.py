@@ -58,13 +58,16 @@ def test_clustered_write_produces_prunable_rowgroups(spark, tmp_path):
             == spark.read.parquet(plain).count() == li.count())
 
 
-def test_morton_code_interleaves_bits():
-    """Hand-check the Morton expression on known values."""
-    from ds_ga1004_bigdata_project_spark.session import get_local_session
+def test_morton_code_interleaves_bits(spark):
+    """Hand-check the Morton expression on known values.
+
+    Uses the shared session fixture: calling ``get_local_session(2)`` here
+    would APPLY ``spark.sql.shuffle.partitions=2`` to the existing session
+    (``getOrCreate`` merges builder SQL confs into a live session), which
+    silently re-partitions every later test — the q54 snapshot pin caught
+    exactly that."""
     from ds_ga1004_bigdata_project_spark.sources.catalog import (
         morton_code_expr)
-
-    spark = get_local_session(2)
     df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
     z = df.select(morton_code_expr("a", "b").alias("z")).first()["z"]
     # a bits at even positions: 1,0,1 -> 0b010001 ; b bits at odd:
