@@ -70,17 +70,23 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
         .otherwise(F.slice(sh, 1, F.size(tokens) - n + 1))
 
 
-def punct_ratio(col: Column, scale: int = 4) -> Column:
-    """Fraction of characters that are not alnum/whitespace."""
+def punct_ratio(col: Column, scale: int | None = 4) -> Column:
+    """Fraction of characters that are not alnum/whitespace. ``scale=None``
+    skips rounding — int/int division is bit-identical cross-engine, so raw
+    ratios make exact filter predicates (see q128)."""
     stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
-    return F.round(F.length(stripped) / F.nullif(F.length(col), F.lit(0)), scale)
+    r = F.length(stripped) / F.nullif(F.length(col), F.lit(0))
+    return F.round(r, scale) if scale is not None else r
 
 
-def stopword_ratio(tokens: Column, stopwords=STOPWORDS_EN, scale: int = 4) -> Column:
-    """Fraction of tokens that are stopwords (quality signal)."""
+def stopword_ratio(tokens: Column, stopwords=STOPWORDS_EN,
+                   scale: int | None = 4) -> Column:
+    """Fraction of tokens that are stopwords (quality signal).
+    ``scale=None`` as in :func:`punct_ratio`."""
     sw = F.array(*[F.lit(w) for w in stopwords])
     hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, F.lower(t))))
-    return F.round(hits / F.nullif(F.size(tokens), F.lit(0)), scale)
+    r = hits / F.nullif(F.size(tokens), F.lit(0))
+    return F.round(r, scale) if scale is not None else r
 
 
 def distinct_token_ratio(tokens: Column, scale: int | None = 4) -> Column:
@@ -91,10 +97,12 @@ def distinct_token_ratio(tokens: Column, scale: int | None = 4) -> Column:
     return F.round(r, scale) if scale is not None else r
 
 
-def mean_token_len(tokens: Column, scale: int = 4) -> Column:
-    """Average token length (garbage text skews far from ~4-6)."""
+def mean_token_len(tokens: Column, scale: int | None = 4) -> Column:
+    """Average token length (garbage text skews far from ~4-6).
+    ``scale=None`` as in :func:`punct_ratio`."""
     total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.round(total / F.nullif(F.size(tokens), F.lit(0)), scale)
+    r = total / F.nullif(F.size(tokens), F.lit(0))
+    return F.round(r, scale) if scale is not None else r
 
 
 def lang_scores(tokens: Column) -> dict[str, Column]:

@@ -1,0 +1,140 @@
+"""Count-min sketch heavy hitters with a cross-engine hash convention.
+
+The 100 TB frequency problem: exact per-token counts over a web-scale
+corpus shuffle one row per DISTINCT token (billions). A count-min sketch
+replaces that with a fixed d×w counter grid — the shuffle carries at most
+``depth × width`` partially-aggregated cells no matter how many tokens or
+rows exist, and grids from different corpus shards MERGE by cell-wise
+addition (same mergeability contract as the q111 HLL partials).
+
+Hash convention: sketches are only auditable cross-engine if both engines
+bucket identically, so the row hashes are built from ``md5`` (identical in
+Spark and DuckDB) with the leading 4 hex nibbles decoded through
+``instr('0123456789abcdef', c)`` arithmetic — both engines evaluate the
+exact same integers, which is what lets the q129 oracle certify the
+estimate bounds as literal booleans (q111's tolerance-certificate pattern).
+
+Estimate guarantees (Cormode & Muthukrishnan 2005): each cell only ever
+ADDS colliding tokens' counts, so ``estimate ≥ exact`` always;
+``estimate ≤ exact + εN`` where the min over ``depth`` independent rows
+drives the failure probability to ``e^{-depth}``. On FIXED fixture data the
+certificate is fully deterministic — the bound columns are measured-margin
+facts, not probabilistic claims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DEPTH = 4
+DEFAULT_WIDTH = 512
+
+_HEX = "0123456789abcdef"
+
+
+def _bucket(token: Column, row: int, width: int) -> Column:
+    """Cross-engine bucket: first 4 md5 nibbles of ``row:token`` → mod w.
+
+    16 bits of hash feed the modulus; keep ``width ≤ 65536``."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), token))
+    val = F.lit(0)
+    for i in range(1, 5):
+        c = F.substring(h, i, 1)
+        val = val * 16 + (F.instr(F.lit(_HEX), c) - 1)
+    return F.pmod(val, F.lit(width))
+
+
+def _bucket_sql(token_expr: str, row: int, width: int) -> str:
+    """DuckDB twin of :func:`_bucket` — same md5, same nibble arithmetic."""
+    h = f"md5('{row}:' || {token_expr})"
+    val = "0"
+    for i in range(1, 5):
+        val = (f"(({val}) * 16 + (instr('{_HEX}', substr({h}, {i}, 1)) - 1))")
+    return f"(({val}) % {width})"
+
+
+def cms_build(tokens: DataFrame, token_col: str = "token",
+              weight_col: str | None = None,
+              depth: int = DEFAULT_DEPTH,
+              width: int = DEFAULT_WIDTH) -> DataFrame:
+    """Build the d×w counter grid: ``(row, bucket, cnt)``.
+
+    Map-side: each token occurrence emits ``depth`` (row, bucket) cells via
+    an inline array — the groupBy partial-aggregates them, so the shuffle
+    moves ≤ d·w cells per task regardless of input size. ``weight_col``
+    supports pre-aggregated (token, count) inputs."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = tokens.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _bucket(F.col(token_col), r, width).alias("bucket"))
+            for r in range(depth)])).alias("cell"),
+        w.alias("w"))
+    return (cells.groupBy(F.col("cell.row").alias("row"),
+                          F.col("cell.bucket").alias("bucket"))
+            .agg(F.sum("w").alias("cnt")))
+
+
+def cms_merge(*grids: DataFrame) -> DataFrame:
+    """Merge shard grids cell-wise — the associative rollup that lets
+    per-shard sketches be persisted and combined without re-scanning."""
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def run_streaming_cms_partials(token_stream: DataFrame, out_dir: str,
+                               checkpoint_dir: str, token_col: str = "token",
+                               depth: int = DEFAULT_DEPTH,
+                               width: int = DEFAULT_WIDTH) -> None:
+    """Maintain the sketch INCREMENTALLY over a stream: each micro-batch
+    appends its own d×w cell partials to ``out_dir`` — no read-modify-write,
+    no state store. Mergeability does the work: the "grid" is an append-only
+    log of partials that :func:`read_cms_grid` folds on read (and a periodic
+    batch compaction can fold in place). Exactly-once is inherited from the
+    file sink's idempotent-append + checkpoint contract; a replayed batch
+    appends ≤ d·w duplicate cells which compaction folds away only if the
+    sink committed — the checkpoint prevents the replay in the first place.
+
+    This is the 100 TB streaming-frequency design: per batch, only ≤ d·w
+    aggregated cells are written, independent of batch row count."""
+    def append_partials(batch_df: DataFrame, _batch_id: int) -> None:
+        (cms_build(batch_df, token_col, depth=depth, width=width)
+         .write.mode("append").parquet(out_dir))
+
+    (token_stream.writeStream.foreachBatch(append_partials)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True).start().awaitTermination(300))
+
+
+def read_cms_grid(spark, out_dir: str) -> DataFrame:
+    """Fold the append-only partial log back into one d×w grid."""
+    return (spark.read.parquet(out_dir)
+            .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_estimate(grid: DataFrame, candidates: DataFrame,
+                 token_col: str = "token",
+                 depth: int = DEFAULT_DEPTH,
+                 width: int = DEFAULT_WIDTH) -> DataFrame:
+    """Point estimates for ``candidates``: min over rows of the token's cell.
+
+    Candidates × depth probe rows broadcast-join the grid on (row, bucket);
+    missing cells read as 0 (min() never sees them — a missing cell means
+    estimate 0, only possible for tokens absent from the build)."""
+    probes = candidates.select(
+        token_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _bucket(F.col(token_col), r, width).alias("bucket"))
+            for r in range(depth)])).alias("cell"))
+    joined = probes.join(
+        F.broadcast(grid),
+        (probes["cell.row"] == grid["row"])
+        & (probes["cell.bucket"] == grid["bucket"]),
+        "left")
+    return (joined.groupBy(token_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_estimate")))

@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
+from .ml import kmeans
 from .operators import aggregates as agg
-from .operators import dedup, relational as rel, sampling, similarity as sim
+from .operators import bloom, dedup, relational as rel, sampling, sketches
+from .operators import similarity as sim
 from .sources.catalog import Catalog
 
 
@@ -3609,6 +3611,325 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+@_register(
+    "q125_bloom_semi_join",
+    survey="net-new bloom-filter join pruning (probe prefiltered ahead of the shuffle)",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """,
+)
+def q125_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: the urgent-order keys fold into a 128 KiB
+    bitset (``operators/bloom.py`` — bit_or word partials, never the build
+    rows, cross the shuffle), broadcast to the lineitem scan, which drops
+    non-candidates at codegen speed BEFORE the exact join's shuffle. The
+    Bloom stage has no false negatives and the exact semi join removes its
+    false positives, so the result — and therefore the oracle — is exactly
+    the plain semi join; what changes at 100 TB is that the probe shuffle
+    carries only the surviving fraction. Scalable replacement for the
+    reference's driver-collected ``isin`` pruning (sample_indexer.py:39)."""
+    cat = Catalog(spark, sf_dir)
+    urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    kept = bloom.bloom_semi_join(cat.lineitem, urgent,
+                                 "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        agg.exact_sum("l_quantity", "sum_qty"))
+
+
+@_register(
+    "q126_kmeans_assign",
+    survey="net-new embedding clustering: nearest-centroid assignment (broadcast argmin)",
+    oracle="""
+        WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+        p AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                          * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6)
+                   AS d2
+          FROM embeddings e, c)
+        SELECT vec_id, cid, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2 ASC, cid ASC) AS rn
+          FROM p) WHERE rn = 1
+    """,
+)
+def q126_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means assignment step (``ml/kmeans.py``): 8 deterministic
+    centroids (the vec_id<8 vectors) fold into ONE kilobyte-scale row,
+    broadcast everywhere; each vector picks ``array_min`` over
+    ``struct(round(d2,6), cid)`` — argmin on the rounded distance with cid
+    tie-break, matching the oracle's window exactly. Zero corpus shuffle:
+    the semantic-bucketing pass of a curation pipeline runs at scan speed."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings.select("vec_id", "embedding")
+    cents = (cat.embeddings.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    return kmeans.assign(emb, cents).select("vec_id", "cid", "d2")
+
+
+@_register(
+    "q127_kmeans_lloyd",
+    survey="net-new iterative Lloyd k-means (deterministic seed init; rows-only)",
+    oracle=None,
+)
+def q127_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd rounds (assign → per-(cid,dim) mean → reassign) from
+    the deterministic lowest-id seed — per-iteration cost is one corpus scan
+    plus a k·dim-sized partial-agg shuffle. Rows-only BY DESIGN: iterated
+    centroid means are unordered double summations (partition-order
+    dependent in any engine), so a SQL twin would hash-diverge in the last
+    bit; the value contract is the sf0.001 snapshot pin in
+    tests/test_kmeans.py instead. Output is the per-cluster size and mean
+    assignment distance (coarsely rounded — stable under summation order)."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings.select("vec_id", "embedding").persist()
+    try:
+        assigned = kmeans.lloyd(emb, k=8, n_iter=3)
+        out = (assigned.groupBy("cid")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg("d2"), 3).alias("mean_d2"))
+               .orderBy("cid"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        emb.unpersist()
+
+
+@_register(
+    "q128_quality_gate",
+    survey="net-new quality-rule cascade (Gopher/C4-style gate with first-fail reasons)",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 string_split_regex(text, '\\s+') AS w,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens,
+                 len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / CAST(len(text) AS DOUBLE) AS punct_r
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tokens,
+                 n_tokens >= 15 AS ok_min_words,
+                 n_tokens <= 5000 AS ok_max_words,
+                 list_sum(list_transform(w, x -> len(x)))
+                   / CAST(n_tokens AS DOUBLE) BETWEEN 2 AND 12
+                   AS ok_mean_word_len,
+                 punct_r <= 0.30 AS ok_punct,
+                 len(list_distinct(w)) / CAST(n_tokens AS DOUBLE) >= 0.30
+                   AS ok_diversity,
+                 (lang <> 'en' OR
+                  len(list_filter(w, x -> list_contains(
+                      ['the','a','an','of','and','or','in','on','is','are','to'],
+                      lower(x)))) / CAST(n_tokens AS DOUBLE) >= 0.02)
+                   AS ok_stopword
+          FROM t)
+        SELECT doc_id, n_tokens,
+               (ok_min_words AND ok_max_words AND ok_mean_word_len
+                AND ok_punct AND ok_diversity AND ok_stopword) AS keep,
+               CASE WHEN NOT ok_min_words THEN 'min_words'
+                    WHEN NOT ok_max_words THEN 'max_words'
+                    WHEN NOT ok_mean_word_len THEN 'mean_word_len'
+                    WHEN NOT ok_punct THEN 'punct'
+                    WHEN NOT ok_diversity THEN 'diversity'
+                    WHEN NOT ok_stopword THEN 'stopword'
+                    ELSE 'pass' END AS reason
+        FROM r
+    """,
+)
+def q128_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-cascade quality gate in the Gopher/C4 heuristic family (Rae et
+    al. 2021 §A1.1; Raffel et al. 2020 §2.2 — public papers): word-count
+    bounds, mean-word-length band, symbol ratio, lexical diversity, and an
+    English-only stopword floor, evaluated as ONE array of (rule, ok)
+    structs so the gate reports the FIRST failing rule as an auditable
+    reason code. Every predicate compares raw int/int-division doubles —
+    bit-identical cross-engine, which is what lets a filter CASCADE (not
+    just counts) be hash-certified. Pure scan-speed JVM expressions."""
+    toks = T.ws_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    rules = [
+        ("min_words", n_tokens >= 15),
+        ("max_words", n_tokens <= 5000),
+        ("mean_word_len",
+         T.mean_token_len(toks, scale=None).between(2.0, 12.0)),
+        ("punct", T.punct_ratio(F.col("text"), scale=None) <= 0.30),
+        ("diversity", T.distinct_token_ratio(toks, scale=None) >= 0.30),
+        ("stopword", (F.col("lang") != "en")
+         | (T.stopword_ratio(toks, scale=None) >= 0.02)),
+    ]
+    arr = F.array(*[F.struct(F.lit(n).alias("rule"), ok.alias("ok"))
+                    for n, ok in rules])
+    fails = F.filter(arr, lambda r: ~r["ok"])
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.size(fails) == 0).alias("keep"),
+        F.coalesce(F.get(fails, 0)["rule"],
+                   F.lit("pass")).alias("reason"))
+
+
+@_register(
+    "q129_heavy_hitters_cms",
+    survey="net-new count-min heavy hitters (mergeable d×w grid + exact certificate)",
+    oracle="""
+        -- Tolerance-certificate oracle (q111 pattern): DuckDB certifies the
+        -- exact top-10 token counts; the booleans are literal TRUE because
+        -- the CONTRACT is "sketch estimate ≥ exact (structural) and within
+        -- the 4N/w collision budget (measured margin on fixed fixtures)" —
+        -- Spark computes them from the real merged sketch, so any grid or
+        -- merge-path corruption flips a boolean into a value mismatch.
+        WITH toks AS (
+          SELECT unnest(string_split_regex(text, '\\s+')) AS token
+          FROM documents),
+        exact AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+          FROM toks GROUP BY token)
+        SELECT token, exact_count,
+               TRUE AS est_ge_exact, TRUE AS est_within_eps
+        FROM exact
+        ORDER BY exact_count DESC, token ASC LIMIT 10
+    """,
+)
+def q129_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch (``operators/sketches.py``)
+    with q111's exact-certificate shape: the 4×512 counter grid is built as
+    TWO half-corpus grids (doc_id parity) merged cell-wise — exercising the
+    shard-rollup path that makes the sketch incremental at 100 TB — then
+    probed for the exact top-10 tokens. ``est_ge_exact`` is structural
+    (cells only add collisions); ``est_within_eps`` bounds the collision
+    noise by 4N/w. The exact counts exist to CERTIFY the sketch and are
+    what the oracle recomputes; production keeps only the d×w cells.
+
+    width=32 (not the library's 512 default): the fixture vocabulary is
+    ~31 distinct tokens, so the default width would never collide and the
+    certificate would be vacuous — at w=32 the grid takes real collisions
+    (measured worst overcount ≈28 %% of the 4N/w budget at sf0.001, within
+    budget at all three SFs) and the min-over-rows estimate is genuinely
+    exercised. Production sizing stays ε-driven: w ≈ e/ε."""
+    width = 32
+    cat = Catalog(spark, sf_dir)
+    tokens = cat.documents.select(
+        F.col("doc_id"),
+        F.explode(T.ws_tokens(F.col("text"))).alias("token"))
+    even = tokens.filter(F.col("doc_id") % 2 == 0)
+    odd = tokens.filter(F.col("doc_id") % 2 == 1)
+    grid = sketches.cms_merge(sketches.cms_build(even, width=width),
+                              sketches.cms_build(odd, width=width))
+    exact = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count"))
+    top = (exact.orderBy(F.col("exact_count").desc(), F.col("token").asc())
+           .limit(10))
+    est = sketches.cms_estimate(grid, top.select("token"), width=width)
+    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    return (top.join(F.broadcast(est), "token")
+            .join(F.broadcast(total))
+            .select("token", "exact_count",
+                    (F.col("cms_estimate") >= F.col("exact_count"))
+                    .alias("est_ge_exact"),
+                    (F.col("cms_estimate") <= F.col("exact_count")
+                     + F.lit(4) * F.col("n_total") / F.lit(width))
+                    .alias("est_within_eps")))
+
+
+@_register(
+    "q130_correlated_subquery",
+    survey="net-new correlated scalar subquery (TPC-H Q17 shape, decorrelated)",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_small,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS small_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand
+    """,
+)
+def q130_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated-scalar-subquery shape ("rows below half their
+    part's average quantity"), expressed in its DECORRELATED form: one
+    per-key aggregate of the inner table + an equi-join back — exactly the
+    plan Catalyst's DecorrelateInnerQuery produces from the SQL form the
+    oracle runs (the SQL surface itself is pinned equal to this builder in
+    tests/test_relational_extras.py). Per-row subquery evaluation never
+    exists on either engine; the threshold compare is exact because
+    l_quantity is integral (integer-valued double sums are order-independent,
+    so avg is bit-identical cross-engine). One extra scan + one partial-agg
+    shuffle of (key, sum, count) — the scalable shape at any size."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    thresholds = (li.groupBy("l_partkey")
+                  .agg((F.lit(0.5) * F.avg("l_quantity")).alias("_thr")))
+    return (li.join(thresholds, "l_partkey")
+            .filter(F.col("l_quantity") < F.col("_thr"))
+            .join(F.broadcast(cat.part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_small"),
+                 agg.exact_sum("l_extendedprice", "small_revenue")))
+
+
+@_register(
+    "q131_curriculum_phases",
+    survey="net-new curriculum ordering (global quality ntile via scalable ranks)",
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id,
+                 len(list_distinct(string_split_regex(text, '\\s+')))
+                   / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
+                   AS score
+          FROM documents),
+        t AS (SELECT doc_id, score,
+                     ntile(4) OVER (ORDER BY score ASC, doc_id ASC) AS phase
+              FROM scored)
+        SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(score), 6) AS min_score,
+               round(max(score), 6) AS max_score
+        FROM t GROUP BY phase
+    """,
+)
+def q131_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: order the corpus by a quality score (lexical
+    diversity — raw int/int division, bit-identical cross-engine) and cut it
+    into 4 globally-balanced training phases. The global NTILE comes from
+    ``operators/ranks.global_distribution_ranks`` — the range-partitioned
+    row-number construction with adaptive small-input dispatch — so the
+    oracle's single-partition ``ntile() OVER (ORDER BY ...)`` window is
+    certified WITHOUT ever planning an unpartitioned window here (q101's
+    machinery, reused; the tiebreak on doc_id makes the total order — and
+    therefore phase membership — deterministic)."""
+    from .operators import ranks
+
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    scored = cat.documents.select(
+        "doc_id", T.distinct_token_ratio(toks, scale=None).alias("score"))
+    caches: list[DataFrame] = []
+    try:
+        ranked = ranks.global_distribution_ranks(
+            scored, key_cols=["score"], tiebreak_cols=["doc_id"],
+            ntile=4, caches=caches)
+        out = (ranked.groupBy(F.col("ntile").alias("phase"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.round(F.min("score"), 6).alias("min_score"),
+                    F.round(F.max("score"), 6).alias("max_score")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -3662,6 +3983,9 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q118_negative_sample", "q119_salted_join", "q120_resample_ffill",
     "q121_approx_percentiles", "q122_rolling_features",
     "q123_wav_spectral", "q124_session_sequences",
+    "q125_bloom_semi_join", "q126_kmeans_assign", "q127_kmeans_lloyd",
+    "q128_quality_gate", "q129_heavy_hitters_cms",
+    "q130_correlated_subquery", "q131_curriculum_phases",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

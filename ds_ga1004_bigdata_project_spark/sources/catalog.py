@@ -145,6 +145,20 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar lake format (Hive-ecosystem data
+    often arrives as ORC). Same pushdown/pruning properties as parquet:
+    predicate pushdown and column pruning reach the ORC reader natively."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink. Type caveat worth knowing at migration time: ORC has no
+    unsigned or nanosecond-timestamp types; the engine's schemas (long,
+    double, string, timestamp-µs, arrays) all round-trip losslessly."""
+    df.write.mode(mode).orc(path)
+
+
 class Catalog:
     """Convenience handle over one scale-factor directory."""
 

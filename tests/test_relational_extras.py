@@ -1,0 +1,53 @@
+"""q130/q131 semantics: the SQL surface's correlated subquery (Catalyst
+decorrelation) must equal the hand-decorrelated builder, and the curriculum
+phases must be globally balanced."""
+
+from __future__ import annotations
+
+from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def test_correlated_sql_surface_equals_decorrelated_builder(spark):
+    """Run the ORACLE's correlated-scalar-subquery SQL through Spark itself
+    (temp views) — Catalyst's DecorrelateInnerQuery must produce the same
+    result as q130's explicit per-key-aggregate + join rewrite."""
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, SF_SMOKE)
+    cat.lineitem.createOrReplaceTempView("_t_lineitem")
+    cat.part.createOrReplaceTempView("_t_part")
+    try:
+        via_sql = spark.sql("""
+            SELECT p_brand,
+                   count(*) AS n_small,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS small_revenue
+            FROM _t_lineitem l JOIN _t_part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                                  FROM _t_lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+            GROUP BY p_brand
+        """)
+        # Catalyst really decorrelated: no per-row subquery survives
+        plan = via_sql._jdf.queryExecution().executedPlan().toString()
+        assert "Subquery" not in plan
+
+        built = REGISTRY["q130_correlated_subquery"].build(spark, SF_SMOKE)
+        assert sorted(map(tuple, via_sql.collect())) == \
+            sorted(map(tuple, built.collect()))
+    finally:
+        spark.catalog.dropTempView("_t_lineitem")
+        spark.catalog.dropTempView("_t_part")
+
+
+def test_curriculum_phases_are_balanced_and_ordered(spark):
+    rows = {r["phase"]: r for r in
+            REGISTRY["q131_curriculum_phases"].build(spark, SF_SMOKE)
+            .collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    sizes = [rows[p]["n_docs"] for p in (1, 2, 3, 4)]
+    assert max(sizes) - min(sizes) <= 1          # NTILE balance contract
+    for p in (1, 2, 3):                          # phases ascend in score
+        assert rows[p]["max_score"] <= rows[p + 1]["min_score"] + 1e-9

@@ -67,6 +67,33 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
         sorted(tuple(r) for r in cat.nation.collect())
 
 
+def test_orc_roundtrip_all_engine_types(spark, tmp_path):
+    """ORC round-trip over the engine's full type surface: longs, doubles,
+    strings, µs timestamps (events) and float arrays (embeddings)."""
+    cat = C.Catalog(spark, SF_SMOKE)
+    for name, df in (("events", cat.events), ("embeddings", cat.embeddings)):
+        out = str(tmp_path / f"{name}_orc")
+        C.write_orc(df, out)
+        back = C.read_orc(spark, out)
+        assert back.schema == df.schema
+        assert sorted(map(str, back.collect())) == \
+            sorted(map(str, df.collect()))
+
+
+def test_orc_scan_gets_pushdown(spark, tmp_path):
+    """Predicate pushdown and column pruning must reach the ORC reader just
+    like the parquet scans the plan tests audit."""
+    cat = C.Catalog(spark, SF_SMOKE)
+    out = str(tmp_path / "li_orc")
+    C.write_orc(cat.lineitem, out)
+    from pyspark.sql import functions as F
+    q = (C.read_orc(spark, out)
+         .filter(F.col("l_quantity") > 30).select("l_partkey"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,30" in plan
+    assert "ReadSchema: struct<l_partkey:bigint,l_quantity:double>" in plan
+
+
 def test_read_jdbc_sqlite_skip_gated(spark, tmp_path):
     # S4 literal parity: the reference read SQLite side tables; the engine's
     # default mapping is parquet temp views, but read_jdbc covers a user
