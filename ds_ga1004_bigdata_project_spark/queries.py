@@ -3930,6 +3930,52 @@ def q131_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+@_register(
+    "q132_semantic_neardup",
+    survey="net-new SemDeDup cluster-then-dedup (within-cluster cosine, min-id keep)",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                              * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6)
+                       ASC, c.cid ASC) AS rn
+            FROM embeddings e, c) WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT y.vec_id AS b
+          FROM embeddings x JOIN asg ax ON x.vec_id = ax.vec_id
+               JOIN asg ay ON ax.cid = ay.cid
+               JOIN embeddings y ON y.vec_id = ay.vec_id
+                                AND x.vec_id < y.vec_id
+          WHERE round({_DUCK_COS.format(a='x.embedding', b='y.embedding')} /
+                      nullif(sqrt({_DUCK_COS.format(a='x.embedding', b='x.embedding')}) *
+                             sqrt({_DUCK_COS.format(a='y.embedding', b='y.embedding')}), 0.0),
+                      6) >= 0.3)
+        SELECT vec_id, cid FROM asg
+        WHERE vec_id NOT IN (SELECT b FROM dropped)
+    """,
+)
+def q132_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: nearest-centroid bucketing (the
+    q126 assignment, centroids = vec_id<8) restricts exact cosine near-dup
+    search to WITHIN clusters, then the paper's greedy min-id keep rule
+    drops the higher id of every above-threshold pair — the whole
+    cluster-restricted pair space and the final keep-set are recomputed
+    verbatim by the DuckDB oracle. See
+    ``similarity.semantic_neardup_survivors`` for the n² → Σ|cluster|²
+    scale argument."""
+    cat = Catalog(spark, sf_dir)
+    cents = (cat.embeddings.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    return sim.semantic_neardup_survivors(cat.embeddings, cents,
+                                          threshold=0.3)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -3986,6 +4032,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q125_bloom_semi_join", "q126_kmeans_assign", "q127_kmeans_lloyd",
     "q128_quality_gate", "q129_heavy_hitters_cms",
     "q130_correlated_subquery", "q131_curriculum_phases",
+    "q132_semantic_neardup",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
