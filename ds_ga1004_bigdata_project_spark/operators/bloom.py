@@ -80,6 +80,9 @@ def build_bloom(build: DataFrame, key_col: str,
     order-pinned array. The array assembles on one reducer, but its input
     is word partials — the build table itself never concentrates anywhere.
     """
+    if num_bits % 64 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, "
+                         f"got {num_bits}")
     n_words = num_bits // 64
     pos = _bit_positions(F.col(key_col), num_bits, num_hashes, salt)
     words = (build

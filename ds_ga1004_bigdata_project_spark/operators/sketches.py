@@ -64,6 +64,9 @@ def cms_build(tokens: DataFrame, token_col: str = "token",
     an inline array — the groupBy partial-aggregates them, so the shuffle
     moves ≤ d·w cells per task regardless of input size. ``weight_col``
     supports pre-aggregated (token, count) inputs."""
+    if not 0 < width <= 65536:
+        raise ValueError(f"width must be in (0, 65536] — the bucket hash "
+                         f"carries 16 bits; got {width}")
     w = F.col(weight_col) if weight_col else F.lit(1)
     cells = tokens.select(
         F.explode(F.array(*[

@@ -136,6 +136,34 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"negative pairs: {negs.count()} "
           f"(~4/user minus positives and collisions)")
 
+    print("== 11d. semantic dedup + curriculum phases over embeddings ==")
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+    from ds_ga1004_bigdata_project_spark.operators import ranks
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    surv = sim.semantic_neardup_survivors(emb, cents, threshold=0.3)
+    print(f"SemDeDup: {emb.count()} vectors -> {surv.count()} survivors")
+    scored = docs.select(
+        "doc_id", T.distinct_token_ratio(T.ws_tokens(F.col("text")),
+                                         scale=None).alias("score"))
+    caches2: list = []
+    phased = ranks.global_distribution_ranks(
+        scored, key_cols=["score"], tiebreak_cols=["doc_id"],
+        ntile=4, caches=caches2).localCheckpoint(eager=True)
+    for c in caches2:
+        c.unpersist()
+    phased.groupBy("ntile").count().orderBy("ntile").show()
+
+    print("== 11e. bloom-pruned join: lineitems of urgent orders ==")
+    from ds_ga1004_bigdata_project_spark.operators import bloom
+
+    urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    kept = bloom.bloom_semi_join(cat.lineitem, urgent,
+                                 "l_orderkey", "o_orderkey")
+    print(f"probe {cat.lineitem.count()} rows -> {kept.count()} "
+          f"after bloom+exact (bitset: 128 KiB broadcast)")
+
     print("== 11. M7 hyperparameter sweep -> results relation ==")
     # The reference's rank x regParam protocol (param_train_2nd.py:43-85),
     # one ALS fit + distributed ranking-metrics eval per cell, materialized
