@@ -38,6 +38,19 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # Quieter local runs.
     "spark.ui.showConsoleProgress": "false",
+    # Status-store hygiene for long-lived sessions: the defaults retain
+    # 1000 jobs/stages/executions of UI state, and a 130-query bench in one
+    # JVM generates thousands of short jobs (iterative operators — CC
+    # resolution, L-BFGS, ALS — emit dozens each). The single-threaded
+    # listener bus then spends its time trimming an ever-growing status
+    # store, which measurably inflates exactly those many-job queries late
+    # in a suite. No server, tight retention: a cluster deployment that
+    # wants the UI back overrides via extra_conf.
+    "spark.ui.enabled": "false",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "5000",
+    "spark.sql.ui.retainedExecutions": "50",
 }
 
 
@@ -81,7 +94,16 @@ def get_local_session(cpus: int | None = None, driver_mem: str | None = None,
     mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     conf = {
         "spark.driver.memory": mem,
-        "spark.driver.extraJavaOptions": "-Xlog:disable",
+        # -Xlog:disable keeps GC/JIT unified logging off stdout (bench JSON
+        # parseability). ReservedCodeCacheSize: the default 240 MB JIT code
+        # cache overflows on a 130-query whole-stage-codegen suite in one
+        # JVM — once full, HotSpot silently stops compiling and later
+        # queries run interpreted (observed as stochastic 2-18× per-query
+        # inflation late in bench runs); 512 MB + flushing keeps the
+        # compiler on. Same flags Spark's own docs recommend for
+        # codegen-heavy workloads.
+        "spark.driver.extraJavaOptions":
+            "-Xlog:disable -XX:ReservedCodeCacheSize=1g",
     }
     conf.update(kw.pop("extra_conf", {}) or {})
     return get_session(master=f"local[{n}]", shuffle_partitions=min(n, 32),
