@@ -214,6 +214,58 @@ def audited_write_parquet(df: DataFrame, path: str) -> dict:
     return written.agg(*metrics).first().asDict()
 
 
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet directories written at
+    different schema versions into ONE DataFrame with the merged schema
+    (``mergeSchema=true`` — columns absent in older files read as null).
+
+    At 100 TB this is the normal state of a corpus lake: months of shards
+    where newer ones carry added columns (a quality score, a license tag).
+    Merging at read time beats rewriting history. Cost note: schema merge
+    reads every file's FOOTER at planning (distributed, but not free) —
+    pin a merged schema explicitly via ``.schema(...)`` once it stabilizes."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                    target_file_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a fragmented directory into
+    ~``target_file_mb`` files, sized from the ACTUAL input bytes. Returns
+    the output file count.
+
+    The classic lake-maintenance op: streaming/incremental writers (the
+    q114 ingest path, per-micro-batch sinks) leave thousands of KB-scale
+    files whose per-file open/footer cost dominates later scans. One
+    distributed read → repartition → write; compaction of different
+    directories parallelizes trivially at the orchestrator level."""
+    import math
+
+    from pyspark.sql.functions import input_file_name
+
+    df = spark.read.parquet(src_dir)
+    n_bytes = sum(f.size for f in _list_files(spark, src_dir))
+    n_files = max(1, math.ceil(n_bytes / (target_file_mb << 20)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return (spark.read.parquet(dst_dir)
+            .select(input_file_name().alias("f")).distinct().count())
+
+
+def _list_files(spark: SparkSession, path: str):
+    """Hadoop-FS listing through the JVM — scheme-agnostic (S8), no
+    os.listdir assumptions about a local filesystem. Returns
+    (name, size) tuples for data files (``_``-prefixed metadata skipped)."""
+    from collections import namedtuple
+
+    entry = namedtuple("FsEntry", ["name", "size"])
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return [entry(st.getPath().getName(), st.getLen())
+            for st in fs.listStatus(p)
+            if st.isFile() and not st.getPath().getName().startswith("_")]
+
+
 def write_clustered_parquet(df: DataFrame, path: str, cluster_by: str,
                             num_files: int | None = None) -> None:
     """Data-skipping layout: range-partition the rows by ``cluster_by`` and

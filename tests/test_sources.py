@@ -94,6 +94,42 @@ def test_orc_scan_gets_pushdown(spark, tmp_path):
     assert "ReadSchema: struct<l_partkey:bigint,l_quantity:double>" in plan
 
 
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Old shard (no quality column) + new shard (added column) read as one
+    relation with the merged schema; old rows surface null."""
+    from pyspark.sql import functions as F
+
+    cat = C.Catalog(spark, SF_SMOKE)
+    old = str(tmp_path / "v1")
+    new = str(tmp_path / "v2")
+    cat.documents.select("doc_id", "text").filter(F.col("doc_id") < 100) \
+        .write.parquet(old)
+    cat.documents.select("doc_id", "text",
+                         F.length("text").alias("quality")) \
+        .filter(F.col("doc_id") >= 100).write.parquet(new)
+    merged = C.read_parquet_evolving(spark, old, new)
+    assert set(merged.columns) == {"doc_id", "text", "quality"}
+    assert merged.count() == cat.documents.count()
+    assert merged.filter(F.col("doc_id") < 100) \
+        .filter(F.col("quality").isNotNull()).count() == 0
+    assert merged.filter(F.col("doc_id") >= 100) \
+        .filter(F.col("quality").isNull()).count() == 0
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    li = C.Catalog(spark, SF_SMOKE).lineitem
+    li.repartition(64).write.parquet(frag)     # 64 tiny files
+    n_in = len(C._list_files(spark, frag))
+    assert n_in >= 64
+    n_out = C.compact_parquet(spark, frag, out)
+    assert n_out < n_in / 8
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+
+
 def test_read_jdbc_sqlite_skip_gated(spark, tmp_path):
     # S4 literal parity: the reference read SQLite side tables; the engine's
     # default mapping is parquet temp views, but read_jdbc covers a user
