@@ -3976,6 +3976,43 @@ def q132_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           threshold=0.3)
 
 
+@_register(
+    "q133_time_range_window",
+    survey="net-new time-RANGE window frame (trailing 1-hour aggregates)",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    OVER w AS BIGINT) AS hr_sum_cents,
+               CAST(count(*) OVER w AS INT) AS hr_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def q133_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour per-user aggregates with a true RANGE frame —
+    unlike q122's ROWS frame, membership here is defined by event-TIME
+    distance, so sparse and bursty users get correct windows. Spark range
+    frames need a numeric order column: ``unix_micros(ts)`` with a
+    ``[-3.6e9, 0]`` frame is µs-exact and matches the oracle's
+    ``INTERVAL 1 HOUR PRECEDING`` boundary inclusively (both engines
+    include ALL peers at equal order values — which is also why ts alone,
+    without a tiebreak, is a legal deterministic order for a range frame).
+    Cents sums keep the certificate exact; one hash shuffle on user_id."""
+    cat = Catalog(spark, sf_dir)
+    # events.ts loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # cast re-interprets in the session TZ, pinned UTC, so it is exact.
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return cat.events.select(
+        "user_id", "event_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
+            .alias("hr_sum_cents"),
+        F.count(F.lit(1)).over(w).cast("int").alias("hr_n"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4032,7 +4069,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q125_bloom_semi_join", "q126_kmeans_assign", "q127_kmeans_lloyd",
     "q128_quality_gate", "q129_heavy_hitters_cms",
     "q130_correlated_subquery", "q131_curriculum_phases",
-    "q132_semantic_neardup",
+    "q132_semantic_neardup", "q133_time_range_window",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
