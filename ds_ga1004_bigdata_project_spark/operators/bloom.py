@@ -27,11 +27,18 @@ JVM expressions only:
 Guarantee: NO false negatives (every true match survives the prefilter), so
 ``bloom_semi_join`` composes the prefilter with an exact join and returns
 exactly the plain semi-join result — the q125 oracle is the plain semi
-join. What the Bloom stage buys at scale is that the exact join's shuffle
-reads only the surviving fraction (FP rate ≈ ``(1 - e^{-kn/m})^k``; m =
-2²⁰, k = 5 holds < 1 % up to ~10⁵ build keys — size ``num_bits`` ≈ 10
-bits/key for ~1 %). Measured at sf0.1 on local[32]: pruned aggregate ~0.7 s
-vs ~3.4 s for the plain semi join on the same warm session.
+join. What the Bloom stage buys at scale is SHUFFLE VOLUME: the exact
+join's exchange reads only the surviving fraction (FP rate ≈
+``(1 - e^{-kn/m})^k``; m = 2²⁰, k = 5 holds < 1 % up to ~10⁵ build keys —
+size ``num_bits`` ≈ 10 bits/key for ~1 %). Measured on a 6M-row probe with
+30k build keys (10×-replicated sf0.1): 6,000,000 probe rows → 120,752
+after the prefilter — a **49.7× reduction in rows entering the exact
+join's shuffle**, with 186 false positives (0.15 %). Honest local
+caveat: on local[32] with narrow rows the saved shuffle is so cheap that
+wall-clock is a wash (and a broadcastable build side needs no bloom at
+all) — the operator is for the cluster regime where the probe exchange
+is network/disk-bound and the build side exceeds the broadcast
+threshold.
 
 Reference parity: the reference prunes with driver-collected ``isin`` lists
 (``sample_indexer.py:39``); this is the scalable replacement for the case
