@@ -97,6 +97,36 @@ def distinct_token_ratio(tokens: Column, scale: int | None = 4) -> Column:
     return F.round(r, scale) if scale is not None else r
 
 
+def quality_gate_columns(text_col: Column, lang_col: Column) -> dict:
+    """The q128 rule cascade as reusable columns: ``n_tokens``, ``keep``,
+    ``reason`` (first failing rule's name, else 'pass'). Gopher/C4-family
+    heuristics (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2 — public
+    papers). Every predicate compares raw int/int-division doubles —
+    bit-identical cross-engine — and the whole cascade is stateless
+    expressions, so the SAME columns run under readStream unchanged
+    (asserted by the streaming-twin test)."""
+    toks = ws_tokens(text_col)
+    n_tokens = F.size(toks)
+    rules = [
+        ("min_words", n_tokens >= 15),
+        ("max_words", n_tokens <= 5000),
+        ("mean_word_len",
+         mean_token_len(toks, scale=None).between(2.0, 12.0)),
+        ("punct", punct_ratio(text_col, scale=None) <= 0.30),
+        ("diversity", distinct_token_ratio(toks, scale=None) >= 0.30),
+        ("stopword", (lang_col != "en")
+         | (stopword_ratio(toks, scale=None) >= 0.02)),
+    ]
+    arr = F.array(*[F.struct(F.lit(n).alias("rule"), ok.alias("ok"))
+                    for n, ok in rules])
+    fails = F.filter(arr, lambda r: ~r["ok"])
+    return {
+        "n_tokens": n_tokens,
+        "keep": F.size(fails) == 0,
+        "reason": F.coalesce(F.get(fails, 0)["rule"], F.lit("pass")),
+    }
+
+
 def mean_token_len(tokens: Column, scale: int | None = 4) -> Column:
     """Average token length (garbage text skews far from ~4-6).
     ``scale=None`` as in :func:`punct_ratio`."""

@@ -3753,29 +3753,16 @@ def q128_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs so the gate reports the FIRST failing rule as an auditable
     reason code. Every predicate compares raw int/int-division doubles —
     bit-identical cross-engine, which is what lets a filter CASCADE (not
-    just counts) be hash-certified. Pure scan-speed JVM expressions."""
-    toks = T.ws_tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    rules = [
-        ("min_words", n_tokens >= 15),
-        ("max_words", n_tokens <= 5000),
-        ("mean_word_len",
-         T.mean_token_len(toks, scale=None).between(2.0, 12.0)),
-        ("punct", T.punct_ratio(F.col("text"), scale=None) <= 0.30),
-        ("diversity", T.distinct_token_ratio(toks, scale=None) >= 0.30),
-        ("stopword", (F.col("lang") != "en")
-         | (T.stopword_ratio(toks, scale=None) >= 0.02)),
-    ]
-    arr = F.array(*[F.struct(F.lit(n).alias("rule"), ok.alias("ok"))
-                    for n, ok in rules])
-    fails = F.filter(arr, lambda r: ~r["ok"])
+    just counts) be hash-certified. Pure scan-speed JVM expressions
+    (``functions.text.quality_gate_columns`` — the identical columns run
+    under readStream; see the streaming-twin test)."""
+    gate = T.quality_gate_columns(F.col("text"), F.col("lang"))
     cat = Catalog(spark, sf_dir)
     return cat.documents.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        (F.size(fails) == 0).alias("keep"),
-        F.coalesce(F.get(fails, 0)["rule"],
-                   F.lit("pass")).alias("reason"))
+        gate["n_tokens"].alias("n_tokens"),
+        gate["keep"].alias("keep"),
+        gate["reason"].alias("reason"))
 
 
 @_register(

@@ -42,6 +42,35 @@ def test_neardups_in_different_clusters_are_not_compared(spark):
     assert rows == {0: 0, 10: 1, 20: 2}
 
 
+def test_quality_gate_runs_identically_on_a_stream(spark, tmp_path):
+    """q128's rule cascade is pure stateless expressions, so the SAME
+    builder logic runs under readStream unchanged — the batch/streaming
+    unification story, asserted: streaming output == batch output."""
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    batch = REGISTRY["q128_quality_gate"].build(spark, SF_SMOKE)
+
+    # the SAME library columns over a streaming source
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+
+    stream_docs = spark.readStream.schema(docs.schema).parquet(src)
+    gate = T.quality_gate_columns(F.col("text"), F.col("lang"))
+    out = stream_docs.select(
+        "doc_id", gate["n_tokens"].alias("n_tokens"),
+        gate["keep"].alias("keep"), gate["reason"].alias("reason"))
+    (out.writeStream.format("memory").queryName("stream_gate")
+        .outputMode("append").trigger(availableNow=True).start()
+        .awaitTermination(120))
+    got = sorted(map(tuple, spark.table("stream_gate").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
 def test_survivors_partition_matches_assignment(spark):
     """Survivors ⊆ corpus, one-or-more per non-empty cluster, and every
     dropped id has a smaller-id survivor partner in its own cluster at the
