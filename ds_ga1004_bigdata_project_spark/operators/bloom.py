@@ -181,3 +181,41 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
     pre = bloom_prefilter(probe, build, probe_key, bkey, num_bits, num_hashes)
     keys = build.select(F.col(bkey).alias(probe_key)).distinct()
     return pre.join(keys, probe_key, "inner").select(*probe.columns)
+
+
+def bloom_anti_join(probe: DataFrame, build: DataFrame, probe_key: str,
+                    build_key: str | None = None,
+                    num_bits: int = DEFAULT_NUM_BITS,
+                    num_hashes: int = DEFAULT_NUM_HASHES,
+                    salt: int = _SALT) -> DataFrame:
+    """Exact ANTI join (keep probe rows whose key is NOT in ``build``) with
+    the Bloom filter carrying most of the work — the 100 TB DECONTAMINATION
+    shape: drop corpus rows whose fingerprint appears in an eval set too
+    large to broadcast.
+
+    The split exploits the filter's one-sided error: a bloom-NEGATIVE key
+    is PROVEN absent (no false negatives), so those rows are kept outright
+    with no join at all — at typical contamination rates that is ~all of
+    the corpus, touched at scan speed. Only the bloom-POSITIVE sliver
+    (true matches + the ~0.1 % false positives) enters the exact anti join
+    to decide which positives are FPs to keep. Result is identical to the
+    plain anti join — the q134 oracle — while the join's shuffle sees only
+    the sliver.
+    """
+    bkey = build_key or probe_key
+    bitset = build_bloom(build, bkey, num_bits, num_hashes, salt)
+    probed = (probe
+              .withColumn("_bh1", F.pmod(
+                  F.xxhash64(probe_key, F.lit(salt)), F.lit(num_bits)))
+              .withColumn("_bh2", F.pmod(
+                  F.xxhash64(probe_key, F.lit(salt + 1)), F.lit(num_bits)))
+              .join(F.broadcast(bitset)))
+    hit = _bit_tests(F.col("bloom"),
+                     _positions_from(F.col("_bh1"), F.col("_bh2"),
+                                     num_bits, num_hashes))
+    helper = ["bloom", "_bh1", "_bh2"]
+    proven_absent = probed.filter(~hit).drop(*helper)
+    keys = build.select(F.col(bkey).alias(probe_key)).distinct()
+    suspects = (probed.filter(hit).drop(*helper)
+                .join(keys, probe_key, "left_anti"))
+    return proven_absent.unionByName(suspects).select(*probe.columns)

@@ -4000,6 +4000,37 @@ def q133_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("int").alias("hr_n"))
 
 
+@_register(
+    "q134_bloom_decontaminate",
+    survey="net-new bloom anti-join decontamination (proven-absent rows skip the join)",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """,
+)
+def q134_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination direction of q125: DROP probe rows whose key
+    appears in the build set, with the Bloom filter's one-sided error doing
+    the heavy lifting — bloom-negative rows are PROVEN absent and keep
+    without any join (at real contamination rates, ~the whole corpus at
+    scan speed); only the bloom-positive sliver enters the exact anti join.
+    Unlike q104's broadcast decontamination, this shape survives an eval
+    set too large to broadcast. Oracle = the plain NOT IN anti join."""
+    cat = Catalog(spark, sf_dir)
+    urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    kept = bloom.bloom_anti_join(cat.lineitem, urgent,
+                                 "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        agg.exact_sum("l_quantity", "sum_qty"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4057,6 +4088,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q128_quality_gate", "q129_heavy_hitters_cms",
     "q130_correlated_subquery", "q131_curriculum_phases",
     "q132_semantic_neardup", "q133_time_range_window",
+    "q134_bloom_decontaminate",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage

@@ -63,6 +63,34 @@ def test_exactness_survives_a_saturated_bitset(spark):
     assert exact.exceptAll(got).count() == 0
 
 
+def test_bloom_anti_join_equals_plain_anti_join(spark):
+    from ds_ga1004_bigdata_project_spark.operators.relational import anti_join
+
+    cat, urgent, _ = _exact(spark)
+    keys = urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+    want = anti_join(cat.lineitem, keys, "l_orderkey")
+    got = bloom.bloom_anti_join(cat.lineitem, urgent,
+                                "l_orderkey", "o_orderkey")
+    assert got.columns == cat.lineitem.columns
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_anti_join_exact_under_saturation(spark):
+    """A 64-bit bitset makes nearly every key bloom-positive — the exact
+    anti join must still produce the exact result (only the split point
+    moves, never the answer)."""
+    from ds_ga1004_bigdata_project_spark.operators.relational import anti_join
+
+    cat, urgent, _ = _exact(spark)
+    keys = urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+    want = anti_join(cat.lineitem, keys, "l_orderkey")
+    got = bloom.bloom_anti_join(cat.lineitem, urgent,
+                                "l_orderkey", "o_orderkey", num_bits=64)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_bloom_test_sits_below_the_exact_join(spark):
     """Plan order: the BroadcastNestedLoopJoin carrying the bloom bit-test
     must be BELOW the exact equi-join (a child in the tree — printed later),
