@@ -204,3 +204,42 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
         .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged")))
     return j.select(*keys, status.alias("diff_status"))
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
+               effective_date: str, initial_date: str = "1900-01-01") -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply ``updates`` (same schema as
+    ``dim``) as NEW VERSIONS effective ``effective_date``, preserving
+    history. Returns the versioned dimension with ``valid_from``,
+    ``valid_to`` (null = open) and ``is_current``.
+
+    Construction is three scans and at most one shuffle each (the semi/anti
+    split on the key) — never a row-by-row merge:
+
+    * unchanged rows: open versions for keys NOT in updates
+      (``initial_date``, open);
+    * closed-out rows: the PRIOR version of updated keys, ``valid_to`` set
+      to the effective date;
+    * new rows: the update rows, open from the effective date.
+
+    At 100 TB the update set is typically << the dimension: both the semi
+    and anti join broadcast the update keys, so history application is a
+    scan-speed operation on the big side. The q48 merge/upsert is the
+    history-free special case of this operator."""
+    upd_keys = updates.select(key).distinct()
+    untouched = anti_join(dim, upd_keys, key).select(
+        "*",
+        F.lit(initial_date).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    closed = semi_join(dim, upd_keys, key).select(
+        "*",
+        F.lit(initial_date).cast("date").alias("valid_from"),
+        F.lit(effective_date).cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"))
+    opened = updates.select(
+        "*",
+        F.lit(effective_date).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    return untouched.unionByName(closed).unionByName(opened)

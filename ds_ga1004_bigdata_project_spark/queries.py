@@ -4031,6 +4031,154 @@ def q134_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.exact_sum("l_quantity", "sum_qty"))
 
 
+@_register(
+    "q135_scd2_history",
+    survey="net-new SCD Type-2 dimension history (versioned upsert, validity intervals)",
+    oracle="""
+        WITH upd AS (
+          SELECT c_custkey, c_name, 'PREMIUM' AS c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 0),
+        base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer)
+        SELECT c_custkey, c_mktsegment,
+               CAST(valid_from AS VARCHAR) AS valid_from,
+               CAST(valid_to AS VARCHAR) AS valid_to,
+               is_current
+        FROM (
+          SELECT b.c_custkey, b.c_mktsegment,
+                 DATE '1900-01-01' AS valid_from,
+                 CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+          FROM base b
+          WHERE b.c_custkey NOT IN (SELECT c_custkey FROM upd)
+          UNION ALL
+          SELECT b.c_custkey, b.c_mktsegment,
+                 DATE '1900-01-01', DATE '2024-06-01', FALSE
+          FROM base b
+          WHERE b.c_custkey IN (SELECT c_custkey FROM upd)
+          UNION ALL
+          SELECT u.c_custkey, u.c_mktsegment,
+                 DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+          FROM upd u)
+    """,
+)
+def q135_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 (``relational.scd2_apply``): every
+    10th customer moves to a 'PREMIUM' segment effective 2024-06-01; the
+    versioned dimension keeps the prior row closed-out and the new row
+    open. Three scans, update keys broadcast into the semi/anti split —
+    history application at dimension-scan speed, no row-by-row merge.
+    Dates stringify in the output so the hash compare is
+    format-independent."""
+    cat = Catalog(spark, sf_dir)
+    base = cat.customer.select("c_custkey", "c_name", "c_mktsegment")
+    upd = (base.filter(F.col("c_custkey") % 10 == 0)
+           .withColumn("c_mktsegment", F.lit("PREMIUM")))
+    versioned = rel.scd2_apply(base, upd, "c_custkey", "2024-06-01")
+    return versioned.select(
+        "c_custkey", "c_mktsegment",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current")
+
+
+@_register(
+    "q136_funnel",
+    survey="net-new ordered funnel conversion (stage-reach counts over event journeys)",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id),
+        stages AS (
+          SELECT user_id,
+                 (t_signup IS NOT NULL) AS s1,
+                 (t_signup IS NOT NULL AND t_view > t_signup) AS s2,
+                 (t_signup IS NOT NULL AND t_view > t_signup
+                  AND t_click > t_view) AS s3,
+                 (t_signup IS NOT NULL AND t_view > t_signup
+                  AND t_click > t_view AND t_purchase > t_click) AS s4
+          FROM firsts)
+        SELECT stage, CAST(n AS BIGINT) AS n_users FROM (
+          SELECT 1 AS stage, count(*) FILTER (s1) AS n FROM stages
+          UNION ALL SELECT 2, count(*) FILTER (s2) FROM stages
+          UNION ALL SELECT 3, count(*) FILTER (s3) FROM stages
+          UNION ALL SELECT 4, count(*) FILTER (s4) FROM stages)
+    """,
+)
+def q136_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → first view after it → first click after
+    that → first purchase after that): ONE aggregation computes each user's
+    first-occurrence time per stage (conditional min — no self-joins, no
+    explode), then pure per-row comparisons decide the deepest stage
+    reached. Null semantics carry the ordering for free: ``t_view >
+    t_signup`` is null-false when either stage never happened. One shuffle
+    on user_id at any scale; the four stage counts are one more tiny agg."""
+    cat = Catalog(spark, sf_dir)
+    first = lambda t: F.min(F.when(F.col("event_type") == t,  # noqa: E731
+                                   F.col("ts")))
+    firsts = cat.events.groupBy("user_id").agg(
+        first("signup").alias("t_signup"), first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"))
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    stages = firsts.select(*[
+        F.coalesce(c, F.lit(False)).alias(n)
+        for n, c in [("s1", s1), ("s2", s2), ("s3", s3), ("s4", s4)]])
+    counts = stages.agg(*[
+        F.sum(F.col(s).cast("long")).alias(s) for s in
+        ("s1", "s2", "s3", "s4")])
+    tall = counts.select(F.explode(F.array(*[
+        F.struct(F.lit(i + 1).alias("stage"),
+                 F.col(f"s{i + 1}").alias("n_users"))
+        for i in range(4)])).alias("x"))
+    return tall.select("x.stage", "x.n_users")
+
+
+@_register(
+    "q137_cohort_retention",
+    survey="net-new weekly cohort retention (first-seen cohort × activity-week offsets)",
+    oracle="""
+        WITH cohort AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS c_week
+          FROM events GROUP BY user_id),
+        activity AS (
+          SELECT DISTINCT e.user_id, c.c_week,
+                 date_diff('day', c.c_week,
+                           date_trunc('week', e.ts)) // 7 AS week_offset
+          FROM events e JOIN cohort c ON e.user_id = c.user_id)
+        SELECT strftime(c_week, '%Y-%m-%d') AS cohort_week,
+               CAST(week_offset AS INT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active_users
+        FROM activity GROUP BY 1, 2
+    """,
+)
+def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: users grouped by first-seen ISO week, counted
+    as active in each subsequent week offset. Week truncation is
+    Monday-based on both engines; the offset divides an exact day
+    difference of two week-truncated dates, so cohort membership is
+    integer-deterministic. Two shuffles (per-user cohort agg + the
+    (cohort, offset) rollup); the distinct keeps a user counted once per
+    active week."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", F.date_trunc("week", "ts").alias("w"))
+    cohort = ev.groupBy("user_id").agg(F.min("w").alias("c_week"))
+    activity = (ev.join(cohort, "user_id")
+                .select("user_id", "c_week",
+                        (F.datediff(F.col("w"), F.col("c_week")) / 7)
+                        .cast("int").alias("week_offset"))
+                .distinct())
+    return (activity.groupBy(
+        F.date_format("c_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4088,7 +4236,8 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q128_quality_gate", "q129_heavy_hitters_cms",
     "q130_correlated_subquery", "q131_curriculum_phases",
     "q132_semantic_neardup", "q133_time_range_window",
-    "q134_bloom_decontaminate",
+    "q134_bloom_decontaminate", "q135_scd2_history",
+    "q136_funnel", "q137_cohort_retention",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
