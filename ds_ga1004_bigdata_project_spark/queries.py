@@ -4179,6 +4179,44 @@ def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users")))
 
 
+@_register(
+    "q138_copurchase_pairs",
+    survey="net-new market-basket co-occurrence (bounded per-basket pair generation)",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+        FROM pairs GROUP BY p1, p2
+        ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20
+    """,
+)
+def q138_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs — the market-basket/co-occurrence shape
+    behind "customers also bought" and token-co-occurrence statistics. The
+    pair space is generated per BASKET (equi-self-join on l_orderkey after
+    a distinct), so it is Σ |basket|² with baskets bounded at ~7 items —
+    linear in orders, never corpus-quadratic (the same bounded-group
+    argument as SemDeDup's clusters). The join co-partitions both sides on
+    the basket key; skewed giant baskets would be AQE-split, and a
+    production variant caps basket size before pairing. Top-20 with a
+    total-order tiebreak."""
+    cat = Catalog(spark, sf_dir)
+    items = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("_ok2"),
+                     F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, (F.col("l_orderkey") == F.col("_ok2"))
+                   & (F.col("p1") < F.col("p2")))
+    return (pairs.groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.col("n_orders").desc(), F.col("p1").asc(),
+                     F.col("p2").asc())
+            .limit(20))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4237,7 +4275,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q130_correlated_subquery", "q131_curriculum_phases",
     "q132_semantic_neardup", "q133_time_range_window",
     "q134_bloom_decontaminate", "q135_scd2_history",
-    "q136_funnel", "q137_cohort_retention",
+    "q136_funnel", "q137_cohort_retention", "q138_copurchase_pairs",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
