@@ -243,3 +243,27 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"))
     return untouched.unionByName(closed).unionByName(opened)
+
+
+def scd2_apply_incremental(versioned: DataFrame, updates: DataFrame,
+                           key: str, effective_date: str) -> DataFrame:
+    """Apply the NEXT update batch to an already-versioned SCD2 relation
+    (output of :func:`scd2_apply` or of this function): closed history
+    passes through untouched; current rows of updated keys close at the
+    effective date KEEPING their original ``valid_from``; update rows open.
+    Same broadcast-split cost shape as :func:`scd2_apply` — repeated daily
+    batches never rewrite history, only the current slice."""
+    upd_keys = updates.select(key).distinct()
+    cur = versioned.filter(F.col("is_current"))
+    hist = versioned.filter(~F.col("is_current"))
+    closed = (semi_join(cur, upd_keys, key)
+              .withColumn("valid_to", F.lit(effective_date).cast("date"))
+              .withColumn("is_current", F.lit(False)))
+    untouched = anti_join(cur, upd_keys, key)
+    opened = updates.select(
+        "*",
+        F.lit(effective_date).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    return (hist.unionByName(closed).unionByName(untouched)
+            .unionByName(opened.select(*hist.columns)))
