@@ -4217,6 +4217,69 @@ def q138_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@_register(
+    "q139_point_in_time_join",
+    survey="net-new point-in-time join against SCD2 validity intervals (no training-serving skew)",
+    oracle="""
+        WITH upd AS (
+          SELECT c_custkey, 'PREMIUM' AS c_mktsegment
+          FROM customer WHERE c_custkey % 10 = 0),
+        v AS (
+          SELECT c_custkey, c_mktsegment,
+                 DATE '1900-01-01' AS valid_from, DATE '2024-01-15' AS valid_to
+          FROM customer WHERE c_custkey IN (SELECT c_custkey FROM upd)
+          UNION ALL
+          SELECT c_custkey, c_mktsegment,
+                 DATE '1900-01-01', CAST(NULL AS DATE)
+          FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+          UNION ALL
+          SELECT c_custkey, 'PREMIUM', DATE '2024-01-15', CAST(NULL AS DATE)
+          FROM upd),
+        ev AS (
+          SELECT event_id, CAST(ts AS DATE) AS d,
+                 (SELECT min(c_custkey) FROM customer)
+                 + ((user_id % (SELECT count(*) FROM customer))) AS ck
+          FROM events)
+        SELECT v.c_mktsegment AS segment_at_event_time,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM ev JOIN v ON ev.ck = v.c_custkey
+                      AND ev.d >= v.valid_from
+                      AND (v.valid_to IS NULL OR ev.d < v.valid_to)
+        GROUP BY 1
+    """,
+)
+def q139_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event joins the dimension VERSION that
+    was valid at the event's date — the feature-correctness pattern that
+    prevents training-serving skew (a model trained on today's attributes
+    for last month's events leaks the future). The versioned dim comes from
+    ``relational.scd2_apply`` (every 10th customer goes PREMIUM effective
+    2024-01-15, mid-way through the events fixture's January span, so both
+    sides of the boundary carry events); the join predicate is equi on the
+    key PLUS the validity interval, which Spark plans as a broadcast/hash
+    equi-join with the range as a post-join filter — per-key version counts
+    are small, so the range residual prunes a handful of rows per match,
+    never a cross product. Events map onto customer keys by modulo (both
+    engines, same arithmetic)."""
+    cat = Catalog(spark, sf_dir)
+    base = cat.customer.select("c_custkey", "c_mktsegment")
+    upd = (base.filter(F.col("c_custkey") % 10 == 0)
+           .withColumn("c_mktsegment", F.lit("PREMIUM")))
+    v = rel.scd2_apply(base, upd, "c_custkey", "2024-01-15")
+    n_cust = cat.customer.count()
+    min_ck = cat.customer.agg(F.min("c_custkey")).first()[0]
+    ev = cat.events.select(
+        "event_id", F.col("ts").cast("date").alias("d"),
+        (F.lit(min_ck) + F.pmod(F.col("user_id"), F.lit(n_cust))).alias("ck"))
+    joined = ev.join(
+        v, (F.col("ck") == F.col("c_custkey"))
+        & (F.col("d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))))
+    return (joined.groupBy(F.col("c_mktsegment")
+                           .alias("segment_at_event_time"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4276,6 +4339,7 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q132_semantic_neardup", "q133_time_range_window",
     "q134_bloom_decontaminate", "q135_scd2_history",
     "q136_funnel", "q137_cohort_retention", "q138_copurchase_pairs",
+    "q139_point_in_time_join",
 )
 
 #: The ten queries whose NEWEST green driver row is still round-2 vintage
