@@ -145,6 +145,45 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_jsonl_audited(spark: SparkSession, path: str,
+                       schema: StructType | str) -> DataFrame:
+    """JSON-lines source with QUARANTINE semantics for malformed records —
+    the ingestion reality at 100 TB: a crawl shard WILL contain truncated
+    and garbage lines, and silently dropping them (DROPMALFORMED) destroys
+    auditability while FAILFAST kills the job at hour nine. PERMISSIVE mode
+    parses what it can and lands the raw text of every bad line in
+    ``_corrupt_record``; callers split on its nullness — clean rows to the
+    pipeline, corrupt rows to a quarantine sink with full fidelity.
+
+    Note Spark's documented caveat: a query that selects ONLY
+    ``_corrupt_record`` must also touch a data column (the parser
+    short-circuits otherwise); the split helpers below do."""
+    full_schema = (StructType.fromDDL(schema) if isinstance(schema, str)
+                   else schema)
+    from pyspark.sql.types import StringType, StructField
+
+    if "_corrupt_record" not in [f.name for f in full_schema.fields]:
+        full_schema = StructType(
+            list(full_schema.fields)
+            + [StructField("_corrupt_record", StringType(), True)])
+    return (spark.read.schema(full_schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path))
+
+
+def split_corrupt_records(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_the_marker_column, corrupt_raw_lines)."""
+    from pyspark.sql import functions as F
+
+    cached = df.cache()
+    clean = (cached.filter(F.col("_corrupt_record").isNull())
+             .drop("_corrupt_record"))
+    corrupt = (cached.filter(F.col("_corrupt_record").isNotNull())
+               .select("_corrupt_record"))
+    return clean, corrupt
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — the other columnar lake format (Hive-ecosystem data
     often arrives as ORC). Same pushdown/pruning properties as parquet:

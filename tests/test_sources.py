@@ -130,6 +130,25 @@ def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
     assert sorted(back.columns) == sorted(li.columns)
 
 
+def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
+    """A shard with truncated/garbage lines: clean rows parse, every bad
+    line lands in quarantine verbatim, nothing is silently dropped."""
+    p = tmp_path / "shard.jsonl"
+    good = ['{"doc_id": 1, "text": "alpha"}', '{"doc_id": 2, "text": "beta"}']
+    bad = ['{"doc_id": 3, "text": "trunca',      # cut mid-string
+           'not json at all',
+           '{"doc_id": "NaN-ish" "text": }']     # structurally broken
+    p.write_text("\n".join(good + bad) + "\n")
+    df = C.read_jsonl_audited(spark, str(p), "doc_id long, text string")
+    clean, corrupt = C.split_corrupt_records(df)
+    assert sorted((r["doc_id"], r["text"]) for r in clean.collect()) == \
+        [(1, "alpha"), (2, "beta")]
+    quarantined = sorted(r["_corrupt_record"] for r in corrupt.collect())
+    assert quarantined == sorted(bad)
+    assert clean.count() + corrupt.count() == len(good) + len(bad)
+    df.unpersist()
+
+
 def test_read_jdbc_sqlite_skip_gated(spark, tmp_path):
     # S4 literal parity: the reference read SQLite side tables; the engine's
     # default mapping is parquet temp views, but read_jdbc covers a user
