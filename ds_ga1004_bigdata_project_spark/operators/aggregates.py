@@ -140,3 +140,29 @@ def merge_distinct_sketches(partials: DataFrame, group_by: Sequence[str],
     return partials.groupBy(*group_by).agg(
         F.hll_sketch_estimate(
             F.hll_union_agg(sketch_col)).alias(est_alias))
+
+
+def key_skew_report(df: DataFrame, key_cols: Sequence[str],
+                    top_n: int = 10) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/groupBy key: the
+    top-N heaviest keys with each key's share of all rows and its ratio to
+    the MEAN key load — the number that predicts whether AQE's skew-join
+    split or explicit salting (``relational.salted_join``) is needed
+    (rule of thumb: hot-key ratios beyond ~10× the mean mean one task does
+    the table's work).
+
+    One partial-aggregated count per key plus a scalar total/mean joined in
+    by broadcast — safe to run on the full table at any scale, and cheaper
+    than discovering the skew as a straggler task at hour three."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.avg("n_rows").alias("_mean"))
+    top = counts.orderBy(F.col("n_rows").desc(),
+                         *[F.col(c).asc() for c in key_cols]).limit(top_n)
+    return (top.join(F.broadcast(stats))
+            .select(*key_cols, "n_rows",
+                    F.round(F.col("n_rows") / F.col("_total"), 6)
+                    .alias("row_share"),
+                    F.round(F.col("n_rows") / F.col("_mean"), 2)
+                    .alias("x_mean_load")))

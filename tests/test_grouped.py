@@ -60,3 +60,24 @@ def test_udtf_handles_null_and_empty(spark):
                     "LATERAL long_tokens(d.text, 8) t").collect()
     assert [(r["id"], r["tok"]) for r in out] == \
         [(1, "but-here-is-a-longtoken")]
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    """A 50%-hot-key table: the report's top key carries ~half the rows at
+    far beyond the 10x-mean salting threshold."""
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.operators.aggregates import (
+        key_skew_report)
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(1000))).alias("k"))
+    rep = key_skew_report(df, ["k"], top_n=3).collect()
+    top = rep[0]
+    assert top["k"] == 7
+    assert abs(top["row_share"] - 0.5) < 0.01
+    assert top["x_mean_load"] > 10
+    # remaining keys are near-uniform: nowhere near the threshold
+    assert all(r["x_mean_load"] < 10 for r in rep[1:])
