@@ -4320,7 +4320,12 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: Round 6: q57 rides the single-pass SQL-fold simhash rewrite; q64 rides
 #: the dedup driver-tier undirected-edge-count dispatch fix; the streaming
 #: five ride ``read_event_stream_auto``'s scoped nanosAsLong conf handling;
-#: q109/q110 are NEW (real WAV/BMP decode round-trips).
+#: q109-q124 are the round's first wave of new queries and q125-q139 the
+#: second (bloom joins, k-means, quality gate, CMS, correlated subquery,
+#: curriculum, SemDeDup, RANGE window, SCD2, funnel, retention, basket
+#: pairs, point-in-time join). With the ten r2-vintage refreshes and the
+#: q01 anchor this fills the 50-slot window EXACTLY — a further new query
+#: evicts a vintage refresh (check ``list(REGISTRY)[45:52]`` first).
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q57_simhash_groups", "q64_neardup_corpus",
     "q62_streaming_hourly", "q80_sliding_stream",
