@@ -160,6 +160,42 @@ def lang_id(tokens: Column) -> Column:
     return F.array_max(F.array(*entries)).getField("l")
 
 
+#: Minimal entity map for HTML unescaping — the handful that dominate web
+#: text; full entity coverage belongs to a real HTML parser, which is a
+#: different (Python-side) tier.
+_HTML_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "))
+
+
+def strip_html(col: Column) -> Column:
+    """Web-text cleanup entirely in JVM regexp expressions: drop
+    script/style blocks WITH their contents, strip remaining tags, unescape
+    the dominant entities, collapse whitespace runs, trim. The scan-speed
+    first pass of crawl-corpus cleaning; documents that need DOM-accurate
+    extraction route to a Python-tier parser instead (different cost
+    class — this path stays in whole-stage codegen)."""
+    # (?is) = dot-matches-newline + case-insensitive; non-greedy bodies.
+    out = F.regexp_replace(col, r"(?is)<(script|style)\b.*?</\1>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def sentences(col: Column) -> Column:
+    """Regex sentence segmentation → array<string>: split after ./!/?
+    followed by whitespace and an upper-case/digit start, keeping
+    abbreviation-like single-letter splits imperfect by design (a
+    linguistically exact splitter is a model, not a regex — this is the
+    deterministic, cross-engine-reproducible tier used for sentence-level
+    chunking and per-sentence stats)."""
+    trimmed = F.trim(col)
+    arr = F.split(trimmed, r"(?<=[.!?])\s+(?=[A-Z0-9])")
+    return F.filter(arr, lambda s: F.length(s) > 0)
+
+
 def content_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 over the sorted distinct lowercase word-token
     bag. Invariant to word order and duplication — a cheap canonical-content

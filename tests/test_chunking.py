@@ -82,3 +82,40 @@ def test_pack_slices_reassemble_exactly(spark):
     partial = sl.groupBy("pack_id").agg(F.sum("slice_len").alias("tot")) \
         .filter((F.col("pack_id") < last_pack) & (F.col("tot") != 512)).count()
     assert partial == 0
+
+
+def test_strip_html_drops_tags_scripts_entities(spark):
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+
+    raw = ("<html><head><style>p {color:red}</style>"
+           "<script>var x = '<p>sneaky</p>';</script></head>"
+           "<body><!-- note --><p>Hello &amp; welcome to &quot;Spark&quot;"
+           "</p>\n<div>  line&nbsp;two &lt;3 </div></body></html>")
+    df = spark.createDataFrame([(raw,)], "t string")
+    [row] = df.select(T.strip_html(F.col("t")).alias("c")).collect()
+    assert row["c"] == 'Hello & welcome to "Spark" line two <3'
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+
+    df = spark.createDataFrame([("already   clean\n text",)], "t string")
+    [row] = df.select(T.strip_html(F.col("t")).alias("c")).collect()
+    assert row["c"] == "already clean text"
+
+
+def test_sentence_split_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("First one. Second, with 3.5 inside! Third? 4th starts digit.",)],
+        "t string")
+    [row] = df.select(T.sentences(F.col("t")).alias("s")).collect()
+    assert row["s"] == ["First one.", "Second, with 3.5 inside!",
+                        "Third?", "4th starts digit."]
