@@ -244,6 +244,65 @@ def chunk_documents(df, chunk_size: int, overlap: int = 0,
             .withColumn("chunk_md5", F.md5(F.col("chunk_text"))))
 
 
+def chunk_by_sentences(df, max_tokens: int, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Sentence-boundary chunking: greedily pack consecutive SENTENCES into
+    chunks of at most ``max_tokens`` whitespace tokens (a sentence longer
+    than the budget becomes its own over-budget chunk rather than being
+    split mid-sentence) — the retrieval/RAG-style chunker that never cuts a
+    sentence, where :func:`chunk_documents` cuts exactly on token counts.
+
+    Pure per-row expressions: one ``aggregate`` fold over the sentence
+    array carries a struct accumulator (finished chunk-boundary indices +
+    the running token count); chunk membership then derives from the
+    boundary list with a second ``transform``. One explode, no shuffle, no
+    UDF. Emits (id, chunk_idx, n_sentences, n_tokens, chunk_text,
+    chunk_md5) with the same content-pinning md5 convention as q108."""
+    sents = sentences(F.col(text_col))
+    tok_counts = F.transform(sents, lambda s: F.size(ws_tokens(s)))
+    # Fold: acc = struct(bounds: array<int> — START index of each chunk,
+    # cur_len: int). A sentence starts a new chunk when adding it would
+    # exceed the budget AND the current chunk is non-empty.
+    init = F.struct(F.array(F.lit(0)).alias("bounds"),
+                    F.lit(0).alias("cur_len"))
+    def step(acc, pair):
+        i, n = pair["i"], pair["n"]
+        overflow = (acc["cur_len"] + n > F.lit(max_tokens)) \
+            & (acc["cur_len"] > 0)
+        return F.struct(
+            F.when(overflow, F.concat(acc["bounds"], F.array(i)))
+            .otherwise(acc["bounds"]).alias("bounds"),
+            (F.when(overflow, n).otherwise(acc["cur_len"] + n))
+            .alias("cur_len"))
+    indexed = F.transform(
+        tok_counts, lambda n, i: F.struct(i.alias("i"), n.alias("n")))
+    bounds = F.aggregate(indexed, init, step)["bounds"]
+    # chunk k spans sentence indices [bounds[k], bounds[k+1]) — slice them.
+    n_chunks = F.size(bounds)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.slice(
+                sents,
+                F.element_at(bounds, k + 1) + 1,
+                # try_element_at: k+2 walks one past the last boundary for
+                # the final chunk (null -> end of document), and ANSI mode
+                # makes plain element_at throw there.
+                F.coalesce(F.try_element_at(bounds, k + 2),
+                           F.size(sents)) - F.element_at(bounds, k + 1))
+            .alias("sents")))
+    return (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), F.explode(chunks).alias("c"))
+            .filter(F.size("c.sents") > 0)
+            .select(id_col,
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.size("c.sents").alias("n_sentences"),
+                    F.array_join("c.sents", " ").alias("chunk_text"))
+            .withColumn("n_tokens", token_count(F.col("chunk_text")))
+            .withColumn("chunk_md5", F.md5(F.col("chunk_text"))))
+
+
 def sequence_pack_offsets(df, seq_len: int, id_col: str = "doc_id",
                           text_col: str = "text",
                           num_partitions: int | None = None,

@@ -119,3 +119,51 @@ def test_sentence_split_boundaries(spark):
     [row] = df.select(T.sentences(F.col("t")).alias("s")).collect()
     assert row["s"] == ["First one.", "Second, with 3.5 inside!",
                         "Third?", "4th starts digit."]
+
+
+def test_chunk_by_sentences_never_splits_a_sentence(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+
+    doc = ("One two three. Four five. Six seven eight nine. "
+           "Ten. Eleven twelve thirteen fourteen fifteen sixteen seventeen.")
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    rows = sorted((r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+                  for r in T.chunk_by_sentences(df, max_tokens=6).collect())
+    # greedy packing: [3 tok][+2 tok = 5] | [4 tok][+1 = 5] | [7 tok alone]
+    assert rows == [
+        (0, "One two three. Four five.", 5),
+        (1, "Six seven eight nine. Ten.", 5),
+        (2, "Eleven twelve thirteen fourteen fifteen sixteen seventeen.", 7),
+    ]
+    # chunk 2 is over budget because the single sentence itself is — the
+    # never-split-a-sentence contract
+
+
+def test_chunk_by_sentences_reconstructs_document(spark):
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents.limit(50)
+    chunks = T.chunk_by_sentences(docs, max_tokens=16)
+    rebuilt = (chunks.groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct("chunk_idx", "chunk_text"))),
+                       lambda s: s["chunk_text"]), " ").alias("re")))
+    joined = docs.join(rebuilt, "doc_id")
+    # normalized original == concatenation of chunks (sentences preserved,
+    # in order, nothing lost)
+    bad = joined.filter(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        != F.col("re"))
+    assert bad.count() == 0
+    budgets = chunks.filter(F.col("n_sentences") > 1) \
+        .filter(F.col("n_tokens") > 16)
+    assert budgets.count() == 0   # only single-sentence chunks may overflow
