@@ -164,6 +164,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"probe {cat.lineitem.count()} rows -> {kept.count()} "
           f"after bloom+exact (bitset: 128 KiB broadcast)")
 
+    print("== 11f. web-text cleanup + sentence-boundary chunking ==")
+    from ds_ga1004_bigdata_project_spark.functions import text as TX
+
+    html_doc = spark.createDataFrame(
+        [(9001, "<html><script>x</script><p>Hello &amp; welcome. "
+                "Second sentence here. A third one too.</p></html>")],
+        "doc_id long, text string")
+    cleaned = html_doc.select(
+        "doc_id", TX.strip_html(F.col("text")).alias("text"))
+    TX.chunk_by_sentences(cleaned, max_tokens=5) \
+        .select("chunk_idx", "n_sentences", "n_tokens", "chunk_text").show(truncate=False)
+
     print("== 11. M7 hyperparameter sweep -> results relation ==")
     # The reference's rank x regParam protocol (param_train_2nd.py:43-85),
     # one ALS fit + distributed ranking-metrics eval per cell, materialized

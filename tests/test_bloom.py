@@ -91,6 +91,18 @@ def test_bloom_anti_join_exact_under_saturation(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_empty_build_side(spark):
+    """Zero build keys: semi keeps nothing, anti keeps everything — the
+    all-zeros bitset must short-circuit correctly, not error."""
+    cat = Catalog(spark, SF_SMOKE)
+    none = cat.orders.filter(F.lit(False))
+    assert bloom.bloom_semi_join(cat.lineitem, none,
+                                 "l_orderkey", "o_orderkey").count() == 0
+    assert bloom.bloom_anti_join(cat.lineitem, none,
+                                 "l_orderkey", "o_orderkey").count() \
+        == cat.lineitem.count()
+
+
 def test_bloom_test_sits_below_the_exact_join(spark):
     """Plan order: the BroadcastNestedLoopJoin carrying the bloom bit-test
     must be BELOW the exact equi-join (a child in the tree — printed later),
