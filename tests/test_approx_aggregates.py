@@ -55,3 +55,50 @@ def test_distinct_sketch_partials_merge_and_pin(spark):
     # partials are SMALL (the whole point: kilobytes travel, not keys)
     sizes = [len(bytes(r["sketch"])) for r in partials.collect()]
     assert max(sizes) < 64 * 1024
+
+
+def test_streaming_hll_partials_match_batch_estimate(spark, tmp_path):
+    """The q111 HLL partials maintained INCREMENTALLY over a stream (the
+    sketches.run_streaming_cms_partials pattern applied to distinct
+    counting): per micro-batch, per-group sketch partials append to a log;
+    hll_union_agg folds the log on read. Contract is the q111 tolerance
+    form, not bitwise equality: DataSketches HLL uses an HIP estimator
+    whose value legitimately depends on how the stream was sliced into
+    sketches, so union-of-halves and a one-shot sketch estimate the same
+    cardinality within the error bound while differing in the last few
+    counts."""
+    from ds_ga1004_bigdata_project_spark.operators import aggregates as agg
+
+    li = Catalog(spark, SF_SMOKE).lineitem.select(
+        "l_orderkey", "l_returnflag")
+    src = str(tmp_path / "li_stream")
+    li.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.parquet(src)
+    li.filter(F.col("l_orderkey") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("l_orderkey long, l_returnflag string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "hll_partials")
+
+    def append_partials(batch_df, _bid):
+        (agg.distinct_sketch_partials(batch_df, ["l_returnflag"],
+                                      "l_orderkey")
+         .write.mode("append").parquet(out))
+
+    (stream.writeStream.foreachBatch(append_partials)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination(300))
+
+    # >1 batch really ran: more partial rows than groups
+    partials = spark.read.parquet(out)
+    n_groups = li.select("l_returnflag").distinct().count()
+    assert partials.count() > n_groups
+
+    folded = agg.merge_distinct_sketches(partials, ["l_returnflag"])
+    got = {r["l_returnflag"]: r["distinct_est"] for r in folded.collect()}
+    exact = {r["l_returnflag"]: r["n"] for r in
+             li.groupBy("l_returnflag")
+             .agg(F.count_distinct("l_orderkey").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) / exact[flag] <= 0.05, (flag, est)
