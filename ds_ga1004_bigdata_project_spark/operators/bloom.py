@@ -90,6 +90,8 @@ def build_bloom(build: DataFrame, key_col: str,
     if num_bits % 64 or num_bits <= 0:
         raise ValueError(f"num_bits must be a positive multiple of 64, "
                          f"got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     n_words = num_bits // 64
     pos = _bit_positions(F.col(key_col), num_bits, num_hashes, salt)
     words = (build
@@ -143,19 +145,31 @@ def bloom_prefilter(probe: DataFrame, build: DataFrame, probe_key: str,
     """
     bitset = build_bloom(build, build_key or probe_key,
                          num_bits, num_hashes, salt)
-    # Project the two base hashes ONCE before the bit tests — k tests then
-    # share them instead of re-deriving xxhash64 2k times per row, which
-    # both shrinks the codegen unit and cuts per-row work.
+    probed, keep = _probe_with_bit_tests(probe, bitset, probe_key,
+                                         num_bits, num_hashes, salt)
+    return probed.filter(keep).drop("bloom", "_bh1", "_bh2")
+
+
+def _probe_with_bit_tests(probe: DataFrame, bitset: DataFrame,
+                          probe_key: str, num_bits: int, num_hashes: int,
+                          salt: int) -> tuple[DataFrame, Column]:
+    """(probe ⨯ broadcast bitset with _bh1/_bh2 projected, hit-condition).
+
+    The two base hashes are projected ONCE before the bit tests — k tests
+    then share them instead of re-deriving xxhash64 2k times per row, which
+    both shrinks the codegen unit and cuts per-row work. Null probe keys
+    hash like any value; whichever way their bit test lands, the exact
+    join above restores standard null-join semantics (nulls never match)."""
     probed = (probe
               .withColumn("_bh1", F.pmod(
                   F.xxhash64(probe_key, F.lit(salt)), F.lit(num_bits)))
               .withColumn("_bh2", F.pmod(
                   F.xxhash64(probe_key, F.lit(salt + 1)), F.lit(num_bits)))
               .join(F.broadcast(bitset)))
-    keep = _bit_tests(F.col("bloom"),
-                      _positions_from(F.col("_bh1"), F.col("_bh2"),
-                                      num_bits, num_hashes))
-    return probed.filter(keep).drop("bloom", "_bh1", "_bh2")
+    hit = _bit_tests(F.col("bloom"),
+                     _positions_from(F.col("_bh1"), F.col("_bh2"),
+                                     num_bits, num_hashes))
+    return probed, hit
 
 
 def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
@@ -204,15 +218,8 @@ def bloom_anti_join(probe: DataFrame, build: DataFrame, probe_key: str,
     """
     bkey = build_key or probe_key
     bitset = build_bloom(build, bkey, num_bits, num_hashes, salt)
-    probed = (probe
-              .withColumn("_bh1", F.pmod(
-                  F.xxhash64(probe_key, F.lit(salt)), F.lit(num_bits)))
-              .withColumn("_bh2", F.pmod(
-                  F.xxhash64(probe_key, F.lit(salt + 1)), F.lit(num_bits)))
-              .join(F.broadcast(bitset)))
-    hit = _bit_tests(F.col("bloom"),
-                     _positions_from(F.col("_bh1"), F.col("_bh2"),
-                                     num_bits, num_hashes))
+    probed, hit = _probe_with_bit_tests(probe, bitset, probe_key,
+                                        num_bits, num_hashes, salt)
     helper = ["bloom", "_bh1", "_bh2"]
     proven_absent = probed.filter(~hit).drop(*helper)
     keys = build.select(F.col(bkey).alias(probe_key)).distinct()

@@ -91,6 +91,19 @@ def test_bloom_anti_join_exact_under_saturation(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_null_keys_follow_standard_join_semantics(spark):
+    """Null probe keys: semi drops them, anti keeps them — identical to the
+    plain joins (nulls never equi-match), whatever the bloom bits say."""
+    probe = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c"), (None, "d")],
+        "k long, payload string")
+    build = spark.createDataFrame([(1,), (None,)], "bk long")
+    semi = bloom.bloom_semi_join(probe, build, "k", "bk")
+    assert sorted(r["payload"] for r in semi.collect()) == ["a"]
+    anti = bloom.bloom_anti_join(probe, build, "k", "bk")
+    assert sorted(r["payload"] for r in anti.collect()) == ["b", "c", "d"]
+
+
 def test_empty_build_side(spark):
     """Zero build keys: semi keeps nothing, anti keeps everything — the
     all-zeros bitset must short-circuit correctly, not error."""
