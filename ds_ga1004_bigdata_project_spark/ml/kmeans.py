@@ -57,12 +57,14 @@ def seed_centroids(df: DataFrame, k: int, id_col: str = "vec_id",
     """Deterministic init: the k lowest-id vectors, cid = 0..k-1 by id order.
 
     Explicit and engine-reproducible where kmeans|| is RNG- and
-    partitioning-dependent; k rows cross a single top-k, nothing else."""
+    partitioning-dependent. ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — per-task top-k heaps, never a global sort —
+    and only the k-row RESULT goes through the cid-numbering window (a
+    global window over the corpus here would be the single-partition
+    anti-pattern the ranks module exists to avoid)."""
+    topk = df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k)
     w = F.row_number().over(Window.orderBy(F.col(id_col)))
-    return (df.select(id_col, vec_col)
-            .withColumn("_rn", w).filter(F.col("_rn") <= k)
-            .select((F.col("_rn") - 1).alias("cid"),
-                    F.col(vec_col).alias("cvec")))
+    return topk.select((w - 1).alias("cid"), F.col(vec_col).alias("cvec"))
 
 
 def assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
