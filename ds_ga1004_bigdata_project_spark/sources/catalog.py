@@ -373,7 +373,28 @@ def write_zordered_parquet(df: DataFrame, path: str, col_a: str, col_b: str,
     tmp = (df.withColumn("_na", norm(col_a, lo_a, hi_a))
              .withColumn("_nb", norm(col_b, lo_b, hi_b))
              .withColumn("_z", morton_code_expr("_na", "_nb", bits)))
-    out = tmp.repartitionByRange(
-        *([num_files] if num_files else []), F.col("_z")) \
-        .sortWithinPartitions("_z").drop("_z", "_na", "_nb")
+
+    # Deterministic file boundaries. repartitionByRange on the raw code
+    # samples it with a seed derived from the RDD id — i.e. on how many
+    # jobs the session ran before this one — so two identical writes can
+    # produce different (and at small scale, poorly placed) range splits.
+    # Instead: exact-deterministic quantile boundaries from one
+    # percentile_approx pass (a GK sketch — no RNG), then bucket each row
+    # by boundary count. Ranging on the tiny 0..n-1 bucket id is
+    # sampling-proof in practice (n distinct heavily-repeated values), and
+    # the _z sort inside each file is what the footer statistics need.
+    n = num_files or max(tmp.rdd.getNumPartitions(), 1)
+    if n > 1:
+        [bounds] = tmp.agg(F.percentile_approx(
+            "_z", [i / n for i in range(1, n)], 100_000)).first()
+        bucket = F.lit(0)
+        for b in sorted(set(bounds)):
+            bucket = bucket + (F.col("_z") > F.lit(int(b))).cast("int")
+        out = (tmp.withColumn("_bucket", bucket)
+               .repartitionByRange(n, F.col("_bucket"))
+               .sortWithinPartitions("_z")
+               .drop("_z", "_na", "_nb", "_bucket"))
+    else:
+        out = tmp.coalesce(1).sortWithinPartitions("_z") \
+            .drop("_z", "_na", "_nb")
     out.write.mode("overwrite").parquet(path)
