@@ -563,3 +563,43 @@ def incremental_ingest_dedup(new_docs: DataFrame, index: DataFrame,
     return (fresh.groupBy(fp_col)
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, fp_col))
+
+
+def editdist_blocked_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", block_len: int = 16,
+                           prefix_len: int = 80, max_dist: int = 8,
+                           max_block: int = 64) -> DataFrame:
+    """Typo-tolerant near-duplicate pairs by bounded edit distance — the
+    record-linkage tier of the dedup funnel: catches small in-place edits
+    (OCR noise, boilerplate date stamps, version strings) that shingle
+    tiers dilute across many n-grams.
+
+    Semantics (the blocking is part of the spec, as in every production
+    linkage system): two docs pair iff their lower-cased ``block_len``-char
+    prefixes are IDENTICAL, their block's population is ≤ ``max_block``
+    (the same stop-list discipline as :func:`ngram_jaccard_pairs` —
+    boilerplate-prefix blocks are skipped, never exploded), and the
+    Levenshtein distance between their ``prefix_len``-char prefixes is
+    ≤ ``max_dist``. Returns (id_a, id_b, dist) with id_a < id_b.
+
+    Scale shape: one shuffle of (block, prefix, id) — ~``prefix_len``
+    bytes/doc, never the text; within-block pair generation is bounded at
+    ``max_block``²/2 per block by the stop-list; the distance itself uses
+    Spark's thresholded Levenshtein (early-exits the DP at ``max_dist`` —
+    O(prefix·dist), not O(prefix²)). All JVM expressions, no Python."""
+    d = df.select(
+        F.col(id_col),
+        F.lower(F.substring(F.col(text_col), 1, block_len)).alias("_blk"),
+        F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("_pre"))
+    allowed = (d.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bc"))
+               .filter(F.col("_bc") <= max_block).select("_blk"))
+    d = d.join(allowed, "_blk")
+    a = d.select(F.col("_blk"), F.col(id_col).alias("id_a"),
+                 F.col("_pre").alias("_pa"))
+    b = d.select(F.col("_blk").alias("_blk2"), F.col(id_col).alias("id_b"),
+                 F.col("_pre").alias("_pb"))
+    dist = F.levenshtein(F.col("_pa"), F.col("_pb"), max_dist)
+    return (a.join(b, (F.col("_blk") == F.col("_blk2"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", dist.alias("dist"))
+            .filter(F.col("dist") >= 0))

@@ -1,0 +1,80 @@
+"""PageRank over DataFrame edge lists (operators/graph.py, q141):
+hand-checked fixed-point values on toy graphs, mass conservation, the
+bipartite encoder, and the one-shuffle-per-iteration plan property."""
+
+from __future__ import annotations
+
+import pytest
+
+from ds_ga1004_bigdata_project_spark.operators.graph import (
+    bipartite_interaction_edges, out_degrees, pagerank)
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_symmetric_pair_converges_to_uniform(spark):
+    """Two nodes pointing at each other: rank stays exactly 1.0 forever
+    ((1-d) + d·1.0/1 = 1.0) — the fixed point of a regular graph."""
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = _ranks(pagerank(edges, iters=4))
+    assert got == {1: 1.0, 2: 1.0}
+
+
+def test_star_graph_center_accumulates(spark):
+    """3-leaf star, symmetric edges, 1 iteration by hand:
+    center: 0.15 + 0.85·(3 leaves · 1.0/1) = 2.70
+    leaf:   0.15 + 0.85·(1.0/3)            = 0.43333...
+    """
+    e = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = _ranks(pagerank(edges, iters=1))
+    assert got[0] == pytest.approx(2.70)
+    for leaf in (1, 2, 3):
+        assert got[leaf] == pytest.approx(0.15 + 0.85 / 3)
+
+
+def test_mass_is_conserved_without_dangling_nodes(spark):
+    """Σ ranks = |V| at every iteration count when out-degree ≥ 1
+    everywhere (each node redistributes all its mass; teleport term
+    re-adds exactly what damping removed)."""
+    e = [(0, 1), (1, 2), (2, 0), (2, 1), (1, 0), (0, 2)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    for k in (1, 3):
+        total = sum(_ranks(pagerank(edges, iters=k)).values())
+        assert total == pytest.approx(3.0, abs=1e-12)
+
+
+def test_out_degrees(spark):
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 1)],
+                                  "src long, dst long")
+    got = {r["src"]: r["deg"] for r in out_degrees(edges).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_bipartite_encoder_disambiguates_and_symmetrizes(spark):
+    """Left id 3 and right id 3 must become DIFFERENT nodes (7 vs 6), and
+    every interaction must appear in both directions."""
+    inter = spark.createDataFrame([(3, 3), (1, 2)], "u long, v long")
+    got = {(r["src"], r["dst"])
+           for r in bipartite_interaction_edges(inter, "u", "v").collect()}
+    assert got == {(7, 6), (6, 7), (3, 4), (4, 3)}
+
+
+def test_unreferenced_dst_node_gets_base_rank(spark):
+    """A sink that also points somewhere (1→2, 2→1, 1→3, 3→1): node 3
+    receives only from 1 (deg 2). One iteration by hand:
+    r(3) = 0.15 + 0.85·(1.0/2) = 0.575."""
+    edges = spark.createDataFrame([(1, 2), (2, 1), (1, 3), (3, 1)],
+                                  "src long, dst long")
+    got = _ranks(pagerank(edges, iters=1))
+    assert got[3] == pytest.approx(0.575)
+
+
+def test_iteration_plan_has_no_cartesian_and_no_python(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = (pagerank(edges, iters=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
