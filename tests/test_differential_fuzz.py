@@ -1,0 +1,172 @@
+"""Differential fuzzing: seeded random filter/group-by/aggregate specs are
+compiled from ONE abstract spec into BOTH a Spark DataFrame plan and a
+DuckDB SQL string, then executed side-by-side on the same parquet.
+
+This extends the fixed oracle suite with generative coverage of the
+relational core: the fixed queries certify the shapes we thought of; the
+fuzzer sweeps the combinatorial space of predicate × grouping × aggregate
+combinations we didn't. Seeded (not hypothesis-driven) so failures are
+reproducible by seed number and CI time is bounded.
+
+Float discipline mirrors the registry rules: sums go through DECIMAL casts
+on both engines, min/max compare the same stored doubles, count/distinct
+are exact integers.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+# --------------------------------------------------------------- spec atoms
+
+_FLAGS = ("A", "N", "R")
+_STATUS = ("O", "F")
+
+
+def _gen_spec(rng: random.Random) -> dict:
+    filters = []
+    for _ in range(rng.randint(0, 3)):
+        kind = rng.choice(("qty", "disc", "flag", "status", "date", "mod"))
+        if kind == "qty":
+            filters.append(("qty", rng.randint(1, 49)))
+        elif kind == "disc":
+            filters.append(("disc", round(rng.randint(0, 10) / 100, 2)))
+        elif kind == "flag":
+            filters.append(("flag", rng.choice(_FLAGS)))
+        elif kind == "status":
+            filters.append(("status", rng.choice(_STATUS)))
+        elif kind == "date":
+            d = datetime.date(1993 + rng.randint(0, 4), rng.randint(1, 12), 1)
+            filters.append(("date", d.isoformat()))
+        else:
+            k = rng.choice((2, 3, 5, 7))
+            filters.append(("mod", (k, rng.randrange(k))))
+    join_part = rng.random() < 0.4
+    key_pool = ["l_returnflag", "l_linestatus", "ship_year"]
+    agg_pool = ["n", "sum_qty", "min_price", "max_disc", "nd_part"]
+    if join_part:
+        key_pool.append("p_brand")
+        agg_pool.append("min_retail")
+    n_keys = rng.randint(0, 2)
+    keys = rng.sample(key_pool, n_keys)
+    aggs = rng.sample(agg_pool, rng.randint(1, 4))
+    return {"filters": filters, "keys": sorted(keys), "aggs": sorted(aggs),
+            "join_part": join_part}
+
+
+# ------------------------------------------------------------- spark compile
+
+def _spark_query(spark, spec, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if spec["join_part"]:
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        df = df.join(F.broadcast(part),
+                     df["l_partkey"] == part["p_partkey"])
+    for kind, arg in spec["filters"]:
+        if kind == "qty":
+            df = df.filter(F.col("l_quantity") > arg)
+        elif kind == "disc":
+            df = df.filter(F.col("l_discount") <= arg)
+        elif kind == "flag":
+            df = df.filter(F.col("l_returnflag") == arg)
+        elif kind == "status":
+            df = df.filter(F.col("l_linestatus") == arg)
+        elif kind == "date":
+            df = df.filter(F.col("l_shipdate")
+                           < F.lit(arg).cast("timestamp"))
+        else:
+            k, r = arg
+            df = df.filter(F.pmod(F.col("l_partkey"), F.lit(k)) == r)
+    if "ship_year" in spec["keys"]:
+        df = df.withColumn("ship_year", F.year("l_shipdate"))
+    agg_map = {
+        "n": F.count(F.lit(1)).alias("n"),
+        "sum_qty": F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+            2).alias("sum_qty"),
+        "min_price": F.min("l_extendedprice").alias("min_price"),
+        "max_disc": F.max("l_discount").alias("max_disc"),
+        "nd_part": F.countDistinct("l_partkey").alias("nd_part"),
+        "min_retail": F.round(F.min("p_retailprice"), 2).alias("min_retail"),
+    }
+    aggs = [agg_map[a] for a in spec["aggs"]]
+    if spec["keys"]:
+        return df.groupBy(*spec["keys"]).agg(*aggs)
+    return df.agg(*aggs)
+
+
+# ------------------------------------------------------------ duckdb compile
+
+def _duck_sql(spec, sf_dir) -> str:
+    preds = []
+    for kind, arg in spec["filters"]:
+        if kind == "qty":
+            preds.append(f"l_quantity > {arg}")
+        elif kind == "disc":
+            preds.append(f"l_discount <= {arg}")
+        elif kind == "flag":
+            preds.append(f"l_returnflag = '{arg}'")
+        elif kind == "status":
+            preds.append(f"l_linestatus = '{arg}'")
+        elif kind == "date":
+            preds.append(f"l_shipdate < TIMESTAMP '{arg} 00:00:00'")
+        else:
+            k, r = arg
+            preds.append(f"l_partkey % {k} = {r}")
+    agg_map = {
+        "n": "CAST(count(*) AS BIGINT) AS n",
+        "sum_qty": ("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))"
+                    " AS DOUBLE), 2) AS sum_qty"),
+        "min_price": "min(l_extendedprice) AS min_price",
+        "max_disc": "max(l_discount) AS max_disc",
+        "nd_part": "CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part",
+        "min_retail": "round(min(p_retailprice), 2) AS min_retail",
+    }
+    sel_keys = [("year(l_shipdate) AS ship_year" if k == "ship_year" else k)
+                for k in spec["keys"]]
+    select = ", ".join(sel_keys + [agg_map[a] for a in spec["aggs"]])
+    src = f"'{sf_dir}/lineitem.parquet'"
+    if spec["join_part"]:
+        src += (f" JOIN '{sf_dir}/part.parquet'"
+                " ON l_partkey = p_partkey")
+    sql = f"SELECT {select} FROM {src}"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if spec["keys"]:
+        group = ", ".join("year(l_shipdate)" if k == "ship_year" else k
+                          for k in spec["keys"])
+        sql += f" GROUP BY {group}"
+    return sql
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            return f"{v + 0.0:.10g}"
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_spec_matches_duckdb(spark, seed):
+    rng = random.Random(10_000 + seed)
+    spec = _gen_spec(rng)
+    sdf = _spark_query(spark, spec, SF_SMOKE)
+    got = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    res = con.execute(_duck_sql(spec, SF_SMOKE))
+    exp = _norm([d[0] for d in res.description], res.fetchall())
+    assert sorted(sdf.columns) == sorted(d[0] for d in res.description), spec
+    assert got == exp, f"spec {spec} diverged: {got[:3]} vs {exp[:3]}"
