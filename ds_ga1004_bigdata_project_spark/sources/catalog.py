@@ -390,11 +390,29 @@ def write_zordered_parquet(df: DataFrame, path: str, col_a: str, col_b: str,
         bucket = F.lit(0)
         for b in sorted(set(bounds)):
             bucket = bucket + (F.col("_z") > F.lit(int(b))).cast("int")
-        out = (tmp.withColumn("_bucket", bucket)
-               .repartitionByRange(n, F.col("_bucket"))
-               .sortWithinPartitions("_z")
-               .drop("_z", "_na", "_nb", "_bucket"))
+        # Ranging on the bucket id still SAMPLES it (seeded by RDD id —
+        # session-history-dependent), and an under-sampled bucket value
+        # occasionally collapses two files into one. With only n distinct
+        # heavily-repeated values a large per-partition sample makes the
+        # boundary placement exhaustive-in-practice and the layout
+        # deterministic; conf is saved/restored (the nanosAsLong
+        # discipline in streaming/events.py).
+        _SAMPLE_CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+        sess = df.sparkSession
+        before = sess.conf.get(_SAMPLE_CONF, None)
+        sess.conf.set(_SAMPLE_CONF, "10000")
+        try:
+            out = (tmp.withColumn("_bucket", bucket)
+                   .repartitionByRange(n, F.col("_bucket"))
+                   .sortWithinPartitions("_z")
+                   .drop("_z", "_na", "_nb", "_bucket"))
+            out.write.mode("overwrite").parquet(path)
+        finally:
+            if before is None:
+                sess.conf.unset(_SAMPLE_CONF)
+            else:
+                sess.conf.set(_SAMPLE_CONF, before)
     else:
         out = tmp.coalesce(1).sortWithinPartitions("_z") \
             .drop("_z", "_na", "_nb")
-    out.write.mode("overwrite").parquet(path)
+        out.write.mode("overwrite").parquet(path)
