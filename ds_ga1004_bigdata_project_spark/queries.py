@@ -4382,6 +4382,46 @@ def q141_interaction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+@_register(
+    "q142_k_anonymity",
+    survey="net-new privacy governance (k-anonymous release: generalize quasi-identifiers, suppress groups < k)",
+    oracle="""
+        WITH q AS (
+          SELECT c_mktsegment, n_name,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kbucket
+          FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        g AS (
+          SELECT count(*) AS qc FROM q
+          GROUP BY c_mktsegment, n_name, bal_kbucket)
+        SELECT CAST(sum(CASE WHEN qc >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_groups_released,
+               CAST(sum(CASE WHEN qc >= 5 THEN qc ELSE 0 END) AS BIGINT)
+                 AS n_rows_released,
+               CAST(sum(CASE WHEN qc < 5 THEN qc ELSE 0 END) AS BIGINT)
+                 AS n_rows_suppressed
+        FROM g
+    """,
+)
+def q142_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous release audit (:mod:`operators.privacy`) over the
+    customer relation: quasi-identifiers = (market segment, nation,
+    $1000-account-balance bucket), k = 5 — every released row is
+    indistinguishable from ≥ 4 others on that tuple; smaller groups
+    suppress whole. The oracle recomputes released/suppressed totals
+    exactly. One map-side-combined agg over the quasi tuple; the
+    dimension join broadcasts."""
+    from .operators.privacy import k_anonymity_report
+
+    cat = Catalog(spark, sf_dir)
+    cust, nat = cat.customer, cat.nation
+    q = (cust.join(F.broadcast(nat),
+                   cust["c_nationkey"] == nat["n_nationkey"])
+         .select("c_mktsegment", "n_name",
+                 F.floor(F.col("c_acctbal") / 1000).alias("bal_kbucket")))
+    return k_anonymity_report(q, ["c_mktsegment", "n_name", "bal_kbucket"],
+                              k=5)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -416,3 +416,48 @@ def write_zordered_parquet(df: DataFrame, path: str, col_a: str, col_b: str,
         out = tmp.coalesce(1).sortWithinPartitions("_z") \
             .drop("_z", "_na", "_nb")
         out.write.mode("overwrite").parquet(path)
+
+
+def incremental_file_batch(spark: SparkSession, data_dir: str,
+                           manifest: DataFrame | None,
+                           fmt: str = "parquet"
+                           ) -> tuple[DataFrame | None, DataFrame]:
+    """Manifest-driven incremental processing: read ONLY the data files in
+    ``data_dir`` that a prior run has not yet processed — the daily-ingest
+    counterpart of :func:`~..operators.dedup.incremental_ingest_dedup`
+    (that one is incremental in ROWS against a fingerprint index; this one
+    is incremental in FILES against a name manifest, the way
+    micro-batch/auto-loader pipelines track progress).
+
+    ``manifest`` is a DataFrame with a ``file_name`` column (or ``None``
+    on the first run). Returns ``(batch_df, new_manifest_rows)``:
+    ``batch_df`` scans ONLY the unprocessed files (``None`` when there is
+    nothing new — a no-op run), and ``new_manifest_rows`` is the
+    (file_name, file_size) relation for the caller to append to its
+    manifest store AFTER the batch commits (write-then-mark gives
+    at-least-once; pair with an idempotent sink such as
+    ``run_foreach_batch_to_parquet``'s epoch layout for exactly-once).
+
+    Scale shape: the FS listing is metadata (driver-side by definition —
+    Spark's own InMemoryFileIndex lists on the driver); the set
+    difference runs IN SPARK (anti-join), so a years-deep manifest of
+    millions of rows never collects — only the day's NEW file names do
+    (bounded by batch size). The selected files are read directly, so the
+    scan touches none of the already-processed bytes."""
+    from pyspark.sql import functions as F
+
+    listing = spark.createDataFrame(
+        [(f.name, f.size) for f in _list_files(spark, data_dir)]
+        or [("", 0)],
+        "file_name string, file_size long").filter(F.col("file_name") != "")
+    if manifest is not None:
+        fresh = listing.join(manifest.select("file_name"),
+                             "file_name", "left_anti")
+    else:
+        fresh = listing
+    names = [r["file_name"] for r in fresh.select("file_name").collect()]
+    if not names:
+        return None, fresh
+    batch = spark.read.format(fmt).load(
+        [f"{data_dir}/{n}" for n in sorted(names)])
+    return batch, fresh

@@ -1,0 +1,73 @@
+"""Manifest-driven incremental file processing
+(sources/catalog.incremental_file_batch): only unprocessed files are read,
+no-op runs return None, and the returned manifest rows chain."""
+
+from __future__ import annotations
+
+from ds_ga1004_bigdata_project_spark.sources.catalog import (
+    incremental_file_batch)
+
+
+def _write_shard(spark, path, lo, hi):
+    spark.range(lo, hi).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _shard_files(spark, base, tag):
+    # one parquet data file per shard dir, copied flat into the batch dir
+    import glob
+    import shutil
+
+    [src] = glob.glob(f"{base}/_stage_{tag}/*.parquet")
+    shutil.copy(src, f"{base}/{tag}.parquet")
+
+
+def _setup_dir(spark, tmp_path, tags_and_ranges):
+    base = str(tmp_path / "incoming")
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    for tag, (lo, hi) in tags_and_ranges.items():
+        _write_shard(spark, f"{base}/_stage_{tag}", lo, hi)
+        _shard_files(spark, base, tag)
+    return base
+
+
+def test_first_run_reads_everything(spark, tmp_path):
+    base = _setup_dir(spark, tmp_path, {"a": (0, 10), "b": (10, 30)})
+    batch, fresh = incremental_file_batch(spark, base, None)
+    assert batch.count() == 30
+    assert {r["file_name"] for r in fresh.collect()} == \
+        {"a.parquet", "b.parquet"}
+
+
+def test_second_run_reads_only_new_files(spark, tmp_path):
+    base = _setup_dir(spark, tmp_path, {"a": (0, 10), "b": (10, 30)})
+    _, manifest = incremental_file_batch(spark, base, None)
+    manifest = manifest.localCheckpoint()  # freeze pre-arrival listing
+    _write_shard(spark, f"{base}/_stage_c", 30, 35)
+    _shard_files(spark, base, "c")
+
+    batch, fresh = incremental_file_batch(spark, base, manifest)
+    assert sorted(r["id"] for r in batch.collect()) == [30, 31, 32, 33, 34]
+    assert [r["file_name"] for r in fresh.collect()] == ["c.parquet"]
+    # the scan must touch ONLY the new file, not re-read processed bytes
+    assert all(f.endswith("c.parquet") for f in batch.inputFiles())
+
+
+def test_noop_run_returns_none_and_empty_manifest_delta(spark, tmp_path):
+    base = _setup_dir(spark, tmp_path, {"a": (0, 10)})
+    _, manifest = incremental_file_batch(spark, base, None)
+    batch, fresh = incremental_file_batch(spark, base,
+                                          manifest.localCheckpoint())
+    assert batch is None
+    assert fresh.count() == 0
+
+
+def test_staging_and_metadata_files_are_ignored(spark, tmp_path):
+    """_-prefixed entries (Spark _SUCCESS markers, staging dirs) never enter
+    the manifest — the listing filter is the same one compaction uses."""
+    base = _setup_dir(spark, tmp_path, {"a": (0, 10)})
+    open(f"{base}/_SUCCESS", "w").close()
+    batch, fresh = incremental_file_batch(spark, base, None)
+    assert {r["file_name"] for r in fresh.collect()} == {"a.parquet"}
+    assert batch.count() == 10
