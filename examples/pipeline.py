@@ -176,6 +176,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     TX.chunk_by_sentences(cleaned, max_tokens=5) \
         .select("chunk_idx", "n_sentences", "n_tokens", "chunk_text").show(truncate=False)
 
+    print("== 11g. graph-walk item importance (PageRank on interactions) ==")
+    from ds_ga1004_bigdata_project_spark.operators import graph as GR
+
+    pr_inter = rel.persisted(
+        cat.orders.join(cat.lineitem,
+                        F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_partkey").distinct())
+    pr = GR.pagerank(GR.bipartite_interaction_edges(
+        pr_inter, "o_custkey", "l_partkey"), iters=2)
+    (pr.filter(F.col("node") % 2 == 0)
+       .select((F.col("node") / 2).cast("long").alias("part"),
+               F.round("rank", 4).alias("pr"))
+       .orderBy(F.desc("pr"), "part").show(3))
+    pr_inter.unpersist()
+
+    print("== 11h. k-anonymous release gate before export ==")
+    from ds_ga1004_bigdata_project_spark.operators.privacy import (
+        k_anonymity_report)
+
+    quasi = (cat.customer.join(F.broadcast(cat.nation),
+                               F.col("c_nationkey") == F.col("n_nationkey"))
+             .select("c_mktsegment", "n_name",
+                     F.floor(F.col("c_acctbal") / 1000).alias("bal_kbucket")))
+    k_anonymity_report(
+        quasi, ["c_mktsegment", "n_name", "bal_kbucket"], k=5).show()
+
     print("== 11. M7 hyperparameter sweep -> results relation ==")
     # The reference's rank x regParam protocol (param_train_2nd.py:43-85),
     # one ALS fit + distributed ranking-metrics eval per cell, materialized
