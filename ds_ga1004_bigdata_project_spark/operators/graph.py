@@ -41,19 +41,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
-    """(src, deg) out-degree table for a directed edge list."""
-    return edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+def out_degrees(edges: DataFrame, src: str = "src",
+                weight: str | None = None) -> DataFrame:
+    """(src, deg) out-degree table for a directed edge list — edge count,
+    or total outgoing edge WEIGHT (strength) when ``weight`` names a
+    column."""
+    agg = (F.sum(F.col(weight).cast("double")) if weight
+           else F.count(F.lit(1)))
+    return edges.groupBy(src).agg(agg.alias("deg"))
 
 
 def pagerank(edges: DataFrame, iters: int, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
+             weight: str | None = None,
              caches: list[DataFrame] | None = None) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list → (node, rank).
 
     Init rank = 1.0 per node (the mass-conserving convention: ranks sum
     to |V| when no dangling nodes exist); update
-    ``rank' = (1-d) + d · Σ_{in-edges} rank(src)/deg(src)``.
+    ``rank' = (1-d) + d · Σ_{in-edges} rank(src)/deg(src)``. With a
+    ``weight`` column the walk is weighted: each in-edge contributes
+    ``rank(src) · w / strength(src)`` (strength = total outgoing weight),
+    the standard weighted-PageRank transition — mass conservation holds
+    because every node's outgoing shares sum to 1 either way.
 
     Every node must have out-degree ≥ 1 and the caller should persist
     ``edges``'s upstream (see module docstring). The node set is the
@@ -78,7 +88,7 @@ def pagerank(edges: DataFrame, iters: int, damping: float = 0.85,
     # job. The edge list itself stays IN-PLAN: a map-side projection of
     # whatever the caller persisted (contract above), so re-deriving it
     # per iteration costs one cache scan, not a shuffle.
-    deg = persisted(out_degrees(edges, src))
+    deg = persisted(out_degrees(edges, src, weight))
     deg.count()
     if caches is not None:
         caches.append(deg)
@@ -95,9 +105,11 @@ def pagerank(edges: DataFrame, iters: int, damping: float = 0.85,
         w = (ranks.join(F.broadcast(deg), ranks["node"] == deg[src])
              .select(F.col("node").alias("_wn"),
                      (F.col("rank") / F.col("deg")).alias("_w")))
+        share = (F.col("_w") * F.col(weight).cast("double") if weight
+                 else F.col("_w"))
         contrib = (edges.join(F.broadcast(w), F.col(src) == F.col("_wn"))
                    .groupBy(dst)
-                   .agg(F.sum("_w").alias("c")))
+                   .agg(F.sum(share).alias("c")))
         ranks = persisted(
             nodes.join(F.broadcast(contrib),
                        nodes["node"] == contrib[dst], "left")

@@ -170,3 +170,78 @@ def test_random_spec_matches_duckdb(spark, seed):
     exp = _norm([d[0] for d in res.description], res.fetchall())
     assert sorted(sdf.columns) == sorted(d[0] for d in res.description), spec
     assert got == exp, f"spec {spec} diverged: {got[:3]} vs {exp[:3]}"
+
+
+# ---------------------------------------------------- window-function specs
+
+_WIN_FUNCS = ("row_number", "rank", "dense_rank", "running_sum")
+
+
+def _gen_window_spec(rng: random.Random) -> dict:
+    part = rng.choice((None, "l_returnflag", "l_linestatus"))
+    desc = rng.random() < 0.5
+    fn = rng.choice(_WIN_FUNCS)
+    filters = []
+    if rng.random() < 0.5:
+        filters.append(("qty", rng.randint(10, 40)))
+    return {"part": part, "desc": desc, "fn": fn, "filters": filters}
+
+
+def _spark_window_query(spark, spec, sf_dir):
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for kind, arg in spec["filters"]:
+        df = df.filter(F.col("l_quantity") > arg)
+    # total order: price direction, then the table's unique key — rank/
+    # dense_rank/row_number all coincide under a total order, so cross-
+    # engine comparison is exact (ties would make row_number legitimately
+    # engine-dependent; the registry pins the same discipline).
+    price = F.col("l_extendedprice")
+    keys = [price.desc() if spec["desc"] else price.asc(),
+            F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    w = Window.partitionBy(*( [spec["part"]] if spec["part"] else [] )) \
+        .orderBy(*keys)
+    if spec["fn"] == "row_number":
+        val = F.row_number().over(w).cast("long")
+    elif spec["fn"] == "rank":
+        val = F.rank().over(w).cast("long")
+    elif spec["fn"] == "dense_rank":
+        val = F.dense_rank().over(w).cast("long")
+    else:
+        val = F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                      .cast("double"), 2)
+    return df.select("l_orderkey", "l_linenumber", val.alias("wval"))
+
+
+def _duck_window_sql(spec, sf_dir) -> str:
+    d = "DESC" if spec["desc"] else "ASC"
+    order = (f"l_extendedprice {d}, l_orderkey ASC, l_linenumber ASC")
+    over = (f"PARTITION BY {spec['part']} " if spec["part"] else "") \
+        + f"ORDER BY {order}"
+    if spec["fn"] == "running_sum":
+        expr = (f"round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))"
+                f" OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                f" CURRENT ROW) AS DOUBLE), 2)")
+    else:
+        expr = f"CAST({spec['fn']}() OVER ({over}) AS BIGINT)"
+    sql = (f"SELECT l_orderkey, l_linenumber, {expr} AS wval"
+           f" FROM '{sf_dir}/lineitem.parquet'")
+    if spec["filters"]:
+        sql += " WHERE " + " AND ".join(
+            f"l_quantity > {arg}" for _, arg in spec["filters"])
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_window_spec_matches_duckdb(spark, seed):
+    rng = random.Random(20_000 + seed)
+    spec = _gen_window_spec(rng)
+    sdf = _spark_window_query(spark, spec, SF_SMOKE)
+    got = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    res = con.execute(_duck_window_sql(spec, SF_SMOKE))
+    exp = _norm([d[0] for d in res.description], res.fetchall())
+    assert got == exp, f"window spec {spec} diverged"

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ds_ga1004_bigdata_project_spark.operators.graph import (
     bipartite_interaction_edges, out_degrees, pagerank)
 
@@ -78,3 +80,40 @@ def test_iteration_plan_has_no_cartesian_and_no_python(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_pagerank_hand_checked(spark):
+    """Weighted star, 1 iteration by hand. Edges (center 0, weights 3/1 to
+    leaves 1/2, symmetric back-edges weight 1):
+    center strength 4, leaves strength 1 each.
+    r(1) = 0.15 + 0.85·(1.0·3/4) = 0.7875
+    r(2) = 0.15 + 0.85·(1.0·1/4) = 0.3625
+    r(0) = 0.15 + 0.85·(1/1 + 1/1) = 1.85
+    """
+    edges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, wt double")
+    got = _ranks(pagerank(edges, iters=1, weight="wt"))
+    assert got[0] == pytest.approx(1.85)
+    assert got[1] == pytest.approx(0.7875)
+    assert got[2] == pytest.approx(0.3625)
+
+
+def test_unit_weights_match_unweighted(spark):
+    e = [(0, 1), (1, 2), (2, 0), (2, 1), (1, 0), (0, 2)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    weighted = edges.withColumn("wt", F.lit(1.0))
+    a = _ranks(pagerank(edges, iters=3))
+    b = _ranks(pagerank(weighted, iters=3, weight="wt"))
+    assert a.keys() == b.keys()
+    for n in a:
+        assert a[n] == pytest.approx(b[n], abs=1e-12)
+
+
+def test_weighted_mass_is_conserved(spark):
+    edges = spark.createDataFrame(
+        [(0, 1, 2.5), (1, 0, 0.5), (1, 2, 1.5), (2, 1, 4.0), (2, 0, 1.0),
+         (0, 2, 1.0)],
+        "src long, dst long, wt double")
+    total = sum(_ranks(pagerank(edges, iters=2, weight="wt")).values())
+    assert total == pytest.approx(3.0, abs=1e-12)
