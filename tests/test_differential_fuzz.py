@@ -245,3 +245,81 @@ def test_random_window_spec_matches_duckdb(spark, seed):
     res = con.execute(_duck_window_sql(spec, SF_SMOKE))
     exp = _norm([d[0] for d in res.description], res.fetchall())
     assert got == exp, f"window spec {spec} diverged"
+
+
+# ------------------------------------------- set ops / having / ordered topN
+
+def test_setop_specs_match_duckdb(spark):
+    """Distinct set semantics (UNION/EXCEPT/INTERSECT) over two filtered
+    key projections — Spark's union() is ALL, so the distinct discipline
+    (union().distinct() / subtract() / intersect()) must line up with the
+    SQL operators exactly."""
+    rng = random.Random(31_000)
+    con = duckdb.connect()
+    src = f"'{SF_SMOKE}/lineitem.parquet'"
+    for _ in range(8):
+        a_q, b_q = rng.randint(10, 40), rng.randint(10, 40)
+        op = rng.choice(("union", "except", "intersect"))
+        df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        a = df.filter(F.col("l_quantity") > a_q).select("l_partkey")
+        b = df.filter(F.col("l_discount") <= b_q / 100).select("l_partkey")
+        if op == "union":
+            got_df = a.union(b).distinct()
+        elif op == "except":
+            got_df = a.subtract(b)
+        else:
+            got_df = a.intersect(b)
+        got = sorted(r["l_partkey"] for r in got_df.collect())
+        sql_op = {"union": "UNION", "except": "EXCEPT",
+                  "intersect": "INTERSECT"}[op]
+        exp = sorted(r[0] for r in con.execute(
+            f"SELECT l_partkey FROM {src} WHERE l_quantity > {a_q} "
+            f"{sql_op} "
+            f"SELECT l_partkey FROM {src} WHERE l_discount <= {b_q / 100}"
+        ).fetchall())
+        assert got == exp, (op, a_q, b_q)
+
+
+def test_having_specs_match_duckdb(spark):
+    rng = random.Random(32_000)
+    con = duckdb.connect()
+    src = f"'{SF_SMOKE}/lineitem.parquet'"
+    for _ in range(6):
+        thresh = rng.randint(100, 2000)
+        keys = rng.choice((["l_returnflag"], ["l_returnflag", "l_linestatus"]))
+        df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        got_df = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+                  .filter(F.col("n") > thresh))
+        got = _norm(got_df.columns, [tuple(r) for r in got_df.collect()])
+        k = ", ".join(keys)
+        res = con.execute(
+            f"SELECT {k}, CAST(count(*) AS BIGINT) AS n FROM {src} "
+            f"GROUP BY {k} HAVING count(*) > {thresh}")
+        exp = _norm([d[0] for d in res.description], res.fetchall())
+        assert got == exp, (keys, thresh)
+
+
+def test_ordered_topn_sequences_match_duckdb(spark):
+    """ORDER of the result certified, not just the multiset: top-N under a
+    total order (price direction + unique key tiebreak) must come back in
+    the identical sequence from both engines."""
+    rng = random.Random(33_000)
+    con = duckdb.connect()
+    src = f"'{SF_SMOKE}/lineitem.parquet'"
+    for _ in range(6):
+        n = rng.randint(1, 50)
+        desc = rng.random() < 0.5
+        df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        price = F.col("l_extendedprice")
+        got_df = (df.select("l_orderkey", "l_linenumber", "l_extendedprice")
+                  .orderBy(price.desc() if desc else price.asc(),
+                           F.col("l_orderkey").asc(),
+                           F.col("l_linenumber").asc())
+                  .limit(n))
+        got = [tuple(r) for r in got_df.collect()]
+        d = "DESC" if desc else "ASC"
+        exp = con.execute(
+            f"SELECT l_orderkey, l_linenumber, l_extendedprice FROM {src} "
+            f"ORDER BY l_extendedprice {d}, l_orderkey, l_linenumber "
+            f"LIMIT {n}").fetchall()
+        assert got == [tuple(r) for r in exp], (n, desc)
