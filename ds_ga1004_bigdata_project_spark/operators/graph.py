@@ -16,19 +16,22 @@ Scale shape (the textbook distributed PageRank):
   algorithm checkpoint discipline: lineage stays one iteration deep, the
   planner sees small identical jobs whose generated code is JIT-reused,
   and the superseded state is released immediately);
-* each iteration is ONE shuffle keyed by ``dst`` (the contribution
-  aggregation, map-side combined) plus a map-side-combined degree
-  aggregation — degrees and the node set are derived IN-PLAN from the
-  edge list rather than cached, keeping every iteration's plan
-  structurally identical (measured ~2× faster end-to-end than caching
-  |E|+|V| intermediates at local scale; at cluster scale the re-derived
-  degree agg costs one extra edge scan per iteration against not holding
-  the edge list in memory twice);
-* the CALLER persists the edge list's expensive upstream (typically a
-  join+distinct over an interaction relation) — every iteration and the
-  degree/node derivations re-read it;
-* no driver-side state: convergence loops are fixed-K (the common
-  production choice — K=3..10).
+* the degree/strength table is computed and persisted ONCE (it never
+  changes; deriving it in-plan re-ran its 2|E|-row aggregation shuffle
+  inside every iteration — measured 3× the whole query), and under the
+  no-dangling contract its key set doubles as the node set;
+* each iteration is then ONE shuffle keyed by ``dst`` (the contribution
+  aggregation, map-side combined) plus explicit |V|-row broadcasts of
+  the weight/contribution sides (provably small — hinting skips AQE's
+  per-micro-stage replanning, ~30% of iteration wall-clock, while AQE
+  stays on to skew-split the dst shuffle on power-law graphs);
+* the edge list itself stays IN-PLAN: the CALLER persists its expensive
+  upstream (typically a join+distinct over an interaction relation), and
+  each iteration re-derives the edges with a map-side cache scan, never
+  a shuffle;
+* no driver-side control state: convergence loops are fixed-K (the
+  common production choice — K=3..10). SCALE.md records the variant
+  measurements and the 10× stress ratio (3.33× at 10× edges+vertices).
 
 Nodes with zero out-degree would leak rank mass ("dangling" nodes);
 callers pass symmetric or bipartite-both-directions edge lists, where
@@ -141,3 +144,16 @@ def bipartite_interaction_edges(inter: DataFrame, left_col: str,
     fwd = inter.select(l_enc.alias("src"), r_enc.alias("dst"))
     rev = inter.select(r_enc.alias("src"), l_enc.alias("dst"))
     return fwd.union(rev)
+
+
+def dangling_nodes(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Diagnostic: nodes that appear as a destination but never as a
+    source — the "dangling" nodes that violate :func:`pagerank`'s
+    contract (they would absorb rank mass and then be dropped from the
+    output). Run it once on a NEW edge source before wiring it into an
+    iterative job; an empty result certifies the contract. One anti-join
+    of two |V|-row projections — metadata-scale."""
+    srcs = edges.select(F.col(src).alias("node")).distinct()
+    return (edges.select(F.col(dst).alias("node")).distinct()
+            .join(srcs, "node", "left_anti"))

@@ -117,3 +117,13 @@ def test_weighted_mass_is_conserved(spark):
         "src long, dst long, wt double")
     total = sum(_ranks(pagerank(edges, iters=2, weight="wt")).values())
     assert total == pytest.approx(3.0, abs=1e-12)
+
+
+def test_dangling_nodes_diagnostic(spark):
+    from ds_ga1004_bigdata_project_spark.operators.graph import dangling_nodes
+
+    ok = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    assert dangling_nodes(ok).count() == 0
+    bad = spark.createDataFrame([(1, 2), (1, 3), (3, 1)],
+                                "src long, dst long")
+    assert [r["node"] for r in dangling_nodes(bad).collect()] == [2]
