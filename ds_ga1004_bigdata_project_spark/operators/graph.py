@@ -43,6 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Broadcast the |V|-row rank-state relations only while they provably fit
+#: (~20 B/row against the session's 64 MB broadcast threshold) — a hard
+#: F.broadcast hint is never downgraded by Spark, so past this the joins
+#: plan from stats (shuffle join) instead.
+BROADCAST_STATE_MAX_BYTES = 64 * 1024 * 1024
+
 
 def out_degrees(edges: DataFrame, src: str = "src",
                 weight: str | None = None) -> DataFrame:
@@ -92,29 +98,35 @@ def pagerank(edges: DataFrame, iters: int, damping: float = 0.85,
     # whatever the caller persisted (contract above), so re-deriving it
     # per iteration costs one cache scan, not a shuffle.
     deg = persisted(out_degrees(edges, src, weight))
-    deg.count()
+    n_nodes = deg.count()
     if caches is not None:
         caches.append(deg)
+    # Explicit broadcast hints on the |V|-row weight/contribution sides
+    # skip AQE's wait-for-runtime-stats replanning on every micro-stage
+    # of the iteration (~30% of iteration wall-clock measured) — but a
+    # hard hint is never downgraded, so it is applied ONLY while the
+    # rank state is provably broadcast-sized (measured from the degree
+    # count we compute anyway; ~20 B/row against the session's 64 MB
+    # broadcast threshold). Past that the joins plan from stats like any
+    # other — the graceful shuffle-join degradation the module promises.
+    # AQE stays ON throughout for what it is good at here: skew-
+    # splitting the per-dst contribution shuffle on power-law graphs.
+    hint = (F.broadcast if n_nodes * 20 <= BROADCAST_STATE_MAX_BYTES
+            else (lambda df: df))
     nodes = deg.select(F.col(src).alias("node"))
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     prev: DataFrame | None = None
     for _ in range(iters):
-        # Explicit broadcast hints: w and contrib are |V|-row relations —
-        # provably the small side — and hinting skips AQE's wait-for-
-        # runtime-stats replanning on every micro-stage of the iteration
-        # (~30% of iteration wall-clock measured). AQE stays ON for what
-        # it is good at here: skew-splitting the per-dst contribution
-        # shuffle on power-law graphs.
-        w = (ranks.join(F.broadcast(deg), ranks["node"] == deg[src])
+        w = (ranks.join(hint(deg), ranks["node"] == deg[src])
              .select(F.col("node").alias("_wn"),
                      (F.col("rank") / F.col("deg")).alias("_w")))
         share = (F.col("_w") * F.col(weight).cast("double") if weight
                  else F.col("_w"))
-        contrib = (edges.join(F.broadcast(w), F.col(src) == F.col("_wn"))
+        contrib = (edges.join(hint(w), F.col(src) == F.col("_wn"))
                    .groupBy(dst)
                    .agg(F.sum(share).alias("c")))
         ranks = persisted(
-            nodes.join(F.broadcast(contrib),
+            nodes.join(hint(contrib),
                        nodes["node"] == contrib[dst], "left")
             .select("node",
                     (F.lit(1.0 - damping)
@@ -138,9 +150,12 @@ def bipartite_interaction_edges(inter: DataFrame, left_col: str,
     nodes by construction — every edge exists in both directions. Pass a
     PERSISTED ``inter`` (half the rows of the edge list it derives —
     cheaper to hold than the edges themselves; both directions are
-    map-side projections of the same cached rows)."""
-    l_enc = (F.col(left_col) * 2 + 1).cast("long")
-    r_enc = (F.col(right_col) * 2).cast("long")
+    map-side projections of the same cached rows). The ids are widened
+    to long BEFORE the ×2 arithmetic — a 32-bit id column with ids
+    ≥ 2³⁰ would otherwise silently wrap negative pre-cast and collide
+    node encodings."""
+    l_enc = F.col(left_col).cast("long") * 2 + 1
+    r_enc = F.col(right_col).cast("long") * 2
     fwd = inter.select(l_enc.alias("src"), r_enc.alias("dst"))
     rev = inter.select(r_enc.alias("src"), l_enc.alias("dst"))
     return fwd.union(rev)

@@ -54,8 +54,13 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
     — the corpus is scanned once for the aggregation and never again)."""
     counts = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_qc"))
     ok = F.col("_qc") >= k
+    # coalesce: sum over ZERO groups (an empty, fully-pre-filtered
+    # corpus) is NULL, and a release gate comparing `suppressed == 0`
+    # must see honest zeros, not None.
     return counts.agg(
-        F.sum(ok.cast("int")).alias("n_groups_released"),
-        F.sum(F.when(ok, F.col("_qc")).otherwise(0)).alias("n_rows_released"),
-        F.sum(F.when(~ok, F.col("_qc")).otherwise(0))
+        F.coalesce(F.sum(ok.cast("int")), F.lit(0))
+        .alias("n_groups_released"),
+        F.coalesce(F.sum(F.when(ok, F.col("_qc")).otherwise(0)), F.lit(0))
+        .alias("n_rows_released"),
+        F.coalesce(F.sum(F.when(~ok, F.col("_qc")).otherwise(0)), F.lit(0))
         .alias("n_rows_suppressed"))

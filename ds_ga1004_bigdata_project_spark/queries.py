@@ -4366,15 +4366,21 @@ def q141_interaction_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     o, li = cat.orders, cat.lineitem
     # The interaction relation is the expensive upstream every iteration
-    # re-reads — persisted per the graph module's caller contract (the
-    # handles stay session-owned, as q32/q64's caches do).
+    # re-reads — persisted per the graph module's caller contract. The
+    # final rank state is materialized (counted) inside pagerank, so the
+    # upstream caches are released HERE, before returning: the returned
+    # plan reads the cached ranks, and eviction is safe (pure joins/aggs
+    # recompute deterministically — the q64 label-table discipline).
     caches: list[DataFrame] = []
     inter = rel.persisted(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select("o_custkey", "l_partkey").distinct())
-    caches.append(inter)
     edges = bipartite_interaction_edges(inter, "o_custkey", "l_partkey")
     pr = pagerank(edges, iters=3, damping=0.85, caches=caches)
+    inter.unpersist()
+    for c in caches:
+        if c is not pr:
+            c.unpersist()
     return (pr.filter(F.col("node") % 2 == 0)
             .select((F.col("node") / 2).cast("long").alias("part"),
                     F.round("rank", 6).alias("pr"))

@@ -363,6 +363,12 @@ def write_zordered_parquet(df: DataFrame, path: str, col_a: str, col_b: str,
 
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).first()
+    if lo_a is None or lo_b is None:
+        # Empty input: min/max (and the quantile boundaries below) come
+        # back NULL — write the empty dataset as-is rather than raising
+        # on int(None); a scheduled job's zero-row day must not crash.
+        df.write.mode("overwrite").parquet(path)
+        return
     scale = (1 << bits) - 1
 
     def norm(col: str, lo, hi):
@@ -458,6 +464,16 @@ def incremental_file_batch(spark: SparkSession, data_dir: str,
     names = [r["file_name"] for r in fresh.select("file_name").collect()]
     if not names:
         return None, fresh
+
+    def _glob_escape(name: str) -> str:
+        # load() treats paths as Hadoop globs; a producer-named shard like
+        # "export[2024-01].parquet" must be read literally, not pattern-
+        # matched (or worse, fail with Path-does-not-exist forever, since
+        # the file could then never be marked processed). Hadoop's
+        # GlobPattern honors backslash escapes (its re2j parser rejects
+        # the []]-style class convention).
+        return "".join(f"\\{c}" if c in "[]{}*?\\" else c for c in name)
+
     batch = spark.read.format(fmt).load(
-        [f"{data_dir}/{n}" for n in sorted(names)])
+        [f"{data_dir}/{_glob_escape(n)}" for n in sorted(names)])
     return batch, fresh

@@ -127,3 +127,30 @@ def test_dangling_nodes_diagnostic(spark):
     bad = spark.createDataFrame([(1, 2), (1, 3), (3, 1)],
                                 "src long, dst long")
     assert [r["node"] for r in dangling_nodes(bad).collect()] == [2]
+
+
+def test_int32_ids_encode_without_overflow(spark):
+    """2·id+1 must widen to long BEFORE the arithmetic — a 32-bit id
+    ≥ 2³⁰ would wrap negative and collide node encodings."""
+    big = (1 << 30) + 7
+    inter = spark.createDataFrame([(big, big)], "u int, v int")
+    got = {(r["src"], r["dst"])
+           for r in bipartite_interaction_edges(inter, "u", "v").collect()}
+    assert got == {(2 * big + 1, 2 * big), (2 * big, 2 * big + 1)}
+    assert all(x > 0 for pair in got for x in pair)
+
+
+def test_pagerank_shuffle_path_matches_broadcast_path(spark, monkeypatch):
+    """Above the broadcast-size bound the hint is dropped (a hard
+    F.broadcast is never downgraded by Spark) — the stats-planned
+    shuffle path must produce identical ranks."""
+    from ds_ga1004_bigdata_project_spark.operators import graph as G
+
+    e = [(0, 1), (1, 2), (2, 0), (2, 1), (1, 0), (0, 2)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    with_hint = _ranks(pagerank(edges, iters=2))
+    monkeypatch.setattr(G, "BROADCAST_STATE_MAX_BYTES", 0)
+    without = _ranks(G.pagerank(edges, iters=2))
+    assert with_hint.keys() == without.keys()
+    for n in with_hint:
+        assert with_hint[n] == pytest.approx(without[n], abs=1e-15)

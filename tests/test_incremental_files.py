@@ -71,3 +71,19 @@ def test_staging_and_metadata_files_are_ignored(spark, tmp_path):
     batch, fresh = incremental_file_batch(spark, base, None)
     assert {r["file_name"] for r in fresh.collect()} == {"a.parquet"}
     assert batch.count() == 10
+
+
+def test_glob_metacharacter_file_names_read_literally(spark, tmp_path):
+    """Producer-named shards like export[2024-01].parquet must be read
+    byte-literally, not treated as glob patterns (which would wedge the
+    pipeline forever — the file could never be marked processed)."""
+    base = _setup_dir(spark, tmp_path, {"plain": (0, 5)})
+    import glob
+    import shutil
+
+    [src] = glob.glob(f"{base}/_stage_plain/*.parquet")
+    shutil.copy(src, f"{base}/export[2024-01].parquet")
+    batch, fresh = incremental_file_batch(spark, base, None)
+    assert {r["file_name"] for r in fresh.collect()} == \
+        {"plain.parquet", "export[2024-01].parquet"}
+    assert batch.count() == 10  # both five-row shards, read literally

@@ -102,3 +102,18 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
         assert f_z < 0.7, f"{col}: z-order should prune some groups: {f_z}"
 
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_empty_input_writes_empty_dataset(spark, tmp_path):
+    """A scheduled job's zero-row day must write an empty (schema-bearing)
+    dataset, not crash on NULL min/max/quantiles."""
+    from ds_ga1004_bigdata_project_spark.sources.catalog import (
+        write_zordered_parquet)
+
+    li = Catalog(spark, SF_SMOKE).lineitem.select(
+        "l_partkey", "l_suppkey").filter("l_partkey < 0")
+    path = str(tmp_path / "empty_z")
+    write_zordered_parquet(li, path, "l_partkey", "l_suppkey", num_files=4)
+    out = spark.read.parquet(path)
+    assert out.count() == 0
+    assert set(out.columns) == {"l_partkey", "l_suppkey"}

@@ -52,3 +52,10 @@ def test_null_quasi_values_form_their_own_group(spark):
     # groupBy treats NULL as a value; the USING-style semi-join must match
     # it the same way or null-group rows would silently vanish.
     assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_report_on_empty_corpus_is_zeros_not_nulls(spark):
+    df = _df(spark).filter("id > 100")
+    [r] = k_anonymity_report(df, ["seg", "geo"], k=2).collect()
+    assert (r["n_groups_released"], r["n_rows_released"],
+            r["n_rows_suppressed"]) == (0, 0, 0)
