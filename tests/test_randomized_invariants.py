@@ -90,3 +90,73 @@ def test_cms_bucket_twin_on_fuzzed_tokens(spark):
         sql = sketches._bucket_sql("$tok", 2, 64)
         want = con.execute(f"SELECT {sql} AS b", {"tok": w}).fetchone()[0]
         assert b == want, repr(w)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third-wave operators: partition-invariance + adversarial inputs
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_editdist_pairs_invariant_to_partitioning(spark, seed):
+    """The pair set is a pure function of content — repartitioning the
+    corpus must not change it (shuffle-order independence)."""
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        editdist_blocked_pairs)
+
+    rng = random.Random(40_000 + seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 8))))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(df):
+        return sorted(tuple(r) for r in editdist_blocked_pairs(
+            df, block_len=6, prefix_len=30, max_dist=6).collect())
+
+    assert pairs(docs) == pairs(docs.repartition(7)) \
+        == pairs(docs.repartition(1))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pagerank_invariant_to_partitioning_and_edge_order(spark, seed):
+    """Ranks (rounded at the oracle's 1e-6 discipline) must not depend on
+    edge-list partitioning or row order."""
+    from ds_ga1004_bigdata_project_spark.operators.graph import pagerank
+
+    rng = random.Random(41_000 + seed)
+    n = 40
+    und = {(a, b) for a in range(n) for b in range(a + 1, n)
+           if rng.random() < 0.15}
+    e = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    # isolated nodes would be dangling; the symmetric construction has none
+    edges = spark.createDataFrame(e, "src long, dst long")
+
+    def ranks(df):
+        return {r["node"]: round(r["rank"], 6)
+                for r in pagerank(df, iters=2).collect()}
+
+    shuffled = spark.createDataFrame(
+        sorted(e, key=lambda t: (t[1], t[0])), "src long, dst long")
+    assert ranks(edges) == ranks(edges.repartition(9)) == ranks(shuffled)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_k_anonymize_release_is_idempotent_and_partition_invariant(
+        spark, seed):
+    """Releasing an already-released corpus changes nothing (groups only
+    ever shrink by suppression, never below k), and the released id set
+    is partition-independent."""
+    from ds_ga1004_bigdata_project_spark.operators.privacy import k_anonymize
+
+    rng = random.Random(42_000 + seed)
+    segs, geos = ["A", "B", "C", None], ["de", "fr", None]
+    rows = [(rng.choice(segs), rng.choice(geos), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "seg string, geo string, id int")
+
+    def ids(frame):
+        return sorted(r["id"] for r in frame.collect())
+
+    once = k_anonymize(df, ["seg", "geo"], k=7)
+    assert ids(k_anonymize(once, ["seg", "geo"], k=7)) == ids(once)
+    assert ids(k_anonymize(df.repartition(11), ["seg", "geo"], k=7)) \
+        == ids(once)
