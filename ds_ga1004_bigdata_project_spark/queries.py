@@ -4428,6 +4428,60 @@ def q142_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                               k=5)
 
 
+@_register(
+    "q143_token_budget_selection",
+    survey="net-new corpus budget fill (best-quality docs until a global token budget; scalable prefix-sum cutoff)",
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens,
+                 len(list_distinct(string_split_regex(text, '\\s+')))
+                   / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
+                   AS score
+          FROM documents),
+        c AS (
+          SELECT lang, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scored)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM c WHERE cum <= 20000 GROUP BY lang
+    """,
+)
+def q143_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus fill — the selection step of assembling a
+    fixed-size training mix: take documents in quality order (lexical
+    diversity, the q131 score — raw int/int division, bit-identical
+    cross-engine) until the running token total reaches the budget
+    (inclusive-prefix ≤ 20k tokens), then report the selection per
+    language. The cutoff is a GLOBAL running sum along a total order —
+    computed with ``ranks.global_prefix_sum`` (range-partitioned sort +
+    per-partition offsets), so the oracle's single-partition window is
+    certified without ever planning one; the integer cumsum makes the
+    cut point exact on both engines."""
+    from .operators import ranks
+
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    scored = cat.documents.select(
+        "doc_id", "lang", F.size(toks).alias("n_tokens"),
+        T.distinct_token_ratio(toks, scale=None).alias("score"))
+    caches: list[DataFrame] = []
+    try:
+        cum = ranks.global_prefix_sum(
+            scored, [F.col("score").desc(), F.col("doc_id").asc()],
+            "n_tokens", out_col="cum", caches=caches)
+        out = (cum.filter(F.col("cum") <= 20_000)
+               .groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("sum_tokens")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
