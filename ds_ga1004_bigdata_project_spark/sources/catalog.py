@@ -477,3 +477,25 @@ def incremental_file_batch(spark: SparkSession, data_dir: str,
     batch = spark.read.format(fmt).load(
         [f"{data_dir}/{_glob_escape(n)}" for n in sorted(names)])
     return batch, fresh
+
+
+def write_dynamic_partition_overwrite(df: DataFrame, path: str,
+                                      partition_by: list[str]) -> None:
+    """Partition-scoped overwrite — the idempotent backfill/late-data
+    write pattern at 100 TB: re-running a day's job replaces ONLY the
+    partitions present in ``df`` and leaves every other partition's files
+    untouched (static overwrite mode — Spark's default — would first
+    DELETE the entire table root). The conf flip is scoped and restored
+    (the nanosAsLong discipline); INSERT OVERWRITE through a catalog
+    table honors the same setting."""
+    sess = df.sparkSession
+    _MODE = "spark.sql.sources.partitionOverwriteMode"
+    before = sess.conf.get(_MODE, None)
+    sess.conf.set(_MODE, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        if before is None:
+            sess.conf.unset(_MODE)
+        else:
+            sess.conf.set(_MODE, before)

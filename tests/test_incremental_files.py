@@ -87,3 +87,25 @@ def test_glob_metacharacter_file_names_read_literally(spark, tmp_path):
     assert {r["file_name"] for r in fresh.collect()} == \
         {"plain.parquet", "export[2024-01].parquet"}
     assert batch.count() == 10  # both five-row shards, read literally
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """Re-running one day's backfill must replace that day's partition and
+    leave the others byte-untouched (static overwrite would wipe the
+    table root first)."""
+    from ds_ga1004_bigdata_project_spark.sources.catalog import (
+        write_dynamic_partition_overwrite)
+
+    path = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 10), ("d3", 20)], "day string, v int")
+    write_dynamic_partition_overwrite(base, path, ["day"])
+
+    fix = spark.createDataFrame([("d2", 99)], "day string, v int")
+    write_dynamic_partition_overwrite(fix, path, ["day"])
+
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 1), ("d1", 2), ("d2", 99), ("d3", 20)}
+    # and the session conf is restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          None) in (None, "STATIC", "static")
