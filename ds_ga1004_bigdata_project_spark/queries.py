@@ -4528,12 +4528,14 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: pairs, point-in-time join). With the ten r2-vintage refreshes and the
 #: q01 anchor this fills the 50-slot window EXACTLY — a further new query
 #: evicts a vintage refresh (check ``list(REGISTRY)[45:52]`` first).
-#: The third wave (q140/q141) had exactly ONE spare slot left: it goes
-#: to q141 (iterative float PageRank — the riskier certification, so the
-#: driver sees it this round); q140 sits at position 50, first out, with
-#: tri-SF oracle-parity pytest + strict driver-replica evidence this
-#: round, and leads the r7 window. Evicting vintage refreshes for it
-#: would leave q50/q51 at r2 vintage (VERDICT r5 #2's explicit bar).
+#: The third wave (q140-q143) had exactly ONE spare slot left: it goes
+#: to q141 (iterative float PageRank — the riskiest certification, so
+#: the driver sees it this round); q140/q142/q143 sit at positions
+#: 50-52, first out, each with tri-SF oracle-parity pytest + strict
+#: driver-replica evidence this round (the test_registry_window
+#: _DEFERRED_TO_NEXT_WINDOW list pins exactly this), and they lead the
+#: r7 window. Evicting vintage refreshes for them would leave r2-vintage
+#: certificates behind (VERDICT r5 #2's explicit bar).
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q57_simhash_groups", "q64_neardup_corpus",
     "q62_streaming_hourly", "q80_sliding_stream",
