@@ -172,3 +172,25 @@ def dangling_nodes(edges: DataFrame, src: str = "src",
     srcs = edges.select(F.col(src).alias("node")).distinct()
     return (edges.select(F.col(dst).alias("node")).distinct()
             .join(srcs, "node", "left_anti"))
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iters: int = 8) -> DataFrame:
+    """(node, component) labeling of the undirected graph under ``edges``
+    (direction is ignored; both orientations are considered), with
+    ``component`` = the smallest node id in the component — the public
+    graph-API form of the dedup cluster resolver
+    (:func:`~.dedup.resolve_keep_list`), sharing its adaptive two-tier
+    engine: metadata-sized edge lists collapse via a driver union-find on
+    one bounded collect, larger ones run frontier-only min-label
+    propagation where the iterating relation is |edge endpoints| rows,
+    never the node universe."""
+    from .dedup import resolve_keep_list
+
+    nodes = (edges.select(F.col(src).alias("id"))
+             .union(edges.select(F.col(dst).alias("id")))
+             .distinct())
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    out = resolve_keep_list(nodes, pairs, max_iters=max_iters)
+    return out.select(F.col("id").alias("node"),
+                      F.col("keep_id").alias("component"))

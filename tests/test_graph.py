@@ -154,3 +154,26 @@ def test_pagerank_shuffle_path_matches_broadcast_path(spark, monkeypatch):
     assert with_hint.keys() == without.keys()
     for n in with_hint:
         assert with_hint[n] == pytest.approx(without[n], abs=1e-15)
+
+
+def test_connected_components_labels_min_id(spark):
+    from ds_ga1004_bigdata_project_spark.operators.graph import (
+        connected_components)
+
+    # two components: {1,2,3} via a chain, {10,11}; direction mixed
+    edges = spark.createDataFrame([(2, 1), (2, 3), (11, 10)],
+                                  "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from ds_ga1004_bigdata_project_spark.operators.graph import (
+        connected_components)
+
+    chain = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
