@@ -603,3 +603,34 @@ def editdist_blocked_pairs(df: DataFrame, text_col: str = "text",
                    & (F.col("id_a") < F.col("id_b")))
             .select("id_a", "id_b", dist.alias("dist"))
             .filter(F.col("dist") >= 0))
+
+
+def multi_eval_contamination(docs: DataFrame, eval_sources: list[str],
+                             n: int = 5, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             source_col: str = "source") -> DataFrame:
+    """Contamination MATRIX across many eval benchmarks in ONE corpus pass:
+    (train doc id, eval source, shared distinct n-grams) — the production
+    decontamination reality, where a release is screened against dozens of
+    benchmark suites at once and each leaky document must be attributed to
+    the specific benchmark(s) it leaks (:func:`decontaminate_corpus` is
+    the single-set drop direction; :func:`cross_split_ngram_overlap` the
+    per-eval-doc report).
+
+    Scale shape, as the siblings: the (eval_source, n-gram) set is small
+    by definition (benchmarks are MBs) and BROADCAST; the train corpus is
+    scanned once, shingled map-side, and only HIT rows — bounded by
+    contamination volume × benchmark count, never corpus size — reach the
+    per-(doc, benchmark) aggregation shuffle. ``countDistinct`` absorbs
+    repeated in-document shingles without a train-side pre-distinct."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    sh = docs.select(F.col(id_col), F.col(source_col),
+                     F.explode(word_shingles(toks, n)).alias("ng"))
+    is_eval = F.col(source_col).isin(eval_sources)
+    eval_ng = (sh.filter(is_eval)
+               .select(F.col(source_col).alias("eval_source"), "ng")
+               .distinct())
+    return (sh.filter(~is_eval)
+            .join(F.broadcast(eval_ng), "ng")
+            .groupBy(id_col, "eval_source")
+            .agg(F.countDistinct("ng").alias("n_shared_ngrams")))

@@ -4482,6 +4482,45 @@ def q143_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+@_register(
+    "q144_contamination_matrix",
+    survey="net-new multi-benchmark decontamination (one-pass train-doc × eval-set attribution)",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(len(t) - 4),
+                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                             || ' ' || t[i+4] || ' ' || t[i+5])) AS ng
+          FROM tok WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT source AS eval_source, ng FROM sh
+               WHERE source IN ('src0', 'src1')),
+        tr AS (SELECT doc_id, ng FROM sh
+               WHERE source NOT IN ('src0', 'src1'))
+        SELECT tr.doc_id, ev.eval_source,
+               CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
+        FROM tr JOIN ev USING (ng)
+        GROUP BY tr.doc_id, ev.eval_source
+        ORDER BY doc_id, eval_source
+    """,
+)
+def q144_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark contamination attribution in one pass
+    (:func:`dedup.multi_eval_contamination`): treat src0 and src1 as TWO
+    separate eval benchmarks and tag every train document with each
+    benchmark it shares a 5-gram with, plus the shared-distinct-gram
+    count. The (benchmark, gram) set broadcasts; only hit rows shuffle —
+    the train corpus never wide-exchanges (q104's property, generalized
+    to N benchmarks in the same single scan)."""
+    cat = Catalog(spark, sf_dir)
+    out = dedup.multi_eval_contamination(cat.documents, ["src0", "src1"],
+                                         n=5)
+    return out.orderBy("doc_id", "eval_source")
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -74,3 +74,29 @@ def test_plan_stays_jvm_side(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multi_eval_contamination_attributes_per_benchmark(spark):
+    """One pass must attribute each leaky train doc to EACH benchmark it
+    shares an n-gram with, counting distinct shared grams (repeats inside
+    a doc count once)."""
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        multi_eval_contamination)
+
+    rows = [
+        (1, "the quick brown fox jumps over", "evalA"),
+        (2, "pack my box with five dozen jugs", "evalB"),
+        # train doc leaks evalA's 5-gram TWICE (repeat counts once) and
+        # none of evalB's
+        (10, "x the quick brown fox jumps y the quick brown fox jumps",
+         "web"),
+        # train doc leaks both benchmarks
+        (11, "the quick brown fox jumps pack my box with five dozen",
+         "web"),
+        (12, "completely clean document text here", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["doc_id"], r["eval_source"]): r["n_shared_ngrams"]
+           for r in multi_eval_contamination(
+               docs, ["evalA", "evalB"], n=5).collect()}
+    assert got == {(10, "evalA"): 1, (11, "evalA"): 1, (11, "evalB"): 2}

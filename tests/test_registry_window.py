@@ -36,7 +36,8 @@ def test_window_has_cross_round_anchor_and_nothing_lost():
 #: + strict driver-replica evidence instead, and must sit immediately
 #: after the window so the next round's reorder pulls it in first.
 _DEFERRED_TO_NEXT_WINDOW = ("q140_editdist_neardup", "q142_k_anonymity",
-                            "q143_token_budget_selection")
+                            "q143_token_budget_selection",
+                            "q144_contamination_matrix")
 
 
 def test_every_query_has_a_certification_round():
