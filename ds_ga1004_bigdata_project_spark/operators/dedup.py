@@ -256,7 +256,8 @@ RESOLVE_DRIVER_EDGE_MAX = 100_000
 
 def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                       max_iters: int = 8,
-                      driver_edge_max: int = RESOLVE_DRIVER_EDGE_MAX) -> DataFrame:
+                      driver_edge_max: int = RESOLVE_DRIVER_EDGE_MAX,
+                      nonconverged: str = "warn") -> DataFrame:
     """Turn near-duplicate PAIRS into a per-document keep decision via
     min-label propagation (connected-components-lite).
 
@@ -280,7 +281,21 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
     (typically a few % of the corpus), not |corpus|. Untouched docs are
     stitched back with one final left join. At 100 TB that is the
     difference between iterating over the dedup frontier and re-shuffling
-    the whole corpus every round."""
+    the whole corpus every round.
+
+    ``max_iters`` bounds the distributed loop; on a graph whose diameter
+    exceeds it the labels would still be moving when the loop exhausts —
+    silently returning them would split components. ``nonconverged``
+    picks the policy for that case: ``"warn"`` (default — dedup clusters
+    are small/dense and the seeded init already covers stars, so hitting
+    the bound is an anomaly worth surfacing, not failing a 100 TB job
+    over), ``"raise"`` (strict callers), or ``"iterate"`` (keep batching
+    until ``changed == 0`` — labels strictly decrease and are bounded
+    below by the component minimum, so termination within the true
+    diameter is guaranteed; :func:`~.graph.connected_components`, whose
+    contract is EXACT labels on arbitrary public graphs, uses this). The
+    detection is free: it reuses the batch-convergence count the loop
+    already computes."""
     from pyspark import StorageLevel
 
     # Materialize the (possibly expensive) pair-finding ONCE — the iteration
@@ -345,29 +360,47 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                                 F.coalesce(F.col("nbr_min"), F.col("keep_id")))
                         .alias("keep_id")))
 
+    # Lineage MUST be cut every batch: each propagate() embeds the label
+    # plan twice (join left side + inside neighbor_min), so without
+    # truncation the LOGICAL plan quadruples per batch — exponential
+    # analysis cost that OOMs the driver long before any data moves. The
+    # eager checkpoint doubles as the batch's materializing action.
+    from .relational import lineage_cut
+
     # Seeded initialization over the TOUCHED set only: label(src) =
     # min(src, min(neighbors)) — identity labels + one propagation, one job,
     # and star-shaped clusters (the common case) are already converged.
-    labels = (edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
-              .select(F.col("src").alias("id"),
-                      F.least(F.col("src"), F.col("nbr_min")).alias("keep_id"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = lineage_cut(
+        edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+        .select(F.col("src").alias("id"),
+                F.least(F.col("src"), F.col("nbr_min")).alias("keep_id")))
     steps_done = 1
     try:
-        while steps_done < max_iters:
-            batch = min(2, max_iters - steps_done)
+        changed = None  # None = loop never ran (max_iters <= 1)
+        while steps_done < max_iters or (nonconverged == "iterate"
+                                         and changed not in (None, 0)):
+            batch = (min(2, max_iters - steps_done)
+                     if steps_done < max_iters else 2)
             updated = labels
             for _ in range(batch):
                 updated = propagate(updated)
-            updated = updated.persist(StorageLevel.MEMORY_AND_DISK)
+            updated = lineage_cut(updated)
             changed = (updated.alias("u")
                        .join(labels.alias("l"), "id")
                        .filter(F.col("u.keep_id") != F.col("l.keep_id")).count())
-            labels.unpersist()
             labels = updated
             steps_done += batch
             if changed == 0:
                 break
+        if changed not in (None, 0):
+            msg = (f"resolve_keep_list: labels still changing after "
+                   f"{steps_done} propagation steps (max_iters={max_iters}) "
+                   f"— component labels may be split; raise max_iters or "
+                   f"pass nonconverged='iterate'")
+            if nonconverged == "raise":
+                raise RuntimeError(msg)
+            import warnings
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         # Stitch the untouched majority back in: no edge → keeps itself.
         return (ids.join(labels, "id", "left")
                 .select(F.col("id"),

@@ -63,7 +63,8 @@ def out_degrees(edges: DataFrame, src: str = "src",
 def pagerank(edges: DataFrame, iters: int, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
              weight: str | None = None,
-             caches: list[DataFrame] | None = None) -> DataFrame:
+             caches: list[DataFrame] | None = None,
+             tol: float | None = None) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list → (node, rank).
 
     Init rank = 1.0 per node (the mass-conserving convention: ranks sum
@@ -86,8 +87,21 @@ def pagerank(edges: DataFrame, iters: int, damping: float = 0.85,
     plan degrades gracefully to a co-partitioned shuffle join. The final
     rank state is persisted; its handle appends to ``caches`` under the
     repo's cache-ownership contract (eviction-safe: pure joins/aggs
-    recompute deterministically)."""
-    from .relational import persisted
+    recompute deterministically). When ``caches`` is None the degree
+    table is unpersisted before returning (the returned plan reads only
+    the final rank state, which recomputes deterministically if evicted)
+    — repeated handle-less calls must not accumulate pinned relations.
+
+    ``tol``: convergence-aware early termination. ``iters`` stays the
+    hard cap, but when ``max |rank − prev_rank| < tol`` the loop exits
+    early with the converged state. The check is FREE: the per-iteration
+    cache-materialization action (previously a bare ``count()``) becomes
+    a one-row max-delta aggregate over the state that carries the
+    previous rank alongside the new one — same job count, same shuffle
+    shape, and when the graph converges before ``iters`` the remaining
+    iterations (a full dst-keyed shuffle each) are skipped. ``tol=None``
+    preserves exact fixed-K semantics."""
+    from .relational import lineage_cut, persisted
 
     # The degree table never changes across iterations — persist it (|V|
     # rows; eagerly, serially: left lazy, every iteration's job re-runs
@@ -125,19 +139,43 @@ def pagerank(edges: DataFrame, iters: int, damping: float = 0.85,
         contrib = (edges.join(hint(w), F.col(src) == F.col("_wn"))
                    .groupBy(dst)
                    .agg(F.sum(share).alias("c")))
-        ranks = persisted(
-            nodes.join(hint(contrib),
-                       nodes["node"] == contrib[dst], "left")
-            .select("node",
-                    (F.lit(1.0 - damping)
-                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                     ).alias("rank")))
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
+        new_rank = (F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)))
+        # lineage_cut, not bare persist: the rank state's logical plan
+        # otherwise grows one full iteration deeper per round (persist
+        # caches data but never shrinks the plan), and long runs drown
+        # the driver in plan analysis/printing before any shuffle runs.
+        if tol is None:
+            # Fixed-K path: state is (node, rank); the eager checkpoint
+            # is the materializing action.
+            state = lineage_cut(
+                nodes.join(hint(contrib),
+                           nodes["node"] == contrib[dst], "left")
+                .select("node", new_rank.alias("rank")))
+            delta = None
+        else:
+            # Convergence path: the state carries the previous rank, and
+            # the SAME materializing action returns max |Δrank| — no
+            # extra job relative to the eager cut above.
+            state = lineage_cut(
+                ranks.join(hint(contrib),
+                           ranks["node"] == contrib[dst], "left")
+                .select("node", new_rank.alias("rank"),
+                        F.col("rank").alias("_prev")),
+                eager=False)
+            delta = state.agg(
+                F.max(F.abs(F.col("rank") - F.col("_prev")))).first()[0]
+        prev = state
+        ranks = state.select("node", "rank")
+        if delta is not None and delta < tol:
+            break
     if caches is not None:
-        caches.append(ranks)
+        caches.append(prev if prev is not None else ranks)
+    else:
+        # No cache handle requested: release the pinned degree table now
+        # (the returned plan reads only the final rank state; eviction is
+        # safe — pure joins/aggs recompute deterministically).
+        deg.unpersist()
     return ranks
 
 
@@ -184,13 +222,23 @@ def connected_components(edges: DataFrame, src: str = "src",
     engine: metadata-sized edge lists collapse via a driver union-find on
     one bounded collect, larger ones run frontier-only min-label
     propagation where the iterating relation is |edge endpoints| rows,
-    never the node universe."""
+    never the node universe.
+
+    Unlike the dedup resolver (whose clusters are small and dense by
+    construction), a public graph API sees arbitrary topologies — long
+    chains can exceed ``max_iters`` propagation steps. The contract here
+    is EXACT labels, so the distributed tier runs in ``"iterate"`` mode:
+    ``max_iters`` is the batch-sizing hint, and propagation continues
+    until a full batch changes nothing (labels strictly decrease toward
+    the component minimum, so termination within the true diameter is
+    guaranteed) rather than silently returning split components."""
     from .dedup import resolve_keep_list
 
     nodes = (edges.select(F.col(src).alias("id"))
              .union(edges.select(F.col(dst).alias("id")))
              .distinct())
     pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    out = resolve_keep_list(nodes, pairs, max_iters=max_iters)
+    out = resolve_keep_list(nodes, pairs, max_iters=max_iters,
+                            nonconverged="iterate")
     return out.select(F.col("id").alias("node"),
                       F.col("keep_id").alias("component"))

@@ -175,6 +175,31 @@ def persisted(df: DataFrame):
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize iterative state and CUT its logical lineage.
+
+    ``persist`` caches the physical result but never shrinks the LOGICAL
+    plan — an iterative operator whose update embeds the previous state
+    once grows its plan linearly per step, and one that embeds it twice
+    (e.g. label propagation: join left side + the neighbor aggregate)
+    grows it EXPONENTIALLY; either way the driver eventually spends its
+    heap analyzing/printing plans instead of running them. Checkpointing
+    is the standard fix: the returned DataFrame's plan is a scan of the
+    materialized state, one iteration deep forever.
+
+    Reliable ``checkpoint`` when the session has a checkpoint dir set
+    (cluster runs wanting executor-loss fault-tolerance set one);
+    ``localCheckpoint`` — executor-local MEMORY_AND_DISK blocks,
+    GC-cleaned via the ContextCleaner — otherwise. ``eager=True`` also
+    serves as the iteration's materializing action; ``eager=False``
+    defers to the caller's first action (use when that action is itself
+    needed, e.g. a convergence-delta aggregate)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
                   compare_cols: list[str]) -> DataFrame:
     """CDC-style diff of two table snapshots: one full-outer join on the key

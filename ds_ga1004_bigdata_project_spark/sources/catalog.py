@@ -436,7 +436,15 @@ def incremental_file_batch(spark: SparkSession, data_dir: str,
     micro-batch/auto-loader pipelines track progress).
 
     ``manifest`` is a DataFrame with a ``file_name`` column (or ``None``
-    on the first run). Returns ``(batch_df, new_manifest_rows)``:
+    on the first run); when it also carries ``file_size`` — as the
+    manifest rows this function returns always do — the anti-join keys on
+    (name, size), so a file OVERWRITTEN IN PLACE with different-sized
+    contents re-enters the batch instead of being skipped forever. A
+    same-size in-place rewrite is still invisible (names+sizes are what a
+    bare FS listing offers); producers that rewrite files in place should
+    write fresh shard names, the standard immutable-file discipline of
+    every manifest-tracked lake layout. Returns
+    ``(batch_df, new_manifest_rows)``:
     ``batch_df`` scans ONLY the unprocessed files (``None`` when there is
     nothing new — a no-op run), and ``new_manifest_rows`` is the
     (file_name, file_size) relation for the caller to append to its
@@ -457,8 +465,9 @@ def incremental_file_batch(spark: SparkSession, data_dir: str,
         or [("", 0)],
         "file_name string, file_size long").filter(F.col("file_name") != "")
     if manifest is not None:
-        fresh = listing.join(manifest.select("file_name"),
-                             "file_name", "left_anti")
+        keys = (["file_name", "file_size"]
+                if "file_size" in manifest.columns else ["file_name"])
+        fresh = listing.join(manifest.select(*keys), keys, "left_anti")
     else:
         fresh = listing
     names = [r["file_name"] for r in fresh.select("file_name").collect()]

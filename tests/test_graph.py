@@ -177,3 +177,79 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_connected_components_distributed_tier_exceeds_max_iters(spark):
+    """A 40-node chain on the DISTRIBUTED tier (driver_edge_max=0) with a
+    small max_iters: connected_components must keep iterating to exact
+    labels (its 'iterate' contract) instead of returning split components."""
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        resolve_keep_list)
+
+    chain = [(i, i + 1) for i in range(40)]
+    ids = spark.createDataFrame([(i,) for i in range(41)], "id long")
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    got = {r["id"]: r["keep_id"]
+           for r in resolve_keep_list(ids, pairs, max_iters=4,
+                                      driver_edge_max=0,
+                                      nonconverged="iterate").collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_resolve_keep_list_warns_or_raises_on_nonconvergence(spark):
+    import warnings
+
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        resolve_keep_list)
+
+    chain = [(i, i + 1) for i in range(40)]
+    ids = spark.createDataFrame([(i,) for i in range(41)], "id long")
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        resolve_keep_list(ids, pairs, max_iters=4, driver_edge_max=0).collect()
+    assert any("still changing" in str(w.message) for w in caught)
+    with pytest.raises(RuntimeError, match="still changing"):
+        resolve_keep_list(ids, pairs, max_iters=4, driver_edge_max=0,
+                          nonconverged="raise")
+
+
+def test_pagerank_tol_early_exit_matches_fixed_k(spark):
+    """On the symmetric pair the fixed point is exact after one iteration;
+    tol must exit early (identical output, fewer cached states) and a
+    tight-tol run must equal the fixed-K values on a non-trivial graph."""
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    caches: list = []
+    got = _ranks(pagerank(edges, iters=50, tol=1e-9, caches=caches))
+    assert got == {1: 1.0, 2: 1.0}
+    # early exit: 50 iterations would persist 50 states; convergence on a
+    # regular graph is immediate (delta 0 after iteration 1 or 2).
+
+    e = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)] + [(1, 2), (2, 1)]
+    edges2 = spark.createDataFrame(e, "src long, dst long")
+    fixed = _ranks(pagerank(edges2, iters=30))
+    conv = _ranks(pagerank(edges2, iters=30, tol=1e-12))
+    for n in fixed:
+        assert conv[n] == pytest.approx(fixed[n], abs=1e-9)
+
+
+def test_pagerank_unpersists_degree_table_without_cache_handle(spark, monkeypatch):
+    """ADVICE r6: handle-less pagerank calls must not pin the degree
+    table forever — deg (the only bare persist left in the loop) must be
+    unpersisted before return when no caches list is passed."""
+    from ds_ga1004_bigdata_project_spark.operators import relational as R
+
+    real = R.persisted
+    handles: list = []
+
+    def spy(df):
+        out = real(df)
+        handles.append(out)
+        return out
+
+    monkeypatch.setattr(R, "persisted", spy)
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pagerank(edges, iters=2).collect()
+    assert handles, "pagerank no longer persists deg — update this test"
+    for h in handles:
+        assert not h.storageLevel.useMemory and not h.storageLevel.useDisk

@@ -109,3 +109,33 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     # and the session conf is restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           None) in (None, "STATIC", "static")
+
+
+def test_overwritten_file_with_new_size_reenters_batch(spark, tmp_path):
+    """ADVICE r6: a file rewritten in place with different-sized contents
+    must re-enter the batch — the anti-join keys on (name, size) when the
+    manifest carries file_size (as returned manifests always do)."""
+    base = _setup_dir(spark, tmp_path, {"a": (0, 10), "b": (10, 30)})
+    _, manifest = incremental_file_batch(spark, base, None)
+    manifest = manifest.localCheckpoint()
+    # overwrite a.parquet in place with a bigger shard (different size)
+    _write_shard(spark, f"{base}/_stage_a2", 100, 150)
+    import glob
+    import shutil
+
+    [src] = glob.glob(f"{base}/_stage_a2/*.parquet")
+    shutil.copy(src, f"{base}/a.parquet")
+
+    batch, fresh = incremental_file_batch(spark, base, manifest)
+    assert [r["file_name"] for r in fresh.collect()] == ["a.parquet"]
+    assert sorted(r["id"] for r in batch.collect()) == list(range(100, 150))
+
+
+def test_name_only_manifest_still_works(spark, tmp_path):
+    """Backward compat: a caller-built manifest with only file_name keys
+    the anti-join on name alone."""
+    base = _setup_dir(spark, tmp_path, {"a": (0, 10), "b": (10, 30)})
+    name_only = spark.createDataFrame([("a.parquet",)], "file_name string")
+    batch, fresh = incremental_file_batch(spark, base, name_only)
+    assert [r["file_name"] for r in fresh.collect()] == ["b.parquet"]
+    assert batch.count() == 20
