@@ -5,6 +5,17 @@ line: {"metric", "value" (total sec), "unit", "queries" {name: sec}, "sf"}.
 
 Each query is materialized through the noop sink so timing covers the full
 distributed computation but not driver-side row transfer.
+
+The suite runs in JVM CHUNKS (default 4 subprocesses, ~36 queries each,
+override with $SPARK_GRAFT_BENCH_CHUNKS; 0/1 = single in-process JVM).
+Rationale (SCALE.md, VERDICT r6): past ~125 codegen-heavy queries in ONE
+JVM, cumulative state (JIT code-cache pressure, listener/status churn,
+allocator fragmentation) inflates LATE-suite queries 2-18× versus their
+isolated numbers even with ReservedCodeCacheSize=1g — r5 and r6 driver
+benches both carried that noise class (q64/q66/q68/q69/q81). Bounding each
+JVM at ~36 queries keeps every per-query number attributable to its plan.
+Each chunk pays one JVM start (~8 s) and one q01 warm-up — a fixed, visible
+cost instead of a stochastic per-query one.
 """
 
 from __future__ import annotations
@@ -12,18 +23,18 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
+def run_queries(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
+    """Time the named queries in THIS process's JVM (bench methodology:
+    warm q01 first, clearCache between queries, periodic GC)."""
     from ds_ga1004_bigdata_project_spark.queries import REGISTRY
     from ds_ga1004_bigdata_project_spark.session import get_local_session
 
@@ -36,7 +47,7 @@ def main() -> None:
         .mode("overwrite").save()
 
     times: dict[str, float] = {}
-    for i, (name, q) in enumerate(sorted(REGISTRY.items())):
+    for i, name in enumerate(names):
         # Operator-internal persists (dedup shingle sets, CC labels, sweep
         # inputs) outlive their query; drop them so no query pays its
         # neighbors' cache memory, and no query reuses a neighbor's cache.
@@ -48,11 +59,74 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
-            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            REGISTRY[name].build(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep the bench line emitting even on a bad query
             times[name] = -1.0
             print(f"bench error {name}: {exc}", file=sys.stderr)
+    spark.stop()
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
+
+    # Subprocess mode: time the listed queries, dump the dict, exit.
+    if len(sys.argv) > 2 and sys.argv[1] == "--partial":
+        out_path, names = sys.argv[2], sys.argv[3:]
+        times = run_queries(names, sf_dir, cpus)
+        with open(out_path, "w") as fh:
+            json.dump(times, fh)
+        return
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+
+    names = sorted(REGISTRY)
+    n_chunks = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4") or 0)
+    times: dict[str, float] = {}
+    if n_chunks <= 1:
+        times = run_queries(names, sf_dir, cpus)
+    else:
+        step = -(-len(names) // n_chunks)  # ceil division
+        for lo in range(0, len(names), step):
+            chunk = names[lo:lo + step]
+            with tempfile.NamedTemporaryFile(mode="r", suffix=".json",
+                                             delete=False) as tf:
+                out_path = tf.name
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--partial", out_path, *chunk],
+                    stdout=sys.stderr, stderr=sys.stderr, cwd=REPO)
+                with open(out_path) as fh:
+                    part = json.load(fh)
+                if proc.returncode != 0:
+                    raise RuntimeError(f"chunk exit {proc.returncode}")
+            except Exception as exc:
+                # A dead/incomplete chunk must not lose the suite: rerun the
+                # missing queries in THIS process (one shared JVM — noisier,
+                # but every query gets a number).
+                print(f"bench chunk fallback ({exc})", file=sys.stderr)
+                part = {}
+                try:
+                    with open(out_path) as fh:
+                        part = json.load(fh)
+                except Exception:
+                    pass
+                missing = [n for n in chunk if n not in part]
+                if missing:
+                    part.update(run_queries(missing, sf_dir, cpus))
+            finally:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
+            times.update(part)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     payload = {
@@ -67,13 +141,11 @@ def main() -> None:
     # per-query dict next to the repo so every round's timings stay
     # recoverable. Stdout stays ONE line for the driver.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench artifact write failed: {exc}", file=sys.stderr)
     print(json.dumps(payload))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -17,9 +17,13 @@ Decode status by modality (VERDICT r5 #4):
 - **image**: REAL decode — :func:`decode_bmp_features` parses genuine
   24-bit uncompressed BMP containers (``struct`` over the BITMAPINFOHEADER,
   row-stride/padding handling). Synth twin + oracle: q110.
-- **video**: still STUBBED (:func:`_decode_payload` behind ``fake=False``) —
-  a real container demuxer genuinely needs ffmpeg/pyav; the deterministic
-  fake keeps the 1→N frame-explode plumbing testable.
+- **video**: REAL container demux — :func:`decode_avi_frames` walks a
+  genuine RIFF/AVI chunk tree (``LIST hdrl`` → ``strf`` BITMAPINFOHEADER,
+  ``LIST movi`` → per-frame ``00db`` DIB chunks, even-byte chunk padding)
+  and explodes each video into per-frame feature rows (the 1→N shape).
+  Uncompressed-DIB AVI is the one video codec decodable with ``struct``
+  alone; COMPRESSED codecs (H.264 etc.) still genuinely need ffmpeg/pyav,
+  which :func:`_decode_payload` keeps env-gated. Synth twin + oracle: q145.
 """
 
 from __future__ import annotations
@@ -286,6 +290,161 @@ def frame_sample_stub(payloads: DataFrame, every_n: int = 30) -> DataFrame:
         "doc_id", "modality",
         F.explode(frames).alias("frame"),
     ).select("doc_id", "modality", "frame.frame_no", "frame.frame_digest")
+
+
+# ---------------------------------------------------------------------------
+# Real VIDEO container demux (VERDICT r6 #6): uncompressed-DIB RIFF/AVI —
+# the same stdlib-parseable RIFF family as the WAV decoder above, with the
+# 1→N frame-explode shape real video pipelines need.
+# ---------------------------------------------------------------------------
+
+#: AVI synth constants — shared with the q145 DuckDB oracle.
+AVI_F_BASE, AVI_F_MOD = 2, 4            # n_frames = (doc_id % 4) + 2
+AVI_W_BASE, AVI_W_MOD = 4, 8            # width    = (n_chars % 8) + 4
+AVI_H_BASE, AVI_H_MOD = 4, 6            # height   = (doc_id % 6) + 4
+AVI_PA, AVI_PB, AVI_PC, AVI_PD = 29, 23, 13, 7  # v = (id·A+f·B+y·C+x·D) % 256
+AVI_FPS = 10
+
+AVI_FRAME_SCHEMA = ("doc_id bigint, frame_no int, width int, height int, "
+                    "mean_pixel double")
+
+
+def synthesize_avi_payload(documents: DataFrame, id_col: str = "doc_id",
+                           len_col: str = "n_chars") -> DataFrame:
+    """(doc_id, content) where ``content`` is a GENUINE RIFF/AVI container:
+    ``LIST hdrl`` (avih main header + ``LIST strl`` with a 'vids'/'DIB '
+    stream header and BITMAPINFOHEADER format block) followed by
+    ``LIST movi`` holding one uncompressed bottom-up 24-bit DIB chunk
+    (``00db``) per frame. Grayscale pixels follow a pure-integer formula of
+    (doc_id, frame, x, y) so decoded per-frame means are oracle-checkable.
+    Any AVI-aware tool can demux these bytes."""
+    def batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def frame_bytes(doc_id: int, f: int, w: int, h: int) -> bytes:
+            stride = (w * 3 + 3) & ~3
+            rows = bytearray()
+            for y in range(h):          # bottom-up row order, like BMP
+                for x in range(w):
+                    v = (doc_id * AVI_PA + f * AVI_PB
+                         + y * AVI_PC + x * AVI_PD) % 256
+                    rows += bytes((v, v, v))
+                rows += b"\x00" * (stride - w * 3)
+            return bytes(rows)
+
+        def chunk(fourcc: bytes, payload: bytes) -> bytes:
+            pad = b"\x00" if len(payload) & 1 else b""  # RIFF even padding
+            return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+        def lst(list_type: bytes, payload: bytes) -> bytes:
+            return chunk(b"LIST", list_type + payload)
+
+        for pdf in it:
+            payloads = []
+            for doc_id, n_chars in zip(pdf[id_col], pdf[len_col]):
+                did = int(doc_id)
+                nf = did % AVI_F_MOD + AVI_F_BASE
+                w = int(n_chars) % AVI_W_MOD + AVI_W_BASE
+                h = did % AVI_H_MOD + AVI_H_BASE
+                fsize = ((w * 3 + 3) & ~3) * h
+                avih = struct.pack(
+                    "<IIIIIIIIII4I",
+                    1_000_000 // AVI_FPS, fsize * AVI_FPS, 0, 0, nf, 0,
+                    1, fsize, w, h, 0, 0, 0, 0)
+                strh = struct.pack(
+                    "<4s4sIHHIIIIIIIIhhhh",
+                    b"vids", b"DIB ", 0, 0, 0, 0, 1, AVI_FPS, 0, nf,
+                    fsize, 0, 0, 0, 0, w, h)
+                strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                   fsize, 2835, 2835, 0, 0)
+                hdrl = lst(b"hdrl",
+                           chunk(b"avih", avih)
+                           + lst(b"strl", chunk(b"strh", strh)
+                                 + chunk(b"strf", strf)))
+                movi = lst(b"movi", b"".join(
+                    chunk(b"00db", frame_bytes(did, f, w, h))
+                    for f in range(nf)))
+                payloads.append(chunk(b"RIFF", b"AVI " + hdrl + movi))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "content": payloads})
+
+    return documents.select(id_col, len_col).mapInPandas(
+        batches, schema="doc_id bigint, content binary")
+
+
+def decode_avi_frames(payloads: DataFrame) -> DataFrame:
+    """REAL video demux: walk the RIFF chunk tree of each AVI payload —
+    magic, ``LIST hdrl`` → ``strf`` BITMAPINFOHEADER (authoritative dims),
+    ``LIST movi`` → every ``00db``/``00dc`` frame chunk in stream order,
+    honoring RIFF's even-byte chunk padding — decode each uncompressed
+    bottom-up DIB frame, and emit ONE ROW PER FRAME:
+
+        (doc_id, frame_no, width, height, mean_pixel)
+
+    This is the 1→N frame-explode shape of real video pipelines
+    (frame-sample → per-frame embed/filter), running as Arrow-batched
+    mapInPandas with zero shuffle; ``mean_pixel`` divides an exact integer
+    byte-sum once (round 6) so a SQL oracle reproduces it bit-for-bit."""
+    def batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def subchunks(b: bytes, lo: int, hi: int):
+            o = lo
+            while o + 8 <= hi:
+                fourcc = b[o:o + 4]
+                sz = struct.unpack_from("<I", b, o + 4)[0]
+                yield fourcc, o + 8, sz
+                o += 8 + sz + (sz & 1)   # even-byte padding
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "frame_no", "width", "height", "mean_pixel")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(blob)
+                assert b[:4] == b"RIFF" and b[8:12] == b"AVI ", \
+                    "not an AVI container"
+                w = h = None
+                frames: list[tuple[int, int]] = []
+                for fourcc, off, sz in subchunks(b, 12, len(b)):
+                    if fourcc != b"LIST":
+                        continue
+                    list_type = b[off:off + 4]
+                    if list_type == b"hdrl":
+                        for fcc2, off2, sz2 in subchunks(b, off + 4, off + sz):
+                            if fcc2 == b"LIST" and \
+                                    b[off2:off2 + 4] == b"strl":
+                                for fcc3, off3, sz3 in subchunks(
+                                        b, off2 + 4, off2 + sz2):
+                                    if fcc3 == b"strf":
+                                        w, h = struct.unpack_from(
+                                            "<ii", b, off3 + 4)
+                                        bpp = struct.unpack_from(
+                                            "<H", b, off3 + 14)[0]
+                                        assert bpp == 24 and h > 0, \
+                                            "synth contract: 24-bit bottom-up"
+                    elif list_type == b"movi":
+                        frames += [(o2, s2) for fcc2, o2, s2
+                                   in subchunks(b, off + 4, off + sz)
+                                   if fcc2 in (b"00db", b"00dc")]
+                assert w is not None, "AVI without a strf format block"
+                stride = (w * 3 + 3) & ~3
+                for fno, (off, sz) in enumerate(frames):
+                    assert sz == stride * h, "frame size != DIB dims"
+                    total = 0
+                    for y in range(h):
+                        row = b[off + y * stride: off + y * stride + w * 3]
+                        total += sum(row)   # exact int over channel bytes
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(fno)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_pixel"].append(round(total / (w * h * 3), 6))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(batches, schema=AVI_FRAME_SCHEMA)
 
 
 #: Spectral synth constants (q123): 512-sample sinusoids at EXACT FFT bins —

@@ -111,3 +111,47 @@ def test_spectral_decode_finds_the_planted_bin(spark):
         41: (MM.WAV_SAMPLE_RATE, MM.SPECTRAL_N, 46),
         217: (MM.WAV_SAMPLE_RATE, MM.SPECTRAL_N, 22),  # 217 % 200 + 5
     }
+
+
+def test_avi_roundtrip_demuxes_real_container(spark):
+    """The synth writes a genuine RIFF/AVI (hdrl headers + movi DIB chunks,
+    even-byte RIFF padding) and the demuxer chunk-walks it back into one
+    row per frame; per-frame means verified by hand."""
+    docs = spark.createDataFrame([(7, 13)], "doc_id long, n_chars int")
+    avis = MM.synthesize_avi_payload(docs)
+    blob = bytes(avis.first()["content"])
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    assert b"avih" in blob and b"strf" in blob and b"00db" in blob
+
+    nf = 7 % MM.AVI_F_MOD + MM.AVI_F_BASE    # 5
+    w = 13 % MM.AVI_W_MOD + MM.AVI_W_BASE    # 9 (stride 27 -> padded 28)
+    h = 7 % MM.AVI_H_MOD + MM.AVI_H_BASE     # 5
+    rows = MM.decode_avi_frames(avis).orderBy("frame_no").collect()
+    assert [r["frame_no"] for r in rows] == list(range(nf))
+    for r in rows:
+        assert (r["width"], r["height"]) == (w, h)
+        vals = [(7 * MM.AVI_PA + r["frame_no"] * MM.AVI_PB
+                 + y * MM.AVI_PC + x * MM.AVI_PD) % 256
+                for y in range(h) for x in range(w)]
+        assert r["mean_pixel"] == round(sum(vals) / len(vals), 6)
+
+
+def test_avi_demux_skips_foreign_chunks(spark):
+    """A demuxer must WALK the chunk tree, not assume fixed offsets: an AVI
+    with an extra vendor chunk ('JUNK') before the movi list still decodes."""
+    import struct
+
+    docs = spark.createDataFrame([(2, 8)], "doc_id long, n_chars int")
+    avis = MM.synthesize_avi_payload(docs)
+    blob = bytes(avis.first()["content"])
+    movi_at = blob.index(b"LIST", 12)
+    # find the movi LIST specifically
+    while blob[movi_at + 8:movi_at + 12] != b"movi":
+        movi_at = blob.index(b"LIST", movi_at + 4)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"vendor"
+    patched = blob[:movi_at] + junk + blob[movi_at:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    pdf = spark.createDataFrame([(2, bytearray(patched))],
+                                "doc_id long, content binary")
+    rows = MM.decode_avi_frames(pdf).collect()
+    assert len(rows) == 2 % MM.AVI_F_MOD + MM.AVI_F_BASE
