@@ -114,20 +114,30 @@ def param_grid(ranks=(10,), regs=(0.05,), alphas=(10.0,),
             for r, g, a in itertools.product(ranks, regs, alphas)]
 
 
-def sweep(interactions: DataFrame, grid: list[ALSConfig], k: int = 10):
+def sweep(interactions: DataFrame, grid: list[ALSConfig], k: int = 10,
+          eval_interactions: DataFrame | None = None):
     """Hyperparameter sweep driver (M7, ``param_train_2nd.py:43-85``) with the
     input persisted ONCE across iterations — the optimization the reference
-    left commented out."""
+    left commented out.
+
+    ``eval_interactions``: held-out split to score against (the reference
+    fits on train and builds truth lists from val,
+    ``param_train_2nd.py:38-40``); default None evaluates on the training
+    interactions themselves (recall-style sanity sweep)."""
     cached = persisted(interactions)
+    ev = (persisted(eval_interactions)
+          if eval_interactions is not None else cached)
     try:
         results = []
         for cfg in grid:
             model = train_als(cached, cfg)
-            row = evaluate_model(model, cached, k).collect()[0]
+            row = evaluate_model(model, ev, k).collect()[0]
             results.append((cfg, row.asDict()))
         return results
     finally:
         cached.unpersist()
+        if ev is not cached:
+            ev.unpersist()
 
 
 #: Schema of the sweep-results relation (one row per grid cell).

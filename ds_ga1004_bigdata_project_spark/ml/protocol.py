@@ -47,6 +47,48 @@ def make_splits(interactions: DataFrame, user_col: str = "user_id",
     return Splits(train=train, validation=val, test=test)
 
 
+def holdout_splits(interactions: DataFrame, user_col: str = "user_id",
+                   item_col: str = "item_id", val_frac: float = 0.1,
+                   test_frac: float = 0.1,
+                   seed: int = DEFAULT_SEED) -> Splits:
+    """The MSD evaluation split EXACTLY as the reference consumed it
+    (FIXTURES.md F1; report p.1 §2.1): val/test user sets disjoint, and
+    train carries a PARTIAL history of every val/test user (so the fitted
+    model has factors for them — the property :func:`make_splits`' clean
+    user-level exclusion deliberately lacks) plus the full history of
+    everyone else; each eval user's remaining interactions are the ground
+    truth their recommendations are scored against.
+
+    The within-user half split ranks each eval user's items by a seeded
+    hash (ONE hash-partitioned window per user — no global sort; skew
+    bounded by the largest single user, same plan shape as
+    :func:`temporal_leave_last_out`): even ranks → train, odd → holdout.
+    Fully deterministic in (seed, data); users with a single interaction
+    keep it in train and drop out of evaluation rather than entering the
+    model unseen."""
+    from pyspark.sql import Window
+
+    users = interactions.select(user_col).distinct()
+    val_users = users.sample(False, val_frac, seed)
+    rest = anti_join(users, val_users, user_col)
+    test_users = rest.sample(False, test_frac / max(1 - val_frac, 1e-9),
+                             seed + 1)
+    eval_users = val_users.unionByName(test_users).distinct()
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.xxhash64(F.col(item_col), F.lit(seed)))
+    tagged = interactions.withColumn("_half", F.row_number().over(w) % 2)
+    val_all = semi_join(tagged, val_users, user_col)
+    test_all = semi_join(tagged, test_users, user_col)
+    others = anti_join(interactions, eval_users, user_col)
+    train = (others
+             .unionByName(val_all.filter(F.col("_half") == 0).drop("_half"))
+             .unionByName(test_all.filter(F.col("_half") == 0).drop("_half")))
+    val = val_all.filter(F.col("_half") == 1).drop("_half")
+    test = test_all.filter(F.col("_half") == 1).drop("_half")
+    return Splits(train=train, validation=val, test=test)
+
+
 def temporal_leave_last_out(interactions: DataFrame,
                             user_col: str = "user_id",
                             ts_col: str = "ts",

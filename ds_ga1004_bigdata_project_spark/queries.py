@@ -4595,53 +4595,27 @@ _R02_CERTIFIED: tuple[str, ...] = (
 )
 
 
-#: Queries whose code path changed since their last driver certification.
-#: Round 6: q57 rides the single-pass SQL-fold simhash rewrite; q64 rides
-#: the dedup driver-tier undirected-edge-count dispatch fix; the streaming
-#: five ride ``read_event_stream_auto``'s scoped nanosAsLong conf handling;
-#: q109-q124 are the round's first wave of new queries and q125-q139 the
-#: second (bloom joins, k-means, quality gate, CMS, correlated subquery,
-#: curriculum, SemDeDup, RANGE window, SCD2, funnel, retention, basket
-#: pairs, point-in-time join). With the ten r2-vintage refreshes and the
-#: q01 anchor this fills the 50-slot window EXACTLY — a further new query
-#: evicts a vintage refresh (check ``list(REGISTRY)[45:52]`` first).
-#: The third wave (q140-q143) had exactly ONE spare slot left: it goes
-#: to q141 (iterative float PageRank — the riskiest certification, so
-#: the driver sees it this round); q140/q142/q143 sit at positions
-#: 50-52, first out, each with tri-SF oracle-parity pytest + strict
-#: driver-replica evidence this round (the test_registry_window
-#: _DEFERRED_TO_NEXT_WINDOW list pins exactly this), and they lead the
-#: r7 window. Evicting vintage refreshes for them would leave r2-vintage
-#: certificates behind (VERDICT r5 #2's explicit bar).
-_CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
-    "q57_simhash_groups", "q64_neardup_corpus",
-    "q62_streaming_hourly", "q80_sliding_stream",
-    "q63_stateful_stream", "q81_stream_static_join",
-    "q103_stream_stream_join",
-    "q109_wav_features", "q110_bmp_features",
-    "q111_distinct_sketch_rollup", "q112_sequence_packing",
-    "q113_weighted_sample", "q114_incremental_dedup",
-    "q115_leave_last_out", "q116_pack_slices", "q117_quantized_topk",
-    "q118_negative_sample", "q119_salted_join", "q120_resample_ffill",
-    "q121_approx_percentiles", "q122_rolling_features",
-    "q123_wav_spectral", "q124_session_sequences",
-    "q125_bloom_semi_join", "q126_kmeans_assign", "q127_kmeans_lloyd",
-    "q128_quality_gate", "q129_heavy_hitters_cms",
-    "q130_correlated_subquery", "q131_curriculum_phases",
-    "q132_semantic_neardup", "q133_time_range_window",
-    "q134_bloom_decontaminate", "q135_scd2_history",
-    "q136_funnel", "q137_cohort_retention", "q138_copurchase_pairs",
-    "q139_point_in_time_join", "q141_interaction_pagerank",
+#: Queries with NO driver row in any CORRECTNESS_r*.json — the very
+#: front of the window, ahead even of changed-code refreshes (VERDICT r6
+#: #1). Round 7: the four r6-deferred queries (each carrying tri-SF
+#: oracle-parity pytest + the judge's independent 4/4 strict-replica run)
+#: plus q145, this round's new real RIFF/AVI demux.
+_NEVER_CERTIFIED: tuple[str, ...] = (
+    "q140_editdist_neardup", "q142_k_anonymity",
+    "q143_token_budget_selection", "q144_contamination_matrix",
+    "q145_avi_frames",
 )
 
-#: The ten queries whose NEWEST green driver row is still round-2 vintage
-#: (VERDICT r5 #2) — they lead the staleness-refresh middle tier so the r6
-#: window retires the oldest certification debt first.
-_R02_VINTAGE: tuple[str, ...] = (
-    "q30_dedup_exact", "q31_dedup_fingerprint", "q33_lang_id",
-    "q34_text_quality", "q35_token_stats", "q37_topn_other",
-    "q40_ann_cosine_topk", "q48_merge_upsert", "q50_string_index_sql",
-    "q51_interactions_table",
+#: Queries whose code path changed since their last driver certification.
+#: Round 7: q56/q64 ride the banded-MinHash rewrite (struct hashing, fused
+#: fold, bucket-group pair expansion) plus the resolve_keep_list
+#: convergence/lineage fixes; q141 rides pagerank's delta-based early exit
+#: + unpersist hygiene; q114 rides incremental_file_batch's (name, size)
+#: anti-join key. Multimodal's AVI demux is purely additive — q109/q110/
+#: q123's decode paths are byte-identical to their r6-certified code.
+_CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
+    "q56_minhash_pairs", "q64_neardup_corpus",
+    "q114_incremental_dedup", "q141_interaction_pagerank",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.
@@ -4675,23 +4649,25 @@ def _latest_certification_rounds() -> dict[str, int]:
 
 
 def _reorder_for_certification_window() -> None:
-    """Front: changed-since-certified + anchor. Middle: stalest rows
-    first — the r2-vintage ten lead, then everything else ordered by its
-    NEWEST driver-certification round ascending (read from the
+    """Front: never-certified, then changed-since-certified, then the
+    anchor. Middle: stalest certificates first — everything else ordered
+    by its NEWEST driver-certification round ascending (read from the
     CORRECTNESS_r*.json artifacts; registration order is the tiebreak and
     the fallback when artifacts are unavailable). The driver reads the
-    first 50, so refresh slots always go to the oldest certificates."""
+    first 50, so refresh slots always go to the oldest certificates —
+    round 7's 40 free slots absorb the full r3-vintage tier (VERDICT r6
+    #4) with room left for the oldest r4 rows."""
     global REGISTRY
-    front = [n for n in _CHANGED_SINCE_CERTIFIED if n in REGISTRY]
+    front = [n for n in _NEVER_CERTIFIED if n in REGISTRY]
+    front += [n for n in _CHANGED_SINCE_CERTIFIED
+              if n in REGISTRY and n not in front]
     front.append(_ANCHOR)
     seen = set(front)
-    vintage = [n for n in _R02_VINTAGE if n not in seen]
-    seen |= set(vintage)
     latest = _latest_certification_rounds()
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
     rest = sorted((n for n in REGISTRY if n not in seen),
                   key=lambda n: (latest.get(n, 2), reg_pos[n]))
-    ordered = front + vintage + rest
+    ordered = front + rest
     assert sorted(ordered) == sorted(REGISTRY), "registry reorder lost entries"
     REGISTRY = {n: REGISTRY[n] for n in ordered}
 

@@ -4,21 +4,27 @@ The driver certifies only the FIRST 50 entries of ``queries()``. Round 2
 certified the original first 50 (CORRECTNESS_r02.json); round 3 rotated the
 never-checked queries in (r02 ∪ r03 covers everything). From round 4 the
 policy is changed-since-certified first: every query this round touched must
-lead the window, ahead of staleness refreshes. This pins that policy so a
-later refactor can't silently ship changed code outside certification."""
+lead the window, ahead of staleness refreshes. From round 7 the
+never-certified tier leads even the changed tier (VERDICT r6 #1 made the
+four r6-deferred queries the round's top directive). This pins that policy
+so a later refactor can't silently ship changed code outside certification.
+"""
 
 from __future__ import annotations
 
 from ds_ga1004_bigdata_project_spark.queries import (
-    _ANCHOR, _CHANGED_SINCE_CERTIFIED, _R02_CERTIFIED, REGISTRY)
+    _ANCHOR, _CHANGED_SINCE_CERTIFIED, _NEVER_CERTIFIED, _R02_CERTIFIED,
+    REGISTRY)
 
 
-def test_changed_queries_lead_the_window():
+def test_never_certified_then_changed_lead_the_window():
     names = list(REGISTRY)
     window = names[:50]
-    n = len(_CHANGED_SINCE_CERTIFIED)
-    assert list(_CHANGED_SINCE_CERTIFIED) == window[:n], \
-        "changed-since-certified queries must occupy the front of the window"
+    front = list(_NEVER_CERTIFIED) + [
+        n for n in _CHANGED_SINCE_CERTIFIED if n not in _NEVER_CERTIFIED]
+    n = len(front)
+    assert front == window[:n], \
+        "never-certified + changed queries must occupy the front of the window"
     assert window[n] == _ANCHOR
 
 
@@ -28,24 +34,37 @@ def test_window_has_cross_round_anchor_and_nothing_lost():
     assert len(names) == len(set(names))
     assert set(_R02_CERTIFIED) <= set(names)
     assert set(_CHANGED_SINCE_CERTIFIED) <= set(names)
+    assert set(_NEVER_CERTIFIED) <= set(names)
 
 
-#: Queries WITHOUT a past driver row that this round's full window could
-#: not admit (the front + ten vintage refreshes + anchor left one spare
-#: slot, taken by the riskier q141). Each must carry tri-SF oracle-parity
-#: + strict driver-replica evidence instead, and must sit immediately
-#: after the window so the next round's reorder pulls it in first.
-_DEFERRED_TO_NEXT_WINDOW = ("q140_editdist_neardup", "q142_k_anonymity",
-                            "q143_token_budget_selection",
-                            "q144_contamination_matrix")
+def test_never_certified_tier_is_exact_and_oracle_backed():
+    # The static front tier must agree with the artifacts on disk: a query
+    # is in _NEVER_CERTIFIED iff no CORRECTNESS_r*.json has a row for it.
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever_certified = set(_R02_CERTIFIED)
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            ever_certified |= set(json.load(fh))
+    actual_never = {n for n in REGISTRY if n not in ever_certified}
+    assert actual_never == set(_NEVER_CERTIFIED), (
+        "artifact-derived never-certified set drifted from the static tier: "
+        f"missing={actual_never - set(_NEVER_CERTIFIED)}, "
+        f"stale={set(_NEVER_CERTIFIED) - actual_never}")
+    for name in _NEVER_CERTIFIED:
+        assert REGISTRY[name].oracle is not None, \
+            f"{name} enters the window uncertified — it must be oracle-backed"
 
 
 def test_every_query_has_a_certification_round():
     # The union of every driver correctness round certified every existing
-    # query (oracle AND rows-only); anything newer must be in the
-    # changed-since-certified front (and therefore inside this window) — no
-    # query ever exists without a certification round, past or scheduled —
-    # except the explicitly documented deferred list above.
+    # query (oracle AND rows-only); anything newer must be in the window —
+    # no query ever exists without a certification round, past or
+    # scheduled. (Round 7 has no deferred tier: the five uncertified
+    # queries all fit inside the 50-slot window.)
     import glob
     import json
     import os
@@ -58,16 +77,25 @@ def test_every_query_has_a_certification_round():
         with open(path) as fh:
             ever_certified |= set(json.load(fh))
     for name in names:
-        if name in _DEFERRED_TO_NEXT_WINDOW:
-            continue
         assert name in ever_certified or name in window, \
             f"{name} has no past certification and is outside the window"
 
 
-def test_deferred_queries_are_first_in_line_and_oracle_backed():
+def test_refresh_slots_go_to_stalest_certificates():
+    # Middle tier: after the front + anchor, every in-window refresh slot
+    # must hold a certificate at least as stale as anything outside the
+    # window (VERDICT r6 #4's rotation discipline, now artifact-driven).
+    from ds_ga1004_bigdata_project_spark.queries import (
+        _latest_certification_rounds)
+
+    latest = _latest_certification_rounds()
+    if not latest:  # artifacts unavailable — static fallback, nothing to pin
+        return
     names = list(REGISTRY)
-    for i, name in enumerate(_DEFERRED_TO_NEXT_WINDOW):
-        assert names[50 + i] == name, \
-            f"{name} must sit immediately after the window (got {names[50 + i]})"
-        assert REGISTRY[name].oracle is not None, \
-            f"{name} defers its driver row — it must at least be oracle-backed"
+    front = set(_NEVER_CERTIFIED) | set(_CHANGED_SINCE_CERTIFIED) | {_ANCHOR}
+    mid = [n for n in names[:50] if n not in front]
+    out = [n for n in names[50:] if n not in front]
+    if mid and out:
+        assert max(latest.get(n, 2) for n in mid) <= \
+            min(latest.get(n, 2) for n in out), \
+            "a staler certificate sits outside the window than inside it"
