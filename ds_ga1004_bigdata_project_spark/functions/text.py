@@ -368,3 +368,54 @@ def sequence_pack_slices(df, seq_len: int, id_col: str = "doc_id",
         "pack_id", "doc_id",
         sl_start.cast("long").alias("slice_start"),
         (sl_end - sl_start).cast("long").alias("slice_len"))
+
+
+def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
+                  k: float = 0.5, scale: int = 4):
+    """Corpus-trained bigram-LM negative log-likelihood per document — the
+    perplexity-style quality filter of CCNet/Gopher-class pipelines (score
+    each document against a language model of the corpus itself; the most
+    "surprising" documents are boilerplate, encoding noise, or off-domain).
+
+    Two passes, both linear: (1) train — explode bigrams once, aggregate
+    (w1, w2) and w1 counts (map-side-combined shuffles on token keys) and
+    the corpus vocabulary size; (2) score — join each document's bigrams
+    back to the model on its natural keys and average the add-k-smoothed
+    conditional log-probabilities per document.
+
+    Cross-engine determinism: each bigram's ``ln((c2+k)/(c1+k·V))`` is
+    rounded to ``scale`` decimals FIRST and summed as an exact DECIMAL —
+    the sum is associative integer math, so Spark's arbitrary aggregation
+    order and an ORDER-BY oracle agree bit-for-bit (the same discipline as
+    ``operators.aggregates.exact_sum``).
+
+    Returns (id_col, n_bigrams, mean_nll): one row per document with at
+    least one bigram; higher mean_nll = less corpus-typical."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    pairs = F.when(
+        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.slice(
+            F.arrays_zip(toks.alias("w1"),
+                         F.slice(toks, 2, 1 << 30).alias("w2")),
+            1, F.size(toks) - 1))
+    bi = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2")))
+
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (df.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("v")))
+
+    lp = (bi.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                id_col,
+                F.round(F.log((F.col("c2") + F.lit(k))
+                              / (F.col("c1") + F.lit(k) * F.col("v"))),
+                        scale).cast(f"decimal(18,{scale})").alias("lp")))
+    return (lp.groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.round(-F.sum("lp").cast("double")
+                           / F.count("*"), scale).alias("mean_nll")))

@@ -692,3 +692,71 @@ def multi_eval_contamination(docs: DataFrame, eval_sources: list[str],
             .join(F.broadcast(eval_ng), "ng")
             .groupBy(id_col, "eval_source")
             .agg(F.countDistinct("ng").alias("n_shared_ngrams")))
+
+
+def cdc_chunks(df: DataFrame, window: int = 3, text_col: str = "text",
+               id_col: str = "doc_id", nibble: str = "0") -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync family): split each document
+    at ROLLING-HASH cut points instead of fixed offsets, so an insertion
+    or deletion only perturbs the chunks adjacent to the edit — every
+    chunk outside the edit window keeps its exact fingerprint, which is
+    what makes chunk-level dedup robust to partial overlap (fixed-size
+    chunking loses alignment after the first edit).
+
+    Cut rule: a boundary falls after token ``j`` when the md5 of the
+    ``window``-token shingle ENDING at ``j`` starts with ``nibble``
+    (p = 1/16 per position → expected chunk ≈ 16 + window tokens).
+
+    Plan shape: token rows (posexplode) → lag-window cut flags → running
+    chunk ids → ordered reassembly, ALL whole-stage-codegen JVM work
+    hash-partitioned by document (no global sort; skew bounded by the
+    longest single document — the q124 sessionization shape). The
+    tempting zero-shuffle array-land form (shingle array + filter +
+    slice-per-chunk in one projection) is 5-70× SLOWER here: Catalyst
+    re-inlines the arrays into each higher-order-function lambda, so the
+    shingle/bounds arrays are rebuilt per ELEMENT — O(n²) interpreted
+    work per document (measured 457 s vs 6.8 s at sf0.1; SCALE.md).
+
+    Returns (id_col, chunk_no, chunk_text, fp): every chunk of every
+    document, fingerprinted."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import ws_tokens
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    # Token at 0-based ``pos`` starts a new chunk iff the shingle ending
+    # at pos-1 (its ``window`` lagged predecessors) carries the marker.
+    lags = [F.lag("tok", window - j).over(w) for j in range(window)]
+    starts = F.when(
+        (F.col("pos") >= window)
+        & (F.substring(F.md5(F.concat_ws(" ", *lags)), 1, 1) == nibble),
+        1).otherwise(0)
+    chunked = tok.withColumn(
+        "chunk_no", F.sum(starts).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    chunks = (chunked.groupBy(id_col, "chunk_no")
+              .agg(F.concat_ws(" ", F.transform(
+                   F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                   lambda s: s.tok)).alias("chunk_text")))
+    return (chunks.filter(F.col("chunk_text") != "")
+                  .withColumn("fp", F.md5(F.col("chunk_text"))))
+
+
+def cdc_duplicate_chunks(df: DataFrame, window: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         top_n: int = 25) -> DataFrame:
+    """Chunk-level duplication report over :func:`cdc_chunks`: fingerprints
+    appearing more than once (copies within OR across documents), heaviest
+    first. ONE shuffle (groupBy fp) after the map-only chunking pass —
+    the aggregation keys are content hashes, so the shuffle is uniform by
+    construction (no hot keys beyond genuinely viral chunks)."""
+    ch = cdc_chunks(df, window=window, text_col=text_col, id_col=id_col)
+    return (ch.groupBy("fp")
+              .agg(F.count("*").alias("n_copies"),
+                   F.countDistinct(id_col).alias("n_docs"),
+                   F.min(id_col).alias("first_doc"))
+              .filter(F.col("n_copies") > 1)
+              .orderBy(F.desc("n_copies"), "fp")
+              .limit(top_n))

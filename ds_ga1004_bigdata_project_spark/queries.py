@@ -4559,6 +4559,108 @@ def q145_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_avi_frames(avis)
 
 
+@_register(
+    "q146_bigram_lm_nll",
+    survey="perplexity-style quality filtering (corpus bigram LM, add-k smoothing — CCNet/Gopher-class LLM-pipeline op)",
+    oracle="""
+        -- Per-bigram log-probs rounded THEN decimal-summed: associative
+        -- integer math, so aggregation order can't drift the hash.
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), bi AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM toks)
+        ), c2 AS (
+          SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+        ), v AS (
+          SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(w) AS t FROM toks)
+        ), sc AS (
+          SELECT b.doc_id,
+                 CAST(round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 4)
+                      AS DECIMAL(18,4)) AS lp
+          FROM bi b
+          JOIN c2 USING (w1, w2)
+          JOIN c1 USING (w1)
+          CROSS JOIN v
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_nll
+        FROM sc GROUP BY doc_id
+        ORDER BY mean_nll DESC, doc_id ASC
+        LIMIT 25
+    """,
+)
+def q146_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: train a bigram LM on the corpus
+    itself, score every document's mean negative log-likelihood, surface
+    the 25 least corpus-typical documents (the CCNet/Gopher filtering
+    signal). Two linear passes — model aggregation on token keys, then a
+    score join on the same keys (:func:`text.bigram_lm_nll`); the vocab
+    scalar rides a broadcast. Beyond-reference LLM-pipeline operator."""
+    cat = Catalog(spark, sf_dir)
+    out = T.bigram_lm_nll(cat.documents)
+    return (out.orderBy(F.desc("mean_nll"), F.asc("doc_id")).limit(25)
+               .select("doc_id", "n_bigrams", "mean_nll"))
+
+
+@_register(
+    "q147_cdc_chunk_dedup",
+    survey="content-defined chunking dedup (rolling-hash cut points, insertion-robust partial-overlap detection — FastCDC/rsync family)",
+    oracle="""
+        -- Same cut rule: boundary after token j when md5 of the 3-token
+        -- shingle ending at j starts with '0'; chunk fingerprints are
+        -- md5 of space-joined tokens. Exact integers + strings only.
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          FROM toks
+        ), flags AS (
+          SELECT doc_id, i, w[i] AS tok,
+                 CASE WHEN i >= 4 AND substr(md5(w[i-3] || ' ' || w[i-2]
+                        || ' ' || w[i-1]), 1, 1) = '0'
+                      THEN 1 ELSE 0 END AS starts_new
+          FROM pos
+        ), chunked AS (
+          SELECT doc_id, i, tok,
+                 sum(starts_new) OVER (PARTITION BY doc_id ORDER BY i)
+                   AS chunk_id
+          FROM flags
+        ), chunks AS (
+          SELECT doc_id, chunk_id,
+                 md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+          FROM chunked
+          GROUP BY doc_id, chunk_id
+          HAVING string_agg(tok, ' ' ORDER BY i) <> ''
+        )
+        SELECT fp, count(*) AS n_copies,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM chunks GROUP BY fp
+        HAVING count(*) > 1
+        ORDER BY n_copies DESC, fp ASC
+        LIMIT 25
+    """,
+)
+def q147_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup: rolling-hash cut points make chunk
+    fingerprints survive insertions/deletions (only the edited chunk
+    changes), so shared passages surface across documents that fixed-size
+    chunking would misalign. Map-only array-land chunking, one explode
+    per chunk, ONE shuffle on content-hash keys
+    (:func:`dedup.cdc_chunks`). Beyond-reference LLM-pipeline operator."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.cdc_duplicate_chunks(cat.documents)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4603,7 +4705,7 @@ _R02_CERTIFIED: tuple[str, ...] = (
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q140_editdist_neardup", "q142_k_anonymity",
     "q143_token_budget_selection", "q144_contamination_matrix",
-    "q145_avi_frames",
+    "q145_avi_frames", "q146_bigram_lm_nll", "q147_cdc_chunk_dedup",
 )
 
 #: Queries whose code path changed since their last driver certification.

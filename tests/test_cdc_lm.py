@@ -1,0 +1,87 @@
+"""Round-7 LLM-pipeline additions: content-defined chunking dedup and
+corpus bigram-LM perplexity scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.functions.text import bigram_lm_nll
+from ds_ga1004_bigdata_project_spark.operators.dedup import (
+    cdc_chunks, cdc_duplicate_chunks)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{rng.randint(0, 400)}" for _ in range(200)]
+    base = " ".join(words)
+    edited = " ".join(words[:100] + ["inserted"] + words[100:])
+    return spark.createDataFrame(
+        [(1, base), (2, edited), (3, base)], "doc_id long, text string"), base
+
+
+def test_cdc_reconstruction_exact(spark, corpus):
+    df, base = corpus
+    rows = sorted(cdc_chunks(df).filter(F.col("doc_id") == 1).collect(),
+                  key=lambda r: r.chunk_no)
+    assert " ".join(r.chunk_text for r in rows) == base
+    assert len(rows) > 5  # the cut rule actually fires
+
+
+def test_cdc_insertion_robustness(spark, corpus):
+    # The CDC property fixed-size chunking lacks: a mid-document insertion
+    # must perturb only the chunk(s) at the edit site.
+    df, _ = corpus
+    rows = cdc_chunks(df).collect()
+    f1 = {r.fp for r in rows if r.doc_id == 1}
+    f2 = {r.fp for r in rows if r.doc_id == 2}
+    assert len(f1) > 5
+    assert len(f1 & f2) >= len(f1) - 2  # all but the edited chunk(s) survive
+
+
+def test_cdc_duplicate_report(spark, corpus):
+    # doc 3 duplicates doc 1 exactly: every doc-1 chunk reports >= 2 copies
+    # across 2 distinct docs, first_doc = 1.
+    df, _ = corpus
+    dup = cdc_duplicate_chunks(df, top_n=100).collect()
+    n1 = cdc_chunks(df).filter(F.col("doc_id") == 1).count()
+    full = [r for r in dup if r.n_docs >= 2]
+    assert len(full) >= n1 - 1
+    assert all(r.first_doc == 1 for r in full)
+
+
+def test_bigram_lm_hand_values(spark):
+    # corpus bigrams: d1 (a,b)(b,a)(a,b)(b,c); d2 (a,b); d4 (c,c)(c,c)
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1 (c,c)=2; c1: a=3 b=2 c=2; V={a,b,c,z}=4
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "z"), (4, "c c c")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_nll(df).collect()}
+    assert 3 not in out  # single-token doc: no bigrams, no row
+    k, v = 0.5, 4
+
+    def lp(c2, c1):
+        return round(math.log((c2 + k) / (c1 + k * v)), 4)
+
+    assert out[2].n_bigrams == 1
+    assert out[2].mean_nll == pytest.approx(round(-lp(3, 3), 4), abs=1e-9)
+    d1 = -(lp(3, 3) * 2 + lp(1, 2) + lp(1, 2))
+    assert out[1].n_bigrams == 4
+    assert out[1].mean_nll == pytest.approx(round(d1 / 4, 4), abs=1e-4)
+
+
+def test_bigram_lm_flags_off_domain_doc(spark):
+    # 30 docs sharing a vocabulary + one gibberish doc: the outlier must
+    # score the highest NLL (the quality-filter use case).
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again")
+            for i in range(30)]
+    rows.append((99, "zxqv kjhw pqrs mnbv zxqv kjhw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = (bigram_lm_nll(df)
+           .orderBy(F.desc("mean_nll"), "doc_id").first())
+    assert top.doc_id == 99
