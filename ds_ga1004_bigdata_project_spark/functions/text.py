@@ -216,11 +216,18 @@ def chunk_documents(df, chunk_size: int, overlap: int = 0,
     one explode — no shuffle, no UDF; output volume ≈ input tokens ×
     (1 + overlap/stride). The md5 over the re-joined chunk makes chunk
     CONTENT cross-engine checkable (q108's oracle recomputes it in SQL),
-    not just chunk counts."""
+    not just chunk counts.
+
+    The token array is pre-projected as a MULTI-REFERENCED column, never
+    inlined into the per-chunk lambda: higher-order functions re-evaluate
+    every free subexpression per element (no memoization in interpreted
+    HOF eval), so an inlined ``split`` would tokenize the whole document
+    once per CHUNK — O(n²/stride) per doc, the q147 lesson (SCALE.md
+    round 7). Multi-reference keeps CollapseProject from re-inlining."""
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toks = ws_tokens(F.col(text_col))
+    toks = F.col("_toks")
     n = F.size(toks)
     # Number of chunks: 1 + ceil(max(0, n - chunk_size) / stride). Spark's
     # `/` is DOUBLE division with the floor applied after — exact here
@@ -236,6 +243,7 @@ def chunk_documents(df, chunk_size: int, overlap: int = 0,
     # split("") yields [""] (size 1), so empty/whitespace-only docs must be
     # excluded by trimmed content, not token count.
     return (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks"))
             .select(F.col(id_col), F.explode(chunks).alias("c"))
             .select(id_col,
                     F.col("c.chunk_idx").alias("chunk_idx"),
@@ -257,8 +265,14 @@ def chunk_by_sentences(df, max_tokens: int, text_col: str = "text",
     the running token count); chunk membership then derives from the
     boundary list with a second ``transform``. One explode, no shuffle, no
     UDF. Emits (id, chunk_idx, n_sentences, n_tokens, chunk_text,
-    chunk_md5) with the same content-pinning md5 convention as q108."""
-    sents = sentences(F.col(text_col))
+    chunk_md5) with the same content-pinning md5 convention as q108.
+
+    The sentence array and the boundary fold are pre-projected as
+    multi-referenced columns so the per-chunk lambda touches only O(1)
+    attributes — an inlined ``sentences()``/``aggregate`` would re-run
+    per CHUNK inside the interpreted HOF (the q147 O(n²) lesson,
+    SCALE.md round 7)."""
+    sents = F.col("_sents")
     tok_counts = F.transform(sents, lambda s: F.size(ws_tokens(s)))
     # Fold: acc = struct(bounds: array<int> — START index of each chunk,
     # cur_len: int). A sentence starts a new chunk when adding it would
@@ -276,7 +290,8 @@ def chunk_by_sentences(df, max_tokens: int, text_col: str = "text",
             .alias("cur_len"))
     indexed = F.transform(
         tok_counts, lambda n, i: F.struct(i.alias("i"), n.alias("n")))
-    bounds = F.aggregate(indexed, init, step)["bounds"]
+    bounds_expr = F.aggregate(indexed, init, step)["bounds"]
+    bounds = F.col("_bounds")
     # chunk k spans sentence indices [bounds[k], bounds[k+1]) — slice them.
     n_chunks = F.size(bounds)
     chunks = F.transform(
@@ -293,6 +308,9 @@ def chunk_by_sentences(df, max_tokens: int, text_col: str = "text",
                            F.size(sents)) - F.element_at(bounds, k + 1))
             .alias("sents")))
     return (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), sentences(F.col(text_col)).alias("_sents"))
+            .select(F.col(id_col), F.col("_sents"),
+                    bounds_expr.alias("_bounds"))
             .select(F.col(id_col), F.explode(chunks).alias("c"))
             .filter(F.size("c.sents") > 0)
             .select(id_col,

@@ -4718,6 +4718,9 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q56_minhash_pairs", "q64_neardup_corpus",
     "q114_incremental_dedup", "q141_interaction_pagerank",
+    # q108 rides the chunker HOF de-inlining (pre-projected token array;
+    # identical output, 5.6x on long docs — SCALE.md round 7).
+    "q108_doc_chunks",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.
