@@ -208,9 +208,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # as a queryable relation and written like any other table.
     # `python examples/pipeline.py /root/testdata/sf0.01` runs it at the
     # measured scale from SCALE.md.
+    # Round 7: the sweep evaluates against a held-out split with partial
+    # eval-user histories in train (the MSD protocol — holdout_splits),
+    # exactly as tools/sweep_artifact.py reproduces it at sf0.1.
+    hs = P.holdout_splits(inter, val_frac=0.2, test_frac=0.2)
     grid = A.param_grid(ranks=(4, 8), regs=(0.05, 0.2), alphas=(10.0,),
                         max_iter=3, num_blocks=4)
-    res = A.sweep_results_df(spark, A.sweep(inter, grid, k=10))
+    res = A.sweep_results_df(
+        spark, A.sweep(hs.train, grid, k=10,
+                       eval_interactions=hs.validation))
     with tempfile.TemporaryDirectory() as tmp:
         res.write.parquet(f"{tmp}/sweep_results")
         spark.read.parquet(f"{tmp}/sweep_results") \
