@@ -760,3 +760,59 @@ def cdc_duplicate_chunks(df: DataFrame, window: int = 3,
               .filter(F.col("n_copies") > 1)
               .orderBy(F.desc("n_copies"), "fp")
               .limit(top_n))
+
+
+def cross_doc_boilerplate(df: DataFrame, n: int = 5,
+                          df_permille: int = 100,
+                          flag_ratio: float = 0.2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          source_col: str = "source") -> DataFrame:
+    """Cross-document boilerplate exposure (RefinedWeb/C4-class signal):
+    an n-gram shingle occurring in more than ``df_permille``/1000 of all
+    documents is boilerplate (navigation chrome, license headers,
+    templates); each document's boilerplate ratio is the share of its
+    DISTINCT shingles that are boilerplate, and a document above
+    ``flag_ratio`` is template-dominated. Complements the intra-document
+    repetition score (q82) and pairwise dedup (q32/q64): this finds mass
+    REUSE that is neither self-repetition nor any single near-duplicate
+    pair.
+
+    Exactness discipline: the document-frequency threshold is the integer
+    comparison ``df · 1000 > df_permille · N`` (no float), per-document
+    ratios round to 4 dp and aggregate as DECIMAL sums, so the per-source
+    relation is bit-identical cross-engine. Plan: per-doc distinct
+    shingles explode once; doc-frequency is one map-side-combined shuffle
+    on shingle keys; the boilerplate set left-joins back on the same
+    keys; corpus size rides a broadcast 1-row aggregate.
+
+    Returns (source, n_docs, n_flagged, mean_boiler_ratio) over documents
+    with at least one shingle, ordered by source."""
+    from ..functions.text import word_shingles, ws_tokens
+
+    sh_doc = (df.select(
+        F.col(id_col), F.col(source_col),
+        F.explode(F.array_distinct(
+            word_shingles(ws_tokens(F.lower(F.col(text_col))), n)))
+        .alias("sh")))
+    n_docs_tbl = df.agg(F.count("*").alias("_n"))
+    doc_freq = sh_doc.groupBy("sh").agg(F.count("*").alias("_df"))
+    boiler = (doc_freq.crossJoin(F.broadcast(n_docs_tbl))
+              .filter(F.col("_df") * 1000 > F.lit(df_permille) * F.col("_n"))
+              .select("sh", F.lit(1).alias("_is_b")))
+    per_doc = (sh_doc.join(boiler, "sh", "left")
+               .groupBy(id_col)
+               .agg(F.first(source_col).alias(source_col),
+                    F.count("*").alias("_n_sh"),
+                    F.sum(F.coalesce(F.col("_is_b"), F.lit(0)))
+                    .alias("_n_boiler")))
+    rat = per_doc.select(
+        source_col,
+        F.round(F.col("_n_boiler") / F.col("_n_sh").cast("double"), 4)
+        .cast("decimal(8,4)").alias("_r"))
+    return (rat.groupBy(source_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("_r") > flag_ratio, 1).otherwise(0))
+                 .alias("n_flagged"),
+                 F.round(F.sum("_r").cast("double") / F.count("*"), 4)
+                 .alias("mean_boiler_ratio"))
+            .orderBy(source_col))

@@ -4661,6 +4661,61 @@ def q147_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_duplicate_chunks(cat.documents)
 
 
+@_register(
+    "q148_boilerplate_exposure",
+    survey="cross-document boilerplate exposure (corpus-frequent n-gram share per doc, per-source rollup — RefinedWeb/C4-class signal)",
+    oracle="""
+        -- Integer doc-frequency threshold (df*1000 > 4*N), 4dp per-doc
+        -- ratios DECIMAL-summed: bit-identical cross-engine.
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, source,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+          FROM (SELECT doc_id, source, w,
+                       unnest(generate_series(1, len(w) - 2)) AS i
+                FROM toks)
+        ), nd AS (
+          SELECT count(*) AS n FROM documents
+        ), dfq AS (
+          SELECT sh, count(*) AS df FROM sh GROUP BY sh
+        ), boiler AS (
+          SELECT sh FROM dfq CROSS JOIN nd WHERE df * 1000 > 4 * n
+        ), per_doc AS (
+          SELECT s.doc_id, any_value(s.source) AS source,
+                 count(*) AS n_sh,
+                 sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_boiler
+          FROM sh s LEFT JOIN boiler b USING (sh)
+          GROUP BY s.doc_id
+        ), rat AS (
+          SELECT source,
+                 CAST(round(n_boiler / CAST(n_sh AS DOUBLE), 4)
+                      AS DECIMAL(8,4)) AS r
+          FROM per_doc
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN r > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               round(CAST(sum(r) AS DOUBLE) / count(*), 4)
+                 AS mean_boiler_ratio
+        FROM rat GROUP BY source ORDER BY source
+    """,
+)
+def q148_boilerplate_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate exposure
+    (:func:`dedup.cross_doc_boilerplate`): 3-gram shingles in > 0.4% of
+    ALL documents are boilerplate; each document's exposure is the share
+    of its distinct shingles that are boilerplate, rolled up per source
+    with a 5% flag threshold. Finds mass template reuse that is neither
+    self-repetition (q82) nor any single near-duplicate pair (q32/q64)."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.cross_doc_boilerplate(cat.documents, n=3, df_permille=4,
+                                       flag_ratio=0.05)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4706,6 +4761,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q140_editdist_neardup", "q142_k_anonymity",
     "q143_token_budget_selection", "q144_contamination_matrix",
     "q145_avi_frames", "q146_bigram_lm_nll", "q147_cdc_chunk_dedup",
+    "q148_boilerplate_exposure",
 )
 
 #: Queries whose code path changed since their last driver certification.

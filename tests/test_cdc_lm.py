@@ -85,3 +85,23 @@ def test_bigram_lm_flags_off_domain_doc(spark):
     top = (bigram_lm_nll(df)
            .orderBy(F.desc("mean_nll"), "doc_id").first())
     assert top.doc_id == 99
+
+
+def test_cross_doc_boilerplate_hand_case(spark):
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        cross_doc_boilerplate)
+
+    # 10 docs: all share the trigram "legal header text" (df=10 -> always
+    # boilerplate at any permille); unique tails keep ratios fractional.
+    rows = [(i, "s0" if i < 5 else "s1",
+             f"legal header text unique{i} tail{i} body{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in
+           cross_doc_boilerplate(df, n=3, df_permille=500,
+                                 flag_ratio=0.2).collect()}
+    # each doc: 4 distinct trigrams, exactly 1 boilerplate -> ratio 0.25
+    for s in ("s0", "s1"):
+        assert out[s].n_docs == 5
+        assert out[s].n_flagged == 5  # 0.25 > 0.2
+        assert float(out[s].mean_boiler_ratio) == pytest.approx(0.25)
