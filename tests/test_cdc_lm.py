@@ -55,6 +55,78 @@ def test_cdc_duplicate_report(spark, corpus):
     assert all(r.first_doc == 1 for r in full)
 
 
+def test_cdc_overlap_clusters_hand_fixture(spark, corpus):
+    # VERDICT r7 #5: doc-level partial-overlap clusters. docs 1/2/3 share
+    # nearly all chunks (2 = edited copy, 3 = exact copy) -> ONE cluster
+    # named by min id 1 with all three members; an unrelated doc never
+    # joins; a doc sharing only a single chunk stays below the
+    # min_shared_chunks=2 edge threshold.
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        cdc_chunks, cdc_overlap_clusters)
+
+    df, base = corpus
+    # doc 4: unrelated vocabulary; doc 5: exactly ONE chunk of doc 1
+    one_chunk = sorted(cdc_chunks(df).filter("doc_id = 1").collect(),
+                       key=lambda r: r.chunk_no)[1].chunk_text
+    docs = df.unionByName(spark.createDataFrame(
+        [(4, " ".join(f"q{i}" for i in range(80))), (5, one_chunk)],
+        "doc_id long, text string"))
+    out = cdc_overlap_clusters(docs).collect()
+    members = {r.doc_id: r.cluster_id for r in out}
+    assert members == {1: 1, 2: 1, 3: 1}
+    assert all(r.n_cluster_docs == 3 for r in out)
+
+
+def test_cdc_overlap_threshold_pins_edges(spark):
+    # Pinned overlap-threshold semantics: exactly min_shared_chunks shared
+    # fps creates the edge; one fewer does not. Build docs from two known
+    # chunks by brute-force searching short token strings whose md5 cut
+    # rule yields clean boundaries is fragile — instead verify against the
+    # operator's own chunk table: doc B shares >= 2 chunk fps with A (copy
+    # of A), doc C shares exactly 1 (single chunk), so with
+    # min_shared_chunks=2 C is excluded and with 1 it joins.
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        cdc_chunks, cdc_overlap_clusters)
+    import random
+
+    rng = random.Random(9)
+    a_txt = " ".join(f"w{rng.randint(0, 300)}" for _ in range(160))
+    df_a = spark.createDataFrame([(1, a_txt)], "doc_id long, text string")
+    chunks_a = sorted(cdc_chunks(df_a).collect(), key=lambda r: r.chunk_no)
+    assert len(chunks_a) >= 3
+    docs = spark.createDataFrame(
+        [(1, a_txt), (2, a_txt), (3, chunks_a[1].chunk_text)],
+        "doc_id long, text string")
+    strict = {r.doc_id: r.cluster_id
+              for r in cdc_overlap_clusters(docs, min_shared_chunks=2)
+              .collect()}
+    assert strict == {1: 1, 2: 1}  # C's single shared chunk is no edge
+    loose = {r.doc_id: r.cluster_id
+             for r in cdc_overlap_clusters(docs, min_shared_chunks=1)
+             .collect()}
+    assert loose == {1: 1, 2: 1, 3: 1}
+
+
+def test_cdc_overlap_fp_cap_excludes_viral_chunks(spark):
+    # max_fp_docs: a chunk carried by MORE docs than the cap is boilerplate
+    # evidence, not overlap evidence — docs related ONLY through it never
+    # cluster (and pair generation stays non-quadratic at scale).
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        cdc_overlap_clusters)
+    import random
+
+    rng = random.Random(11)
+    boiler = " ".join(f"b{rng.randint(0, 99)}" for _ in range(120))
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string")
+    # 10 identical docs, cap below 10: every shared fp is over-cap.
+    assert cdc_overlap_clusters(docs, max_fp_docs=9).count() == 0
+    # cap at 10: full 10-doc cluster.
+    out = cdc_overlap_clusters(docs, max_fp_docs=10).collect()
+    assert {r.doc_id for r in out} == set(range(10))
+    assert all(r.cluster_id == 0 and r.n_cluster_docs == 10 for r in out)
+
+
 def test_bigram_lm_hand_values(spark):
     # corpus bigrams: d1 (a,b)(b,a)(a,b)(b,c); d2 (a,b); d4 (c,c)(c,c)
     # c2: (a,b)=3 (b,a)=1 (b,c)=1 (c,c)=2; c1: a=3 b=2 c=2; V={a,b,c,z}=4

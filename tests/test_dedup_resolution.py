@@ -103,6 +103,48 @@ def test_minhash_banded_pairs_finds_planted_dups(spark):
         assert pairs[(0, 2)] == expect
 
 
+def test_minhash_hot_bucket_join_path_matches_inrow_path(spark, monkeypatch):
+    # ADVICE r7 (dedup.py bucket blast radius): buckets above
+    # _LSH_BUCKET_EXPAND_MAX must pair via the streamed within-bucket
+    # self-join, and that path must produce EXACTLY the same verified pair
+    # set as the in-row expansion (no silent candidate drop). Force every
+    # bucket onto the hot path by shrinking the cap to 1 and compare.
+    from ds_ga1004_bigdata_project_spark.operators import dedup as D
+
+    # tiny vocabulary -> many docs collide into the same LSH buckets
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i % 4, i % 4 + 40)))
+         for i in range(24)],
+        "doc_id long, text string")
+
+    def run():
+        return {(r["a"], r["b"]): r["jaccard"]
+                for r in D.minhash_banded_pairs(docs, n=3).collect()}
+
+    baseline = run()
+    monkeypatch.setattr(D, "_LSH_BUCKET_EXPAND_MAX", 1)
+    hot = run()
+    assert baseline == hot
+    assert baseline  # the fixture really does produce candidate pairs
+
+
+def test_resolve_iterate_runs_even_with_max_iters_one(spark):
+    # ADVICE r7 (dedup.py resolve_keep_list): nonconverged='iterate' with
+    # max_iters <= 1 used to skip the propagation loop entirely (changed
+    # stayed None) and return seeded-init labels — split components on any
+    # graph with diameter > 1. The chain 0-1-2-3-4-5 needs several
+    # propagation rounds past the seeded init; 'iterate' must deliver the
+    # exact component minimum regardless of max_iters. driver_edge_max=0
+    # forces the distributed tier (the driver tier is exact by nature).
+    ids = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a long, b long")
+    labels = {r["id"]: r["keep_id"] for r in
+              resolve_keep_list(ids, chain, max_iters=1, driver_edge_max=0,
+                                nonconverged="iterate").collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 7}
+
+
 def test_incremental_ingest_dedup_semantics(spark):
     """Hand-built fixture: batch doc dropped if its fingerprint is in the
     index; within-batch dups resolve to min id; order/repetition-invariant

@@ -112,6 +112,38 @@ def test_holdout_splits_partial_history_invariants(spark, interactions):
     assert total == interactions.count()  # partition of the rows
 
 
+def test_holdout_splits_singleton_users_stay_in_train(spark):
+    # ADVICE r7 (protocol.py holdout parity): a user with exactly ONE
+    # interaction must keep it in train and drop out of evaluation — the
+    # TPC-H fixture has no singletons, so build a corpus that is MOSTLY
+    # singletons (MSD one-listen users) plus a few 2/3-interaction users,
+    # and drive eval fractions to 1.0 so every user is an eval user.
+    rows = [(u, i, 1.0) for u in range(40) for i in range(1)]          # singles
+    rows += [(100 + u, i, 1.0) for u in range(6) for i in range(2)]    # pairs
+    rows += [(200 + u, i, 1.0) for u in range(6) for i in range(3)]    # triples
+    inter = spark.createDataFrame(rows, ["user_id", "item_id", "rating"])
+    s = P.holdout_splits(inter, val_frac=0.5, test_frac=0.5, seed=11)
+    val_u = {r[0] for r in s.validation.select("user_id").distinct().collect()}
+    test_u = {r[0] for r in s.test.select("user_id").distinct().collect()}
+    train_u = {r[0] for r in s.train.select("user_id").distinct().collect()}
+    assert val_u and test_u  # the 0.5/1.0 fractions picked real eval users
+    singles = set(range(40))
+    # Every singleton's only row is in train; none ever reaches a holdout.
+    assert singles <= train_u
+    assert not singles & (val_u | test_u)
+    # Every eval user (singletons included by vacuity) has train history.
+    assert (val_u | test_u) <= train_u
+    # Odd-count (triple) EVAL users keep the majority (2 of 3) in train.
+    eval_triples = {u for u in (val_u | test_u) if u >= 200}
+    assert eval_triples  # fractions high enough that some triple is eval
+    triple_train = {r["user_id"]: r["count"] for r in
+                    s.train.filter(F.col("user_id").isin(list(eval_triples)))
+                    .groupBy("user_id").count().collect()}
+    assert all(triple_train[u] == 2 for u in eval_triples)
+    total = s.train.count() + s.validation.count() + s.test.count()
+    assert total == inter.count()
+
+
 def test_sweep_protocol_seeded_determinism(spark, interactions):
     # VERDICT r6 #5: the sweep relation end-to-end — split → fit → rank →
     # metrics — must be bit-stable in its seeds. Two full runs from the

@@ -81,6 +81,28 @@ def test_every_query_has_a_certification_round():
             f"{name} has no past certification and is outside the window"
 
 
+def test_rotation_slo_no_stale_certificates():
+    # VERDICT r7 #8: the standing SLO is "no query's newest green row is
+    # older than maxRound − 3". Every query OUTSIDE the current window
+    # must therefore hold a certificate from round >= maxRound − 2 (it
+    # ages exactly one more round before its next in-window slot). A
+    # failure here means the rotation fell behind — recompose the window
+    # before shipping.
+    from ds_ga1004_bigdata_project_spark.queries import (
+        _latest_certification_rounds)
+
+    latest = _latest_certification_rounds()
+    if not latest:  # artifacts unavailable — nothing to measure
+        return
+    max_round = max(latest.values())
+    names = list(REGISTRY)
+    stale = {n: latest.get(n, 2) for n in names[50:]
+             if latest.get(n, 2) < max_round - 2}
+    assert not stale, (
+        f"queries outside the window with certificates older than "
+        f"r{max_round - 2}: {stale}")
+
+
 def test_refresh_slots_go_to_stalest_certificates():
     # Middle tier: after the front + anchor, every in-window refresh slot
     # must hold a certificate at least as stale as anything outside the
