@@ -155,6 +155,60 @@ def learning_curve(interactions: DataFrame, fractions: list[float],
         cached.unpersist()
 
 
+def learning_curve_holdout(interactions: DataFrame, fractions: list[float],
+                           cfg: ALSConfig = ALSConfig(rank=4, max_iter=2),
+                           k: int = 5, val_frac: float = 0.1,
+                           test_frac: float = 0.1,
+                           user_col: str = "user_id",
+                           seed: int = DEFAULT_SEED):
+    """The reference's ACTUAL learning-curve protocol
+    (``learning_curve.py:41-59``, report Fig. 1): the evaluation split is
+    FIXED across every point — only the non-eval training users are
+    downsampled, and eval users' partial train histories are always kept
+    (so the model always has factors for the users it is scored on); each
+    point fits ALS on (eval-user partial histories + a ``frac`` user
+    sample of everyone else) and reports RMSE + ranking metrics against
+    the SAME held-out validation split. :func:`learning_curve` (train-set
+    RMSE, no split) remains as the cheap self-fit diagnostic; THIS
+    function is the Fig.-1 reproduction — RMSE is comparable across
+    fractions only because the eval set never moves.
+
+    Plan: splits + the sampled-from user pool are computed once and
+    persisted; each point adds one key-sample semi-join (whole histories
+    kept — the reference samples USER IDS, not rows) + one fit + one
+    scoring pass. Returns [(fraction, metrics dict)]."""
+    splits = holdout_splits(interactions, user_col=user_col,
+                            val_frac=val_frac, test_frac=test_frac,
+                            seed=seed)
+    train = persisted(splits.train)
+    val = persisted(splits.validation)
+    eval_users = persisted(
+        splits.validation.select(user_col)
+        .unionByName(splits.test.select(user_col)).distinct())
+    # the sampleable pool: train rows of NON-eval users (the reference's
+    # user_to_sample = train users − (val ∪ test) users)
+    pool = persisted(anti_join(train, eval_users, user_col))
+    keep_always = semi_join(train, eval_users, user_col)
+    try:
+        out = []
+        for frac in fractions:
+            sampled_users = sample_keys(pool, [user_col], frac,
+                                        seed + int(frac * 1000))
+            train_sampled = keep_always.unionByName(
+                semi_join(pool, sampled_users, user_col))
+            model = train_als(train_sampled, cfg)
+            scored = (model.transform(val)
+                      .filter(F.col("prediction").isNotNull()))
+            r = rmse(scored, "count", "prediction").collect()[0]
+            rank_row = evaluate_model(model, val, k).collect()[0]
+            out.append((frac, {"rmse": r["rmse"], "n": r["n"],
+                               **rank_row.asDict()}))
+        return out
+    finally:
+        for c in (train, val, eval_users, pool):
+            c.unpersist()
+
+
 def export_factors(model, which: str = "item"):
     """ALS factor matrices → pandas (Arrow transfer), the UMAP hand-off
     (``Exploration-EDA.ipynb#cell11,#cell23``). This is the B3 driver

@@ -55,6 +55,31 @@ def test_learning_curve_two_points(spark, interactions):
         assert m["rmse"] >= 0 and m["n_users"] > 0
 
 
+def test_learning_curve_holdout_protocol(spark, interactions):
+    # VERDICT r7 #6 — the Fig.-1 protocol: a FIXED eval split across every
+    # fraction point (only non-eval train users are downsampled), metrics
+    # schema stable, and the whole relation deterministic in its seeds.
+    def run():
+        return P.learning_curve_holdout(
+            interactions, [0.2, 0.8],
+            A.ALSConfig(rank=3, max_iter=1, num_blocks=2), k=3, seed=7)
+
+    a, b = run(), run()
+    assert [f for f, _ in a] == [0.2, 0.8]
+    for _, m in a:
+        assert set(m) >= {"rmse", "n", "map", "precision_at_k",
+                          "ndcg_at_k", "n_users"}
+        assert m["rmse"] >= 0 and m["n"] > 0
+    # seeded determinism: split → sample → fit → score is bit-stable
+    assert [(f, m["rmse"], m["map"], m["n"]) for f, m in a] == \
+           [(f, m["rmse"], m["map"], m["n"]) for f, m in b]
+    # fixed eval split: scored rows never exceed the val split the first
+    # run's seed produces (each point scores the SAME val relation)
+    n_val = P.holdout_splits(interactions, val_frac=0.1, test_frac=0.1,
+                             seed=7).validation.count()
+    assert all(m["n"] <= n_val for _, m in a)
+
+
 def test_model_persistence_roundtrip(spark, interactions, tmp_path):
     # S3: persist + reload the fitted model; factors identical after reload.
     from pyspark.ml.recommendation import ALSModel
