@@ -349,8 +349,20 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
     # minhash/jaccard pipelines, and neither dispatch tier needs the
     # doubled edge list materialized (union-find is orientation-blind; the
     # distributed tier derives both orientations from this cache in-plan).
-    pairs_u = (pairs.select("a", "b")
-               .persist(StorageLevel.MEMORY_AND_DISK))
+    #
+    # CACHE OWNERSHIP: if the CALLER already persisted ``pairs``, reuse
+    # that cache and never unpersist it. Re-persisting `select("a","b")`
+    # of an (a,b)-only cached frame registers a TRIVIAL-PROJECTION plan
+    # that `sameResult`s the caller's, and unpersisting it evicts the
+    # caller's entry too — every later plan over the caller's handle then
+    # silently recomputes the whole upstream pipeline from the source
+    # (measured: cdc_overlap_clusters lost all cache substitution, 16
+    # parquet scans in one query).
+    caller_cached = (pairs.storageLevel.useMemory
+                     or pairs.storageLevel.useDisk)
+    pairs_u = pairs.select("a", "b")
+    if not caller_cached:
+        pairs_u = pairs_u.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = pairs_u.count()
 
     if n_edges <= driver_edge_max:
@@ -365,7 +377,8 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
         try:
             rows = pairs_u.collect()
         finally:
-            pairs_u.unpersist()
+            if not caller_cached:
+                pairs_u.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -466,7 +479,8 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                         .alias("keep_id"))
                 .withColumn("is_kept", F.col("id") == F.col("keep_id")))
     finally:
-        pairs_u.unpersist()
+        if not caller_cached:
+            pairs_u.unpersist()
 
 
 def dedup_corpus(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
@@ -799,7 +813,8 @@ def cdc_overlap_clusters(df: DataFrame, window: int = 3,
                          min_shared_chunks: int = 2,
                          max_fp_docs: int = 64,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         caches: list[DataFrame] | None = None) -> DataFrame:
     """Document-level partial-overlap clusters from content-defined chunks
     (VERDICT r7 #5): q147 surfaces duplicated CHUNKS; real pipelines need
     the doc clusters those chunks imply — documents stitched together from
@@ -827,21 +842,41 @@ def cdc_overlap_clusters(df: DataFrame, window: int = 3,
     relation is cross-engine exact.
 
     Returns (cluster_id, doc_id, n_cluster_docs): one row per document
-    that belongs to a >=2-doc overlap cluster."""
+    that belongs to a >=2-doc overlap cluster.
+
+    ``caches``: as in :func:`minhash_banded_pairs` — the edge list is
+    persisted (it feeds cluster resolution AND the touched-doc set); pass
+    a list to receive the handle and unpersist once the output has been
+    materialized, else it lives until the session clears it."""
+    from pyspark import StorageLevel
+
     ch = cdc_chunks(df, window=window, text_col=text_col, id_col=id_col)
     doc_fp = ch.select(F.col(id_col).alias("id"), "fp").distinct()
     fp_ok = (doc_fp.groupBy("fp").agg(F.count("*").alias("_nd"))
              .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_fp_docs))
              .select("fp"))
     elig = doc_fp.join(fp_ok, "fp")
+    # Persist the edge list: the chunking/pairing pipeline must run ONCE,
+    # while edges feed both the touched-doc set and cluster resolution
+    # (resolve_keep_list's internal persist then reads this cache, not the
+    # corpus). Only edge-endpoint docs can belong to a >=2-doc cluster, so
+    # resolving over `touched` instead of the full corpus removes BOTH
+    # corpus-wide stitch scans the naive `ids=df` form pays (the r8
+    # explain showed the stitched label relation — and its documents scan
+    # — duplicated under the size-agg and the output join).
     pairs = (elig.alias("x").join(elig.alias("y"), "fp")
              .filter(F.col("x.id") < F.col("y.id"))
              .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
              .agg(F.count("*").alias("shared"))
              .filter(F.col("shared") >= min_shared_chunks)
-             .select("a", "b"))
-    ids = df.select(F.col(id_col).alias("id"))
-    labels = resolve_keep_list(ids, pairs)
+             .select("a", "b")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    if caches is not None:
+        caches.append(pairs)
+    touched = (pairs.select(F.col("a").alias("id"))
+               .unionByName(pairs.select(F.col("b").alias("id")))
+               .distinct())
+    labels = resolve_keep_list(touched, pairs)
     clustered = (labels.groupBy("keep_id")
                  .agg(F.count("*").alias("n_cluster_docs"))
                  .filter(F.col("n_cluster_docs") >= 2))

@@ -145,6 +145,29 @@ def test_resolve_iterate_runs_even_with_max_iters_one(spark):
     assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 7}
 
 
+def test_resolve_keeps_caller_cache_alive(spark):
+    # Cache-ownership regression (round 8): resolve_keep_list used to
+    # persist `pairs.select("a","b")` — a TRIVIAL projection of an
+    # (a,b)-only caller-persisted frame — and its unpersist evicted the
+    # caller's cache entry too, so every later plan over the caller's
+    # handle silently recomputed upstream. A caller-owned cache must
+    # survive resolution and still substitute into downstream plans.
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    # route through a non-trivial upstream so recompute would be visible
+    pairs = edges.filter("a >= 0").persist()
+    pairs.count()
+    ids = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    try:
+        resolve_keep_list(ids, pairs).collect()
+        assert pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+        plan = (pairs.select("a")._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "InMemoryTableScan" in plan, \
+            "caller cache no longer substitutes after resolve_keep_list"
+    finally:
+        pairs.unpersist()
+
+
 def test_incremental_ingest_dedup_semantics(spark):
     """Hand-built fixture: batch doc dropped if its fingerprint is in the
     index; within-batch dups resolve to min id; order/repetition-invariant
