@@ -437,3 +437,77 @@ def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
               .agg(F.count("*").alias("n_bigrams"),
                    F.round(-F.sum("lp").cast("double")
                            / F.count("*"), scale).alias("mean_nll")))
+
+
+def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              scale: int = 4):
+    """Lexical top-k retrieval with Okapi BM25 — the sparse half of a
+    retrieval stack (the dense half is ``operators.similarity``'s ANN
+    tiers). ``queries`` is a list of (query_id, query_text) pairs — the
+    handful of live search strings, not a table.
+
+    Inverted-index shape, so cost follows the QUERY terms, not the
+    vocabulary: the postings list (doc, term, tf) is built with one
+    map-side-combined shuffle, document frequencies with a second on term
+    keys, then the tiny query-term frame (terms × queries, deduplicated)
+    is BROADCAST against the postings scan — only postings of query terms
+    survive, everything else dies at the scan. A 100 TB corpus pays two
+    linear token-keyed shuffles once (both cacheable as an index) and a
+    broadcast-filtered aggregation per query batch; no vocab-wide join
+    ever ships the corpus.
+
+    Cross-engine determinism: corpus size N and Σdl are exact integers,
+    so ``dl/avgdl`` is computed as ``dl·N / Σdl`` (IEEE division of
+    exactly-representable ints); each per-term partial
+    ``idf · tf(k1+1)/(tf + k1(1−b+b·dl·N/Σdl))`` with the BM25+ idf
+    ``ln(1 + (N−df+0.5)/(df+0.5))`` is rounded to ``scale`` decimals
+    FIRST and summed as exact DECIMAL (the ``bigram_lm_nll``
+    discipline); ranking ties break on ascending doc id.
+
+    Returns (query_id, rank, id_col, n_terms, score_4dp): top ``k``
+    documents per query, rank 1 = best."""
+    from pyspark.sql.window import Window
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("t"))
+            .groupBy(id_col, "t").agg(F.count("*").alias("tf")))
+    dl = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+
+    spark = df.sparkSession
+    qrows = [(int(qid), qtext) for qid, qtext in queries]
+    qterms = (spark.createDataFrame(qrows, "query_id int, qtext string")
+                   .select("query_id",
+                           F.explode(ws_tokens(F.lower(F.col("qtext"))))
+                            .alias("t"))
+                   .distinct())
+    # Tiny frame: |queries|·|terms| rows with idf attached — THIS is what
+    # gets broadcast, so the postings join doubles as the candidate filter.
+    qt = (qterms.join(dfreq, "t")
+                .crossJoin(stats)
+                .select("query_id", "t",
+                        F.log(F.lit(1.0)
+                              + (F.col("n") - F.col("df") + F.lit(0.5))
+                              / (F.col("df") + F.lit(0.5))).alias("idf"),
+                        "n", "sum_dl"))
+
+    part = (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf") + F.lit(k1)
+               * (F.lit(1.0 - b)
+                  + F.lit(b) * F.col("dl") * F.col("n") / F.col("sum_dl"))))
+    scored = (tf.join(F.broadcast(qt), "t")
+                .join(dl, id_col)
+                .select("query_id", id_col,
+                        F.round(part, scale)
+                         .cast(f"decimal(18,{scale})").alias("part"))
+                .groupBy("query_id", id_col)
+                .agg(F.count("*").alias("n_terms"),
+                     F.sum("part").cast("double").alias("score_4dp")))
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.desc("score_4dp"), F.asc(id_col)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "rank", id_col, "n_terms",
+                          "score_4dp"))

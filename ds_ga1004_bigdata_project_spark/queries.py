@@ -4794,6 +4794,94 @@ def q149_cdc_overlap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       min_shared_chunks=2, max_fp_docs=64)
 
 
+#: Fixed query batch for q150 — vocabulary-matched search strings (the
+#: TPC-H fixed-parameter convention); 'search' in query 5 hits no
+#: posting and drops out at the inverted-index join, by design.
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "fast hash join"),
+    (2, "stream window agg"),
+    (3, "customer order line"),
+    (4, "big data scan"),
+    (5, "vector search"),
+)
+
+
+@_register(
+    "q150_bm25_retrieval",
+    survey="lexical top-k retrieval (Okapi BM25, inverted-index candidate generation, broadcast query-term filter — sparse complement of the ANN tiers)",
+    oracle="""
+        -- Same shape as the Spark plan: postings (doc,term,tf), term df,
+        -- exact N / sum(dl) so dl/avgdl is dl*N/sum_dl (integer-exact
+        -- operands); per-term BM25 partials rounded to 4 dp FIRST and
+        -- DECIMAL-summed (bigram-LM discipline). All float literals cast
+        -- to DOUBLE so DuckDB's decimal literals can't change the math.
+        WITH q(query_id, qtext) AS (
+          VALUES (1, 'fast hash join'), (2, 'stream window agg'),
+                 (3, 'customer order line'), (4, 'big data scan'),
+                 (5, 'vector search')
+        ), toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, t, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+          GROUP BY doc_id, t
+        ), dl AS (
+          SELECT doc_id, len(w) AS dl FROM toks
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl
+        ), dfreq AS (
+          SELECT t, count(*) AS df FROM tf GROUP BY t
+        ), qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(string_split_regex(lower(qtext), '\\s+')) AS t
+          FROM q
+        ), qt AS (
+          SELECT query_id, qterms.t,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (n - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE))) AS idf,
+                 n, sum_dl
+          FROM qterms JOIN dfreq ON qterms.t = dfreq.t CROSS JOIN stats
+        ), scored AS (
+          SELECT query_id, tf.doc_id,
+                 count(*) AS n_terms,
+                 CAST(sum(CAST(round(
+                     idf * tf * CAST(2.2 AS DOUBLE)
+                     / (tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * dl * n / sum_dl)),
+                     4) AS DECIMAL(18,4))) AS DOUBLE) AS score_4dp
+          FROM tf
+          JOIN qt ON tf.t = qt.t
+          JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY query_id, tf.doc_id
+        ), ranked AS (
+          SELECT query_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_4dp DESC, doc_id ASC)
+                   AS rank,
+                 doc_id, n_terms, score_4dp
+          FROM scored
+        )
+        SELECT query_id, rank, doc_id, n_terms, score_4dp
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def q150_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval (:func:`text.bm25_topk`): Okapi BM25
+    top-10 per query over the documents table for a fixed 5-query batch.
+    Inverted-index candidate generation — the tiny query-term×idf frame
+    is broadcast against the postings scan, so only postings of query
+    terms survive and cost follows the queries, not the corpus. The
+    sparse complement of the dense ANN tiers (q40/q58/q59/q117); together
+    they are the hybrid-retrieval surface of a RAG/training-data stack."""
+    cat = Catalog(spark, sf_dir)
+    return (T.bm25_topk(cat.documents, list(_BM25_QUERIES), k=10)
+              .orderBy("query_id", "rank"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4846,6 +4934,7 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: is q149, this round's new CDC partial-overlap clustering.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
+    "q150_bm25_retrieval",
 )
 
 #: Queries whose code path changed since their last driver certification.
