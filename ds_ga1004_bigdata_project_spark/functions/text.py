@@ -441,11 +441,17 @@ def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
 
 def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",
-              scale: int = 4):
+              scale: int = 4, exclude_query_doc: bool = False):
     """Lexical top-k retrieval with Okapi BM25 — the sparse half of a
     retrieval stack (the dense half is ``operators.similarity``'s ANN
     tiers). ``queries`` is a list of (query_id, query_text) pairs — the
     handful of live search strings, not a table.
+
+    ``queries`` may also be a DataFrame with (query_id, qtext) columns —
+    query-by-document retrieval passes a projection of the corpus itself,
+    and nothing ever leaves the cluster. With ``exclude_query_doc`` the
+    document whose id equals the query id is dropped BEFORE ranking
+    (ranks stay dense), the convention of query-by-example evaluation.
 
     Inverted-index shape, so cost follows the QUERY terms, not the
     vocabulary: the postings list (doc, term, tf) is built with one
@@ -476,13 +482,16 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
 
-    spark = df.sparkSession
-    qrows = [(int(qid), qtext) for qid, qtext in queries]
-    qterms = (spark.createDataFrame(qrows, "query_id int, qtext string")
-                   .select("query_id",
-                           F.explode(ws_tokens(F.lower(F.col("qtext"))))
-                            .alias("t"))
-                   .distinct())
+    if isinstance(queries, (list, tuple)):
+        qrows = [(int(qid), qtext) for qid, qtext in queries]
+        qdf = df.sparkSession.createDataFrame(
+            qrows, "query_id int, qtext string")
+    else:
+        qdf = queries.select("query_id", "qtext")
+    qterms = (qdf.select("query_id",
+                         F.explode(ws_tokens(F.lower(F.col("qtext"))))
+                          .alias("t"))
+                 .distinct())
     # Tiny frame: |queries|·|terms| rows with idf attached — THIS is what
     # gets broadcast, so the postings join doubles as the candidate filter.
     qt = (qterms.join(dfreq, "t")
@@ -505,6 +514,8 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
                 .groupBy("query_id", id_col)
                 .agg(F.count("*").alias("n_terms"),
                      F.sum("part").cast("double").alias("score_4dp")))
+    if exclude_query_doc:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
     w = (Window.partitionBy("query_id")
                .orderBy(F.desc("score_4dp"), F.asc(id_col)))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -126,6 +126,45 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rn") <= k).drop("rn"))
 
 
+def rrf_fuse(sparse: DataFrame, dense: DataFrame, k0: int = 60,
+             k: int = 10, id_col: str = "doc_id",
+             scale: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists — the standard
+    score-free hybrid combiner (Cormack/Clarke/Büttcher, SIGIR'09):
+    rrf(d) = Σ_lists 1/(k0 + rank_d), summed over the lists that
+    retrieved ``d``. Score-free matters operationally: BM25 scores and
+    cosines live on incomparable scales, ranks don't.
+
+    Inputs are (query_id, ``id_col``, rank) frames — rank 1 = best.
+    Per-query candidate lists are top-k sized (tiny), so the full-outer
+    merge on (query_id, id) shuffles only candidate rows, never a
+    corpus; at 100 TB the upstream retrievers bound everything.
+
+    Determinism: each 1/(k0+rank) contribution is IEEE division of
+    exact integers rounded to ``scale`` decimals, the pairwise sum is
+    exact DECIMAL, ties break on ascending id. Returns
+    (query_id, rank, id, sparse_rank, dense_rank, rrf_score)."""
+    s = sparse.select("query_id", id_col, F.col("rank").alias("sparse_rank"))
+    d = dense.select("query_id", id_col, F.col("rank").alias("dense_rank"))
+    j = s.join(d, ["query_id", id_col], "full_outer")
+
+    def contrib(rank_col: Column) -> Column:
+        val = F.round(F.lit(1.0) / (F.lit(k0) + rank_col), scale)
+        return F.coalesce(val.cast(f"decimal(18,{scale})"),
+                          F.lit(0).cast(f"decimal(18,{scale})"))
+
+    fused = j.withColumn(
+        "rrf_score",
+        (contrib(F.col("sparse_rank"))
+         + contrib(F.col("dense_rank"))).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"),
+                                               F.asc(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "rank", id_col, "sparse_rank",
+                         "dense_rank", "rrf_score"))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

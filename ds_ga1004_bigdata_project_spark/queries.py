@@ -4882,6 +4882,139 @@ def q150_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("query_id", "rank"))
 
 
+@_register(
+    "q151_hybrid_rrf_retrieval",
+    survey="hybrid retrieval: reciprocal-rank fusion of sparse BM25 and dense cosine lists (query-by-document, score-free rank combination)",
+    oracle=f"""
+        -- Query-by-document for docs 0..4: sparse list = BM25 of the
+        -- probe's own text (q150 discipline, self excluded BEFORE
+        -- ranking), dense list = exact cosine top-20 (q40 discipline),
+        -- fused with rrf = sum of round(1/(60+rank), 6) DECIMAL-summed
+        -- over the lists that retrieved the doc. Ranks are exact
+        -- integers, so fusion is integer-exact end to end.
+        WITH probes AS (
+          SELECT doc_id AS query_id, lower(text) AS qtext
+          FROM documents WHERE doc_id < 5
+        ), toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, t, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+          GROUP BY doc_id, t
+        ), dl AS (
+          SELECT doc_id, len(w) AS dl FROM toks
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl
+        ), dfreq AS (
+          SELECT t, count(*) AS df FROM tf GROUP BY t
+        ), qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(string_split_regex(qtext, '\\s+')) AS t
+          FROM probes
+        ), qt AS (
+          SELECT query_id, qterms.t,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (n - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE))) AS idf,
+                 n, sum_dl
+          FROM qterms JOIN dfreq ON qterms.t = dfreq.t CROSS JOIN stats
+        ), sscore AS (
+          SELECT query_id, tf.doc_id,
+                 CAST(sum(CAST(round(
+                     idf * tf * CAST(2.2 AS DOUBLE)
+                     / (tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * dl * n / sum_dl)),
+                     4) AS DECIMAL(18,4))) AS DOUBLE) AS s
+          FROM tf
+          JOIN qt ON tf.t = qt.t
+          JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY query_id, tf.doc_id
+        ), sranked AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, doc_id ASC)
+                   AS sparse_rank
+          FROM sscore WHERE doc_id <> query_id
+        ), sparse AS (
+          SELECT * FROM sranked WHERE sparse_rank <= 20
+        ), qv AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < 5
+        ), dscored AS (
+          SELECT query_id, vec_id AS doc_id,
+                 round({_DUCK_COS.format(a='qe', b='embedding')} /
+                       nullif(sqrt({_DUCK_COS.format(a='qe', b='qe')}) *
+                              sqrt({_DUCK_COS.format(a='embedding', b='embedding')}),
+                              0.0),
+                       6) AS cs
+          FROM qv, embeddings WHERE vec_id <> query_id
+        ), dranked AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, doc_id ASC)
+                   AS dense_rank
+          FROM dscored
+        ), dense AS (
+          SELECT * FROM dranked WHERE dense_rank <= 20
+        ), fused AS (
+          SELECT coalesce(s.query_id, d.query_id) AS query_id,
+                 coalesce(s.doc_id, d.doc_id) AS doc_id,
+                 s.sparse_rank, d.dense_rank,
+                 CAST(coalesce(CAST(round(CAST(1.0 AS DOUBLE)
+                                          / (60 + s.sparse_rank), 6)
+                                    AS DECIMAL(18,6)),
+                               CAST(0 AS DECIMAL(18,6)))
+                      + coalesce(CAST(round(CAST(1.0 AS DOUBLE)
+                                            / (60 + d.dense_rank), 6)
+                                      AS DECIMAL(18,6)),
+                                 CAST(0 AS DECIMAL(18,6)))
+                      AS DOUBLE) AS rrf_score
+          FROM sparse s FULL OUTER JOIN dense d
+            ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+        ), franked AS (
+          SELECT query_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_score DESC, doc_id ASC)
+                   AS rank,
+                 doc_id, sparse_rank, dense_rank, rrf_score
+          FROM fused
+        )
+        SELECT query_id, rank, doc_id, sparse_rank, dense_rank, rrf_score
+        FROM franked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+)
+def q151_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (:func:`sim.rrf_fuse`): for probe documents 0..4,
+    fuse the sparse BM25 list (the probe's own text as the query,
+    :func:`text.bm25_topk` with self excluded) and the dense cosine list
+    (:func:`sim.cosine_topk` over the aligned embeddings) by
+    reciprocal-rank fusion — the score-free combiner that needs no
+    cross-scale calibration. Sparse misses what dense catches (paraphrase)
+    and vice versa (rare exact terms); RRF is the standard production
+    remedy. Everything stays on the cluster: the query batch is a
+    projection of the corpus, both retrievers bound candidate volume."""
+    cat = Catalog(spark, sf_dir)
+    probes = (cat.documents.filter(F.col("doc_id") < 5)
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("text").alias("qtext")))
+    sparse = T.bm25_topk(cat.documents, probes, k=20,
+                         exclude_query_doc=True)
+    dense = sim.cosine_topk(cat.embeddings,
+                            cat.embeddings.filter(F.col("vec_id") < 5),
+                            k=20)
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
+                                                F.asc("neighbor_id"))
+    dense_ranked = (dense.withColumn("rank", F.row_number().over(wd))
+                         .select("query_id",
+                                 F.col("neighbor_id").alias("doc_id"),
+                                 "rank"))
+    return (sim.rrf_fuse(sparse, dense_ranked, k0=60, k=10)
+               .orderBy("query_id", "rank"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -4935,6 +5068,7 @@ _R02_CERTIFIED: tuple[str, ...] = (
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
+    "q151_hybrid_rrf_retrieval",
 )
 
 #: Queries whose code path changed since their last driver certification.

@@ -91,3 +91,52 @@ def test_bm25_query_frame_is_broadcast(spark, docs):
     plan = bm25_topk(docs, [(1, "fast hash join")], k=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_dataframe_queries_match_list_queries(spark, docs):
+    qdf = spark.createDataFrame([(1, "fast hash join")],
+                                "query_id long, qtext string")
+    a = sorted(map(tuple, bm25_topk(docs, [(1, "fast hash join")]).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, qdf).collect()))
+    assert a == b
+
+
+def test_bm25_exclude_query_doc_keeps_ranks_dense(spark, docs):
+    # Query-by-document: doc 1's own text, self dropped BEFORE ranking —
+    # doc 1 absent, ranks still 1..n dense, other docs' scores untouched.
+    qdf = spark.createDataFrame([(1, DOCS[0][1])],
+                                "query_id long, qtext string")
+    rows = bm25_topk(docs, qdf, k=10, exclude_query_doc=True).collect()
+    assert 1 not in {r.doc_id for r in rows}
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    with_self = {r.doc_id: r.score_4dp
+                 for r in bm25_topk(docs, qdf, k=10).collect()}
+    for r in rows:
+        assert r.score_4dp == with_self[r.doc_id]
+
+
+def test_rrf_fuse_hand_case(spark):
+    from ds_ga1004_bigdata_project_spark.operators.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank int")
+    rows = {r.doc_id: r for r in rrf_fuse(sparse, dense, k0=60, k=10).collect()}
+    # doc 11 in both lists wins; singles score exactly round(1/(60+r), 6).
+    assert rows[11].rank == 1
+    assert rows[11].rrf_score == round(1 / 62, 6) + round(1 / 61, 6)
+    assert rows[10].rrf_score == round(1 / 61, 6)
+    assert rows[13].rrf_score == round(1 / 62, 6)
+    assert rows[12].rrf_score == round(1 / 63, 6)
+    assert rows[10].dense_rank is None and rows[13].sparse_rank is None
+    # tie: docs 10 (sparse r1) and 13 (dense r2)? 1/61 > 1/62 — strict
+    # order here; equal contributions tie-break on ascending doc_id.
+    eq = spark.createDataFrame([(2, 20, 1)], "query_id long, doc_id long, rank int")
+    ed = spark.createDataFrame([(2, 19, 1)], "query_id long, doc_id long, rank int")
+    tied = sorted((r.rank, r.doc_id)
+                  for r in rrf_fuse(eq, ed, k0=60, k=10)
+                  .filter(F.col("query_id") == 2).collect())
+    assert tied == [(1, 19), (2, 20)]
