@@ -940,3 +940,54 @@ def cross_doc_boilerplate(df: DataFrame, n: int = 5,
                  F.round(F.sum("_r").cast("double") / F.count("*"), 4)
                  .alias("mean_boiler_ratio"))
             .orderBy(source_col))
+
+
+def leakage_safe_split(df: DataFrame, min_jaccard: float = 0.6, n: int = 3,
+                       fractions: tuple[float, float] = (0.8, 0.1),
+                       salt: int = 42, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       caches: list[DataFrame] | None = None) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: documents are split at the NEAR-DUP-CLUSTER level, not
+    the document level. A doc-level random split puts ~2·p·(1-p) of every
+    duplicate pair on opposite sides of the train/eval fence — the
+    benchmark-contamination mechanism dedup exists to prevent — so the
+    unit of assignment must be the cluster.
+
+    Construction: exact n-gram-Jaccard near-dup pairs above
+    ``min_jaccard`` (:func:`ngram_jaccard_pairs` — inverted-index
+    candidates, no all-pairs) → connected components via
+    :func:`resolve_keep_list` (frontier-only, touches edge endpoints) →
+    every document's cluster id is its component min id (singletons: the
+    doc id itself, via one left join — no corpus shuffle) → the CLUSTER
+    id, not the doc id, feeds the shared multiplicative hash
+    (``sampling._knuth_hash`` — the same cross-engine convention as every
+    deterministic sampler here) and permille thresholds derived from
+    ``fractions`` pick the split. Every member of a cluster hashes the
+    same value, so co-membership of a split is structural, not checked.
+
+    Returns (``id_col``, cluster_id, split) — one row per document,
+    split ∈ {'train','val','test'}."""
+    from .sampling import _knuth_hash
+
+    pairs = (ngram_jaccard_pairs(df, text_col=text_col, id_col=id_col,
+                                 n=n, min_jaccard=min_jaccard,
+                                 caches=caches)
+             .select("a", "b"))
+    touched = (pairs.select(F.col("a").alias("id"))
+               .unionByName(pairs.select(F.col("b").alias("id")))
+               .distinct())
+    labels = resolve_keep_list(touched, pairs).select("id", "keep_id")
+    out = (df.select(F.col(id_col))
+             .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+             .select(F.col(id_col),
+                     F.coalesce(F.col("keep_id"), F.col(id_col))
+                      .alias("cluster_id")))
+    h = F.pmod(_knuth_hash("cluster_id", salt), F.lit(1_000_000))
+    t_train = int(fractions[0] * 1_000_000)
+    t_val = int((fractions[0] + fractions[1]) * 1_000_000)
+    return out.withColumn(
+        "split",
+        F.when(h < t_train, F.lit("train"))
+         .when(h < t_val, F.lit("val"))
+         .otherwise(F.lit("test")))

@@ -5015,6 +5015,95 @@ def q151_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("query_id", "rank"))
 
 
+def _q152_oracle() -> str:
+    h = sampling._knuth_hash_sql("cluster_id", 42)
+    return f"""
+        -- Near-dup clusters (q32's exact inverted-index Jaccard, >= 0.6)
+        -- -> recursive min-label components -> CLUSTER-keyed knuth-hash
+        -- split (the q102/q105 hash convention) -> per-split/source
+        -- rollup. Exact integers and string compares end to end.
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                FROM documents)
+        ), sizes AS (
+          SELECT id, len(shingles) AS set_size FROM sh
+        ), posting AS (
+          SELECT id, unnest(shingles) AS shingle FROM sh
+        ), cand AS (
+          SELECT p1.id AS a, p2.id AS b, count(*) AS inter_cnt
+          FROM posting p1 JOIN posting p2
+            ON p1.shingle = p2.shingle AND p1.id < p2.id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b
+          FROM cand
+          JOIN sizes sa ON cand.a = sa.id
+          JOIN sizes sb ON cand.b = sb.id
+          WHERE round(inter_cnt /
+                      CAST(sa.set_size + sb.set_size - inter_cnt AS DOUBLE),
+                      6) >= 0.6
+        ), e AS (
+          SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+        ), reach AS (
+          SELECT DISTINCT a AS id, a AS lbl FROM e
+          UNION
+          SELECT e.b AS id, r.lbl FROM e JOIN reach r ON e.a = r.id
+        ), comp AS (
+          SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        ), asg AS (
+          SELECT d.doc_id, d.source,
+                 len(string_split_regex(d.text, '\\s+')) AS n_tok,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ), spl AS (
+          SELECT *,
+                 CASE WHEN ({h}) % 1000000 < 800000 THEN 'train'
+                      WHEN ({h}) % 1000000 < 900000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM asg
+        )
+        SELECT split, source, count(*) AS n_docs,
+               count(DISTINCT cluster_id) AS n_clusters,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM spl GROUP BY split, source ORDER BY split, source
+    """
+
+
+@_register(
+    "q152_leakage_safe_split",
+    survey="leakage-safe train/val/test split (near-dup-cluster-level assignment — no duplicate pair ever straddles the train/eval fence)",
+    oracle=_q152_oracle(),
+)
+def q152_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware corpus split (:func:`dedup.leakage_safe_split`):
+    near-dup clusters (exact n-gram Jaccard >= 0.6 over inverted-index
+    candidates, components via the adaptive ``resolve_keep_list`` tiers)
+    are the UNIT of train/val/test assignment — the shared multiplicative
+    hash keys on cluster_id, so every near-duplicate lands on the same
+    side of the fence by construction. Doc-level random splitting leaks
+    ~2p(1-p) of every dup pair into eval; this operator is why dedup and
+    splitting must compose, not just coexist. Rollup: per (split, source)
+    doc / distinct-cluster / exact token counts."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    assigned = dedup.leakage_safe_split(docs, min_jaccard=0.6, n=3,
+                                        fractions=(0.8, 0.1), salt=42)
+    return (assigned
+            .join(docs.select("doc_id", "source",
+                              T.token_count(F.col("text")).alias("n_tok")),
+                  "doc_id")
+            .groupBy("split", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("cluster_id").alias("n_clusters"),
+                 F.sum("n_tok").alias("n_tokens"))
+            .orderBy("split", "source"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5069,6 +5158,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
     "q151_hybrid_rrf_retrieval",
+    "q152_leakage_safe_split",
 )
 
 #: Queries whose code path changed since their last driver certification.
