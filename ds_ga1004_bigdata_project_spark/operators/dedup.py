@@ -946,6 +946,7 @@ def leakage_safe_split(df: DataFrame, min_jaccard: float = 0.6, n: int = 3,
                        fractions: tuple[float, float] = (0.8, 0.1),
                        salt: int = 42, text_col: str = "text",
                        id_col: str = "doc_id",
+                       max_doc_freq: int | None = None,
                        caches: list[DataFrame] | None = None) -> DataFrame:
     """Train/val/test assignment that can never leak near-duplicates
     across splits: documents are split at the NEAR-DUP-CLUSTER level, not
@@ -966,12 +967,20 @@ def leakage_safe_split(df: DataFrame, min_jaccard: float = 0.6, n: int = 3,
     ``fractions`` pick the split. Every member of a cluster hashes the
     same value, so co-membership of a split is structural, not checked.
 
+    ``max_doc_freq`` is the inverted-index stop-list passthrough
+    (:func:`ngram_jaccard_pairs`) — at corpus scale boilerplate shingles
+    make candidate generation quadratic without it; the recall trade-off
+    (a pair sharing ONLY ultra-common shingles is missed) is the
+    standard one and must be mirrored in any external replica of the
+    split.
+
     Returns (``id_col``, cluster_id, split) — one row per document,
     split ∈ {'train','val','test'}."""
     from .sampling import _knuth_hash
 
     pairs = (ngram_jaccard_pairs(df, text_col=text_col, id_col=id_col,
                                  n=n, min_jaccard=min_jaccard,
+                                 max_doc_freq=max_doc_freq,
                                  caches=caches)
              .select("a", "b"))
     touched = (pairs.select(F.col("a").alias("id"))

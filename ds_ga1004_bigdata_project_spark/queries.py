@@ -5152,8 +5152,9 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: Queries with NO driver row in any CORRECTNESS_r*.json — the very
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
-#: tuple was emptied per VERDICT r7 #1); the only never-certified query
-#: is q149, this round's new CDC partial-overlap clustering.
+#: tuple was emptied per VERDICT r7 #1); never-certified are this
+#: round's four additions — q149 (CDC partial-overlap clustering),
+#: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split).
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
