@@ -454,14 +454,17 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     (ranks stay dense), the convention of query-by-example evaluation.
 
     Inverted-index shape, so cost follows the QUERY terms, not the
-    vocabulary: the postings list (doc, term, tf) is built with one
-    map-side-combined shuffle, document frequencies with a second on term
-    keys, then the tiny query-term frame (terms × queries, deduplicated)
-    is BROADCAST against the postings scan — only postings of query terms
-    survive, everything else dies at the scan. A 100 TB corpus pays two
-    linear token-keyed shuffles once (both cacheable as an index) and a
-    broadcast-filtered aggregation per query batch; no vocab-wide join
-    ever ships the corpus.
+    corpus: the deduplicated query-term set is BROADCAST against the
+    exploded token stream, so non-query tokens die at the scan and ONLY
+    query-term postings enter any shuffle. Per-term document frequency
+    is exact from those surviving postings (every posting of a query
+    term survives the filter), which deletes the corpus-wide vocabulary
+    aggregation the naive plan pays; document length rides the postings
+    groupBy key (constant within a doc — zero extra shuffle width), so
+    no corpus-sized dl join exists either. What remains corpus-wide is
+    two scans: the filtered token explode and one map-side-combined
+    scalar aggregate for N and Σdl. Nothing vocabulary-sized or
+    corpus-sized ever shuffles.
 
     Cross-engine determinism: corpus size N and Σdl are exact integers,
     so ``dl/avgdl`` is computed as ``dl·N / Σdl`` (IEEE division of
@@ -476,11 +479,8 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     from pyspark.sql.window import Window
 
     toks = ws_tokens(F.lower(F.col(text_col)))
-    tf = (df.select(F.col(id_col), F.explode(toks).alias("t"))
-            .groupBy(id_col, "t").agg(F.count("*").alias("tf")))
-    dl = df.select(F.col(id_col), F.size(toks).alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
-    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    stats = (df.select(F.size(toks).alias("dl"))
+               .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl")))
 
     if isinstance(queries, (list, tuple)):
         qrows = [(int(qid), qtext) for qid, qtext in queries]
@@ -492,10 +492,19 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
                          F.explode(ws_tokens(F.lower(F.col("qtext"))))
                           .alias("t"))
                  .distinct())
-    # Tiny frame: |queries|·|terms| rows with idf attached — THIS is what
-    # gets broadcast, so the postings join doubles as the candidate filter.
+
+    # Broadcast the distinct query-term SET against the exploded token
+    # stream: non-query tokens never leave the scan stage, and dl rides
+    # the groupBy key, so the only postings shuffle is query-term-sized.
+    tf = (df.select(F.col(id_col), F.size(toks).alias("dl"),
+                    F.explode(toks).alias("t"))
+            .join(F.broadcast(qterms.select("t").distinct()), "t")
+            .groupBy(id_col, "dl", "t").agg(F.count("*").alias("tf")))
+    # df(t) is exact from the surviving postings — every posting of a
+    # query term survived the filter above.
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     qt = (qterms.join(dfreq, "t")
-                .crossJoin(stats)
+                .crossJoin(F.broadcast(stats))
                 .select("query_id", "t",
                         F.log(F.lit(1.0)
                               + (F.col("n") - F.col("df") + F.lit(0.5))
@@ -507,7 +516,6 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
                * (F.lit(1.0 - b)
                   + F.lit(b) * F.col("dl") * F.col("n") / F.col("sum_dl"))))
     scored = (tf.join(F.broadcast(qt), "t")
-                .join(dl, id_col)
                 .select("query_id", id_col,
                         F.round(part, scale)
                          .cast(f"decimal(18,{scale})").alias("part"))
