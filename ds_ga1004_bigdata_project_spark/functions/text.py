@@ -500,6 +500,14 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
                     F.explode(toks).alias("t"))
             .join(F.broadcast(qterms.select("t").distinct()), "t")
             .groupBy(id_col, "dl", "t").agg(F.count("*").alias("tf")))
+    # The postings frame feeds BOTH df(t) (inside the qt broadcast
+    # subtree) and the scoring join. Unpersisted, the corpus-wide token
+    # explode would execute twice — and the broadcast-side copy runs
+    # under the driver's broadcast-build path, where heap pressure makes
+    # its cost wildly variable (observed 3.5→60 s swings in-suite).
+    # The frame itself is query-term-sized, so caching it is cheap at
+    # any corpus scale.
+    tf = tf.persist()
     # df(t) is exact from the surviving postings — every posting of a
     # query term survived the filter above.
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
