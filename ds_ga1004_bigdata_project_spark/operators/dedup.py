@@ -1000,3 +1000,81 @@ def leakage_safe_split(df: DataFrame, min_jaccard: float = 0.6, n: int = 3,
         F.when(h < t_train, F.lit("train"))
          .when(h < t_val, F.lit("val"))
          .otherwise(F.lit("test")))
+
+
+def span_dedup_rewrite(df: DataFrame, k: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       key_mode: str = "string") -> DataFrame:
+    """Exact duplicated-SPAN rewrite (the substring-dedup tier of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    every k-token span that occurs more than once corpus-wide keeps its
+    FIRST occurrence (lexicographic min (doc id, position)) and is cut
+    out of every later occurrence, then each document is rebuilt from its
+    surviving tokens in original order. Unlike doc-level dedup this
+    removes the memorization-prone repeated passage while keeping both
+    documents' unique remainder — intra-document repetition is handled
+    by the same rule (a doc repeating its own span loses the later copy).
+
+    Matching is case-normalized; the rebuild keeps original casing
+    (positions align because both views split on the same whitespace).
+    Single pass: spans whose winner occurrence is itself cut by a
+    DIFFERENT overlapping span are not re-adjudicated — the standard
+    practical semantics (the reference suffix-array pipeline makes the
+    same choice per pass).
+
+    Plan shape: positional k-grams come from the O(len) zipped-shift
+    shingle builder, ONE shuffle on the gram key finds winners via a
+    map-side-combined ``min(struct(id, pos))`` (partial aggregation — a
+    window row_number over gram would shuffle every occurrence of hot
+    boilerplate grams to one task), losers shuffle back doc-keyed as
+    bare (id, start) ints, and coverage + rebuild are array-land in one
+    projection. The covered-index array is projected as a column
+    referenced twice (size + membership filter) so CollapseProject
+    cannot re-inline it into the lambda (the O(n²) HOF trap, SCALE.md
+    r7). Rebuild cost is O(tokens × covered-spans) per doc — bounded by
+    the doc's own duplication, not the corpus.
+
+    ``key_mode='hash64'`` shuffles 8-byte ``xxhash64(gram)`` keys instead
+    of ~k-word strings — the 100 TB mode (collision odds ~(grams²)/2⁶⁴;
+    tested equal to string keys on fixtures). ``'string'`` is exact and
+    is what the DuckDB oracle mirrors.
+
+    Returns (``id_col``, n_tokens, n_removed, clean_text) — one row per
+    document, unchanged docs with n_removed = 0 and their original text."""
+    if k < 2:
+        raise ValueError(f"span length k must be >= 2, got {k}")
+    if key_mode not in ("string", "hash64"):
+        raise ValueError(f"unknown key_mode {key_mode!r}")
+
+    norm = ws_tokens(F.lower(F.col(text_col)))
+    grams = df.select(
+        F.col(id_col), F.posexplode(word_shingles(norm, k)).alias("pos", "g"))
+    if key_mode == "hash64":
+        grams = grams.select(id_col, "pos", F.xxhash64("g").alias("g"))
+
+    winners = (grams.groupBy("g")
+               .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("win"),
+                    F.count("*").alias("c"))
+               .filter(F.col("c") > 1)
+               .select("g", "win"))
+    losers = (grams.join(winners, "g")
+              .filter((F.col(id_col) != F.col(f"win.{id_col}"))
+                      | (F.col("pos") != F.col("win.pos")))
+              .select(id_col, "pos"))
+    spans = losers.groupBy(id_col).agg(
+        F.collect_set("pos").alias("starts"))
+
+    base = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("w"))
+    joined = (base.join(spans, id_col, "left")
+              .select(id_col, "w",
+                      F.array_distinct(F.flatten(F.transform(
+                          F.coalesce("starts",
+                                     F.array().cast("array<int>")),
+                          lambda p: F.sequence(p, p + F.lit(k - 1)))))
+                       .alias("covered")))
+    kept = F.filter("w", lambda t, i: ~F.array_contains(F.col("covered"), i))
+    return joined.select(
+        F.col(id_col),
+        F.size("w").alias("n_tokens"),
+        F.size("covered").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"))

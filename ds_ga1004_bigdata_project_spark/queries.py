@@ -5104,6 +5104,72 @@ def q152_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split", "source"))
 
 
+@_register(
+    "q153_span_dedup_rewrite",
+    survey="exact duplicated-span rewrite (k-token span keeps first occurrence, later copies cut and docs rebuilt — Lee et al. 2021 substring-dedup tier)",
+    oracle="""
+        -- Same semantics: case-normalized k=8 gram matching, winner =
+        -- lexicographic min (doc_id, position), losers' k positions cut,
+        -- rebuild from ORIGINAL-case tokens in order. Exact integers and
+        -- strings end to end.
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(text, '\\s+') AS w,
+                 string_split_regex(lower(text), '\\s+') AS wl
+          FROM documents
+        ), occ AS (
+          SELECT doc_id, i,
+                 array_to_string(list_slice(wl, i, i + 7), ' ') AS g
+          FROM (SELECT doc_id, wl,
+                       unnest(generate_series(1, len(wl) - 7)) AS i
+                FROM toks)
+        ), marked AS (
+          SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY g
+                                    ORDER BY doc_id, i) AS rn,
+                 count(*) OVER (PARTITION BY g) AS c
+          FROM occ
+        ), covered AS (
+          SELECT DISTINCT doc_id, i + unnest(generate_series(0, 7)) AS j
+          FROM marked WHERE c > 1 AND rn > 1
+        ), tok AS (
+          SELECT doc_id, i, w[i] AS tok
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w))) AS i
+                FROM toks)
+        ), rebuilt AS (
+          SELECT t.doc_id,
+                 count(*) AS n_tokens,
+                 count(c.j) AS n_removed,
+                 coalesce(string_agg(CASE WHEN c.j IS NULL THEN t.tok END,
+                                     ' ' ORDER BY t.i), '') AS clean_text
+          FROM tok t LEFT JOIN covered c
+            ON t.doc_id = c.doc_id AND t.i = c.j
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens, n_removed, clean_text
+        FROM rebuilt WHERE n_removed > 0
+        ORDER BY n_removed DESC, doc_id ASC
+        LIMIT 25
+    """,
+)
+def q153_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (:func:`dedup.span_dedup_rewrite`):
+    every duplicated 8-token span keeps its first corpus occurrence and
+    is cut from all later ones, documents rebuilt from surviving tokens
+    — the memorization-removal tier BETWEEN doc-level dedup (q30/q64)
+    and boilerplate exposure (q148): it edits documents instead of
+    dropping or merely scoring them. One map-side-combined shuffle on
+    gram keys (min-struct winners, skew-robust vs a per-gram window),
+    losers return doc-keyed as bare int pairs, coverage and rebuild are
+    one array-land projection. Surfaces the 25 most-rewritten docs."""
+    cat = Catalog(spark, sf_dir)
+    out = dedup.span_dedup_rewrite(cat.documents, k=8)
+    return (out.filter(F.col("n_removed") > 0)
+               .orderBy(F.desc("n_removed"), F.asc("doc_id"))
+               .limit(25))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5160,6 +5226,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q150_bm25_retrieval",
     "q151_hybrid_rrf_retrieval",
     "q152_leakage_safe_split",
+    "q153_span_dedup_rewrite",
 )
 
 #: Queries whose code path changed since their last driver certification.
