@@ -1,0 +1,117 @@
+"""Subword tokenizer training: distributed byte-pair encoding (BPE).
+
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units") — the tokenizer-training stage of an LLM data pipeline.
+The distributed shape matters more than the loop: the CORPUS is touched
+exactly once (a word-count pass); every merge iteration runs on the
+weighted word-VOCABULARY relation, which Heaps' law keeps sublinear in
+corpus size, and the only driver state per iteration is the single
+winning pair row. That is how BPE training stays tractable at 100 TB —
+the corpus pass is embarrassingly parallel, and the iterative part never
+touches the corpus again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import ws_tokens
+
+
+def _chars(col):
+    """Word → array of single characters. The split points are the
+    between-character boundaries only — without the ``(?!$)`` guard the
+    empty match at end-of-string yields a trailing '' element (Spark's
+    split keeps trailing empties, unlike Java's String.split)."""
+    return F.split(col, "(?!^)(?!$)")
+
+
+def _merge_fold(syms, left: str, right: str):
+    """One left-to-right non-overlapping merge pass over a symbol array.
+
+    A fold that either fuses the current symbol with the accumulator's
+    tail (when the tail is ``left`` and the symbol is ``right``) or
+    appends it. A freshly fused token can't chain-merge (the tail becomes
+    ``left+right`` ≠ ``left``), which is exactly BPE's single-pass rule.
+    O(len²) per word from accumulator copies — words are short, and this
+    runs on the vocabulary relation, not the corpus."""
+    fused = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
+              min_pair_count: int = 2,
+              return_vocab: bool = False):
+    """Learn a BPE merge list from a document corpus.
+
+    One corpus pass builds the weighted word vocabulary (lower-cased
+    whitespace words → counts); each of the ``n_merges`` iterations then:
+
+    1. explodes adjacent symbol pairs of every vocab word (zipped
+       shifted slices — O(len) per word, no index HOF),
+    2. sums pair frequencies weighted by word count (map-side combined,
+       pair-keyed shuffle of the VOCAB relation only),
+    3. takes the most frequent pair (ties break lexicographically — the
+       determinism contract), a ONE-ROW collect,
+    4. rewrites every vocab word's symbol array with the single-pass
+       merge fold, and localCheckpoints the tiny vocab so lineage (and
+       codegen depth) stays one iteration deep.
+
+    Stops early when no pair reaches ``min_pair_count``. Fully
+    deterministic: exact integer counts, lexicographic tie-break, no
+    RNG anywhere.
+
+    Returns the merge table (merge_rank, left, right, merged,
+    pair_count); with ``return_vocab`` a (merges, vocab) tuple where
+    vocab is (word, cnt, syms) — every corpus word's final
+    segmentation."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+
+    vocab = (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+                        .alias("word"))
+               .filter(F.col("word") != "")
+               .groupBy("word").agg(F.count("*").alias("cnt"))
+               .withColumn("syms", _chars(F.col("word")))
+               .localCheckpoint())
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+        tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+        pairs = (vocab.filter(F.size("syms") >= 2)
+                 .select("cnt",
+                         F.explode(F.zip_with(
+                             body, tail,
+                             lambda a, b: F.struct(a.alias("l"),
+                                                   b.alias("r"))))
+                          .alias("p"))
+                 .groupBy("p.l", "p.r")
+                 .agg(F.sum("cnt").alias("pc"))
+                 .filter(F.col("pc") >= min_pair_count)
+                 .orderBy(F.desc("pc"), "l", "r")
+                 .limit(1)
+                 .collect())
+        if not pairs:
+            break
+        left, right, pc = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["pc"])
+        merges.append((rank, left, right, left + right, pc))
+        vocab = (vocab.withColumn("syms",
+                                  _merge_fold(F.col("syms"), left, right))
+                      .localCheckpoint())
+
+    schema = ("merge_rank int, left string, right string, merged string, "
+              "pair_count bigint")
+    mdf = spark.createDataFrame(merges, schema)
+    return (mdf, vocab) if return_vocab else mdf

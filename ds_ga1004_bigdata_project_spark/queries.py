@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import subword
 from .functions import text as T
 from .ml import kmeans
 from .operators import aggregates as agg
@@ -5170,6 +5171,27 @@ def q153_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                .limit(25))
 
 
+@_register(
+    "q154_bpe_merges",
+    survey="distributed BPE merge learning (Sennrich 2016 — one corpus word-count pass, merge loop on the vocab relation, one-row driver state per iteration)",
+    oracle=None,  # iterative argmax-per-round is not expressible as a
+                  # single DuckDB query; value-pinned vs a pure-Python
+                  # reference (tests/test_subword.py) and in
+                  # tests/test_snapshot_pins.py.
+)
+def q154_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training surface (:func:`subword.bpe_learn`): learn 24
+    BPE merges from the corpus. The corpus is read ONCE (word counts);
+    every merge iteration runs on the weighted word-vocabulary relation
+    (Heaps-law sublinear in corpus size) with a single-row collect per
+    round — the structure that keeps BPE training tractable at 100 TB.
+    Exact integer counts and lexicographic tie-breaks make the merge
+    list fully deterministic."""
+    cat = Catalog(spark, sf_dir)
+    return (subword.bpe_learn(cat.documents, n_merges=24)
+            .orderBy("merge_rank"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5227,6 +5249,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q151_hybrid_rrf_retrieval",
     "q152_leakage_safe_split",
     "q153_span_dedup_rewrite",
+    "q154_bpe_merges",
 )
 
 #: Queries whose code path changed since their last driver certification.

@@ -54,9 +54,15 @@ def test_never_certified_tier_is_exact_and_oracle_backed():
         "artifact-derived never-certified set drifted from the static tier: "
         f"missing={actual_never - set(_NEVER_CERTIFIED)}, "
         f"stale={set(_NEVER_CERTIFIED) - actual_never}")
+    from .test_snapshot_pins import _PINS
     for name in _NEVER_CERTIFIED:
-        assert REGISTRY[name].oracle is not None, \
-            f"{name} enters the window uncertified — it must be oracle-backed"
+        # An uncertified query entering the window must carry independent
+        # value evidence: a DuckDB oracle, or — for ops that are rows-only
+        # BY DESIGN (iterative argmax, seeded paths) — a sha256 value pin
+        # under the 3-fresh-sessions protocol.
+        assert REGISTRY[name].oracle is not None or name in _PINS, (
+            f"{name} enters the window uncertified — it needs an oracle "
+            f"or a snapshot pin")
 
 
 def test_every_query_has_a_certification_round():

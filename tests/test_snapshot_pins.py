@@ -44,6 +44,10 @@ _PINS: dict[str, tuple[str, int]] = {
     "q59_brp_lsh_neighbors": ("b96a156e75a30b1c", 1252),
     "q61_bernoulli_sample": ("7bd77bcca224a972", 3),
     "q64_neardup_corpus": ("63dcc01bd05c2a7c", 5),
+    # q154: no DuckDB oracle by design (iterative argmax-per-round);
+    # the merge list is exact-integer deterministic and additionally
+    # verified against a pure-Python BPE reference in test_subword.py.
+    "q154_bpe_merges": ("19467f56e56394e1", 24),
 }
 
 
