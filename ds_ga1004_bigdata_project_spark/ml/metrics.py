@@ -213,3 +213,37 @@ def auc(df: DataFrame, score_col: str, label_col: str,
         out = out.select(F.round("auc", round_scale).alias("auc"),
                          "n_pos", "n_neg")
     return out
+
+
+def retrieval_recall_at_k(truth: DataFrame, cand: DataFrame, k: int,
+                          query_col: str = "query_id",
+                          id_col: str = "neighbor_id") -> DataFrame:
+    """Per-query recall@k of a candidate retrieval list against a
+    ground-truth list — the approximation-quality gauge for every ANN
+    tier here (quantized/IVF/LSH vs exact brute force): how much of the
+    true top-k does the cheap tier actually return?
+
+    Both inputs are top-k result frames (``query_col``, ``id_col``, …);
+    only membership matters, ranks don't (standard ANN-recall
+    convention). One broadcast-sized equi-join on (query, id) and a
+    query-keyed count — the eval costs candidates×1 lookup, nothing
+    corpus-shaped. ``n_overlap`` is an exact integer; ``recall`` is the
+    IEEE quotient n_overlap/k rounded to 4 dp (identical across engines
+    for small integers).
+
+    Returns (``query_col``, n_overlap, recall) — one row per
+    ground-truth query, including zero-overlap ones."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hits = cand.select(query_col, F.col(id_col).alias("_cand_id"))
+    return (truth.select(query_col, id_col)
+            .join(hits,
+                  (truth[query_col] == hits[query_col])
+                  & (F.col(id_col) == F.col("_cand_id")),
+                  "left")
+            .select(truth[query_col].alias(query_col), "_cand_id")
+            .groupBy(query_col)
+            .agg(F.count("_cand_id").alias("n_overlap"))
+            .select(query_col, "n_overlap",
+                    F.round(F.col("n_overlap") / F.lit(k), 4)
+                     .alias("recall")))

@@ -5192,6 +5192,70 @@ def q154_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("merge_rank"))
 
 
+@_register(
+    "q155_quantized_recall",
+    survey="ANN-tier quality evaluation: per-query recall@10 of the int8-quantized tier vs exact cosine ground truth (closes the eval loop on the retrieval stack)",
+    oracle=f"""
+        -- Both tiers replayed exactly (q40 float-cosine conventions,
+        -- q117 integer-dot quantization), then membership overlap per
+        -- probe. n_overlap is an exact integer; recall = n/10 is one
+        -- IEEE divide of small ints, identical across engines.
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+        truth AS (
+          SELECT query_id, n_id FROM (
+            SELECT query_id, n_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                     round({_DUCK_COS.format(a='qv', b='nv')} /
+                           nullif(sqrt({_DUCK_COS.format(a='qv', b='qv')}) *
+                                  sqrt({_DUCK_COS.format(a='nv', b='nv')}),
+                                  0.0), 6) DESC, n_id ASC) AS rn
+            FROM q, c WHERE n_id <> query_id) WHERE rn <= 10),
+        qz AS (
+          SELECT vec_id,
+                 CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+                      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding, x -> CAST(floor(
+                           x::DOUBLE * 127.0 /
+                           list_max(list_transform(embedding, y -> abs(y)))::DOUBLE)
+                           AS BIGINT)) END AS q
+          FROM embeddings),
+        cand AS (
+          SELECT query_id, n_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS n_id,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                          i -> a.q[i] * b.q[i])) AS BIGINT) DESC,
+                     b.vec_id ASC) AS rn
+            FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+          WHERE rn <= 10)
+        SELECT t.query_id,
+               count(c2.n_id) AS n_overlap,
+               round(count(c2.n_id) / 10.0, 4) AS recall
+        FROM truth t LEFT JOIN cand c2
+          ON t.query_id = c2.query_id AND t.n_id = c2.n_id
+        GROUP BY t.query_id
+        ORDER BY t.query_id
+    """,
+)
+def q155_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval (:func:`metrics.retrieval_recall_at_k`):
+    per-probe recall@10 of the int8-quantized search tier (q117) against
+    exact float-cosine ground truth (q40) — the gauge every approximate
+    tier needs before it replaces the exact one at scale. Overlap is a
+    broadcast-sized (query, id) equi-join on two top-k frames; nothing
+    corpus-shaped moves in the eval itself."""
+    from .ml import metrics as M
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    probes = emb.filter(F.col("vec_id") < 10)
+    truth = sim.cosine_topk(emb, probes, k=10)
+    cand = sim.quantized_topk(emb, probes, k=10)
+    return (M.retrieval_recall_at_k(truth, cand, k=10)
+             .orderBy("query_id"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5250,6 +5314,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q152_leakage_safe_split",
     "q153_span_dedup_rewrite",
     "q154_bpe_merges",
+    "q155_quantized_recall",
 )
 
 #: Queries whose code path changed since their last driver certification.

@@ -65,3 +65,34 @@ def test_rmse_native(spark):
     r = rmse(df, "label", "pred").collect()[0]
     assert r["rmse"] == pytest.approx(math.sqrt((1 + 0 + 16) / 3), abs=1e-12)
     assert r["n"] == 3
+
+
+# ---------------------------------------------------------------------
+# retrieval_recall_at_k (ANN-tier eval, q155)
+# ---------------------------------------------------------------------
+
+def test_retrieval_recall_hand_case(spark):
+    from ds_ga1004_bigdata_project_spark.ml.metrics import \
+        retrieval_recall_at_k
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12),
+         (2, 20), (2, 21), (2, 22),
+         (3, 30), (3, 31), (3, 32)],
+        "query_id int, neighbor_id int")
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99),     # 2/3 overlap
+         (2, 20), (2, 21), (2, 22),     # perfect
+         (3, 90), (3, 91), (3, 92)],    # zero overlap — must still appear
+        "query_id int, neighbor_id int")
+    out = {r.query_id: (r.n_overlap, r.recall)
+           for r in retrieval_recall_at_k(truth, cand, k=3).collect()}
+    assert out == {1: (2, 0.6667), 2: (3, 1.0), 3: (0, 0.0)}
+
+
+def test_retrieval_recall_rejects_bad_k(spark):
+    import pytest
+    from ds_ga1004_bigdata_project_spark.ml.metrics import \
+        retrieval_recall_at_k
+    df = spark.createDataFrame([(1, 2)], "query_id int, neighbor_id int")
+    with pytest.raises(ValueError):
+        retrieval_recall_at_k(df, df, k=0)
