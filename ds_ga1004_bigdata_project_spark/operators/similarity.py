@@ -474,3 +474,62 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "qdot"))
+
+
+def hard_negatives(emb: DataFrame, docs: DataFrame, probes: DataFrame,
+                   k_dense: int = 20, k_out: int = 10,
+                   max_jaccard: float = 0.5, n: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per probe,
+    the documents CLOSEST in embedding space that are NOT textual
+    near-duplicates of it. Dense top-``k_dense`` cosine candidates, each
+    verified with exact ``n``-gram Jaccard against the probe (the q32
+    convention: original-case whitespace tokens, distinct shingles);
+    candidates at or above ``max_jaccard`` are positives in disguise
+    (paraphrases/copies) and are dropped, the survivors re-rank by
+    cosine. This is the pair-mining stage of retrieval-model training —
+    negatives that are semantically close but lexically distinct are the
+    ones with gradient signal.
+
+    Scale shape: the dense stage is the broadcast-probe × corpus scan
+    (q40 tier); the Jaccard verification touches ONLY documents that
+    appear in some candidate pair (one semi-join-shaped inner join on
+    the distinct candidate ids — candidate-sized, never corpus-sized),
+    and each pair's intersection is an in-row ``array_intersect`` of two
+    distinct-shingle arrays. Nothing all-pairs, nothing corpus-shaped
+    past the dense scan.
+
+    Returns (query_id, hn_rank, neighbor_id, cosine_sim, jaccard),
+    ``hn_rank`` 1 = best surviving negative, top ``k_out`` per probe."""
+    from ..functions.text import word_shingles, ws_tokens
+
+    cand = cosine_topk(emb, probes, k=k_dense, id_col=id_col,
+                       vec_col=vec_col)
+    ids = (cand.select(F.col("query_id").alias(doc_id_col))
+           .unionByName(cand.select(F.col("neighbor_id").alias(doc_id_col)))
+           .distinct())
+    sh = (docs.join(ids, doc_id_col)
+          .select(F.col(doc_id_col),
+                  F.array_distinct(
+                      word_shingles(ws_tokens(F.col(text_col)), n))
+                   .alias("sh")))
+    qa = sh.select(F.col(doc_id_col).alias("query_id"),
+                   F.col("sh").alias("q_sh"))
+    qb = sh.select(F.col(doc_id_col).alias("neighbor_id"),
+                   F.col("sh").alias("n_sh"))
+    inter = F.size(F.array_intersect("q_sh", "n_sh"))
+    union = F.size("q_sh") + F.size("n_sh") - inter
+    jac = F.when(union > 0,
+                 F.round(inter / union.cast("double"), 6)) \
+           .otherwise(F.lit(0.0))
+    verified = (cand.join(qa, "query_id").join(qb, "neighbor_id")
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") < F.lit(max_jaccard)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (verified.withColumn("hn_rank", F.row_number().over(w))
+            .filter(F.col("hn_rank") <= k_out)
+            .select("query_id", "hn_rank", "neighbor_id", "cosine_sim",
+                    "jaccard"))

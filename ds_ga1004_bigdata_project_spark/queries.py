@@ -5256,6 +5256,88 @@ def q155_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("query_id"))
 
 
+@_register(
+    "q156_hard_negatives",
+    survey="hard-negative mining for contrastive training (dense cosine candidates verified non-duplicate by exact n-gram Jaccard, re-ranked)",
+    oracle=f"""
+        -- Dense top-20 (q40 conventions) per probe doc 0..4, exact
+        -- 3-gram Jaccard vs the probe (q32 conventions) on candidate
+        -- pairs only, candidates with jaccard >= 0.5 dropped, survivors
+        -- re-ranked by cosine. Integers + two rounded divides.
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+        dense AS (
+          SELECT query_id, n_id, cosine_sim FROM (
+            SELECT query_id, n_id,
+                   round({_DUCK_COS.format(a='qv', b='nv')} /
+                         nullif(sqrt({_DUCK_COS.format(a='qv', b='qv')}) *
+                                sqrt({_DUCK_COS.format(a='nv', b='nv')}),
+                                0.0), 6) AS cosine_sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                     round({_DUCK_COS.format(a='qv', b='nv')} /
+                           nullif(sqrt({_DUCK_COS.format(a='qv', b='qv')}) *
+                                  sqrt({_DUCK_COS.format(a='nv', b='nv')}),
+                                  0.0), 6) DESC, n_id ASC) AS rn
+            FROM q, c WHERE n_id <> query_id) WHERE rn <= 20),
+        sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                FROM documents)),
+        sizes AS (SELECT id, len(shingles) AS set_size FROM sh),
+        posting AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+        inter AS (
+          SELECT d.query_id, d.n_id, count(*) AS inter_cnt
+          FROM dense d
+          JOIN posting pa ON pa.id = d.query_id
+          JOIN posting pb ON pb.id = d.n_id AND pb.shingle = pa.shingle
+          GROUP BY d.query_id, d.n_id),
+        j AS (
+          SELECT d.query_id, d.n_id, d.cosine_sim,
+                 CASE WHEN sa.set_size + sb.set_size
+                           - coalesce(i.inter_cnt, 0) > 0
+                      THEN round(coalesce(i.inter_cnt, 0) /
+                                 CAST(sa.set_size + sb.set_size
+                                      - coalesce(i.inter_cnt, 0) AS DOUBLE),
+                                 6)
+                      ELSE 0.0 END AS jaccard
+          FROM dense d
+          LEFT JOIN inter i
+            ON d.query_id = i.query_id AND d.n_id = i.n_id
+          JOIN sizes sa ON sa.id = d.query_id
+          JOIN sizes sb ON sb.id = d.n_id),
+        ranked AS (
+          SELECT query_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                                    cosine_sim DESC, n_id ASC) AS hn_rank,
+                 n_id AS neighbor_id, cosine_sim, jaccard
+          FROM j WHERE jaccard < 0.5)
+        SELECT query_id, CAST(hn_rank AS INT) AS hn_rank, neighbor_id,
+               cosine_sim, jaccard
+        FROM ranked WHERE hn_rank <= 10
+        ORDER BY query_id, hn_rank
+    """,
+)
+def q156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (:func:`sim.hard_negatives`): per probe
+    document, the embedding-space nearest neighbors that exact 3-gram
+    Jaccard proves are NOT near-duplicates — semantically close,
+    lexically distinct, i.e. the negatives with training signal. Dense
+    candidates from the broadcast-probe cosine tier; Jaccard verification
+    touches only candidate-pair documents (one candidate-id semi-join,
+    in-row array_intersect), never the corpus."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return (sim.hard_negatives(emb, cat.documents,
+                               emb.filter(F.col("vec_id") < 5),
+                               k_dense=20, k_out=10, max_jaccard=0.5)
+            .orderBy("query_id", "hn_rank"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5315,6 +5397,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q153_span_dedup_rewrite",
     "q154_bpe_merges",
     "q155_quantized_recall",
+    "q156_hard_negatives",
 )
 
 #: Queries whose code path changed since their last driver certification.

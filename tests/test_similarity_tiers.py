@@ -131,3 +131,45 @@ def test_quantize_int8_bounds_and_recall(spark):
     candidate_recall = len(quant20 & exact) / len(exact)
     assert candidate_recall >= 0.95, \
         f"exact top-5 not covered by quantized top-20: {candidate_recall:.2f}"
+
+
+# ---------------------------------------------------------------------
+# hard_negatives (contrastive pair mining, q156)
+# ---------------------------------------------------------------------
+
+def test_hard_negatives_drops_neardup_and_reranks(spark):
+    from ds_ga1004_bigdata_project_spark.operators.similarity import \
+        hard_negatives
+    # Probe 0; neighbor 1 is its verbatim near-dup (jaccard 1.0) and the
+    # closest vector; neighbors 2 and 3 are lexically distinct.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.9, 0.3]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over dogs"),
+         (1, "the quick brown fox jumps over dogs"),
+         (2, "completely different words entirely here now folks"),
+         (3, "another unrelated set of tokens right here")],
+        "doc_id long, text string")
+    out = hard_negatives(emb, docs, emb.filter("vec_id = 0"),
+                         k_dense=3, k_out=3, max_jaccard=0.5).collect()
+    got = [(r.hn_rank, r.neighbor_id, r.jaccard) for r in out]
+    assert [g[1] for g in got] == [2, 3]        # near-dup 1 excluded
+    assert got[0][0] == 1 and got[1][0] == 2    # ranks re-densified
+    assert all(g[2] < 0.5 for g in got)
+
+
+def test_hard_negatives_short_doc_jaccard_zero(spark):
+    from ds_ga1004_bigdata_project_spark.operators.similarity import \
+        hard_negatives
+    # Neighbor text too short for a 3-gram: union empty -> jaccard 0.0,
+    # candidate survives.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(0, "xy zw"), (1, "ab cd")], "doc_id long, text string")
+    out = hard_negatives(emb, docs, emb.filter("vec_id = 0"),
+                         k_dense=2, k_out=2).collect()
+    assert [(r.neighbor_id, r.jaccard) for r in out] == [(1, 0.0)]
