@@ -222,6 +222,51 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         spark.read.parquet(f"{tmp}/sweep_results") \
             .orderBy(F.desc("map")).show(truncate=False)
 
+    print("== 12. LLM-corpus curation & retrieval (round-8 surface) ==")
+    docs = cat.documents
+
+    print("-- 12a. duplicated-span rewrite (Lee et al. substring dedup) --")
+    dedup.span_dedup_rewrite(docs, k=8) \
+        .filter(F.col("n_removed") > 0) \
+        .orderBy(F.desc("n_removed"), "doc_id") \
+        .select("doc_id", "n_tokens", "n_removed").show(3)
+
+    print("-- 12b. BPE merge learning (tokenizer training) --")
+    from ds_ga1004_bigdata_project_spark.functions import subword
+
+    subword.bpe_learn(docs, n_merges=8).orderBy("merge_rank").show(8)
+
+    print("-- 12c. hybrid retrieval: BM25 + dense cosine, RRF-fused --")
+    from pyspark.sql.window import Window as W
+
+    probes = (docs.filter(F.col("doc_id") < 3)
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("text").alias("qtext")))
+    sparse = TX.bm25_topk(docs, probes, k=20, exclude_query_doc=True)
+    emb = cat.embeddings
+    wd = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
+                                           F.asc("neighbor_id"))
+    dense_ranked = (sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3),
+                                    k=20)
+                    .withColumn("rank", F.row_number().over(wd))
+                    .select("query_id",
+                            F.col("neighbor_id").alias("doc_id"), "rank"))
+    sim.rrf_fuse(sparse, dense_ranked, k=5) \
+        .orderBy("query_id", "rank").show(10)
+
+    print("-- 12d. hard negatives for contrastive training --")
+    sim.hard_negatives(emb, docs, emb.filter(F.col("vec_id") < 3),
+                       k_dense=10, k_out=3).show(9)
+
+    print("-- 12e. leakage-safe split + ANN-tier recall check --")
+    dedup.leakage_safe_split(docs).groupBy("split") \
+        .agg(F.count("*").alias("n_docs")).orderBy("split").show()
+    from ds_ga1004_bigdata_project_spark.ml import metrics as MM
+
+    truth = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    cand = sim.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    MM.retrieval_recall_at_k(truth, cand, k=10).orderBy("query_id").show()
+
     spark.stop()
 
 
