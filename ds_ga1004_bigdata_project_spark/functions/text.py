@@ -389,7 +389,7 @@ def sequence_pack_slices(df, seq_len: int, id_col: str = "doc_id",
 
 
 def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
-                  k: float = 0.5, scale: int = 4):
+                  k: float = 0.5, scale: int = 4, train_df=None):
     """Corpus-trained bigram-LM negative log-likelihood per document — the
     perplexity-style quality filter of CCNet/Gopher-class pipelines (score
     each document against a language model of the corpus itself; the most
@@ -407,36 +407,58 @@ def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
     order and an ORDER-BY oracle agree bit-for-bit (the same discipline as
     ``operators.aggregates.exact_sum``).
 
+    ``train_df`` scores ``df`` against a model trained on a DIFFERENT
+    corpus (the Moore-Lewis / DSIR domain-selection shape). Bigrams the
+    model never saw still get an add-k-smoothed probability — the
+    model-count left joins coalesce to 0, so an unseen (w1, w2) under a
+    seen w1 scores ``ln(k/(c1+k·V))`` and a fully-unseen w1 scores
+    ``ln(1/V)``. With ``train_df=None`` (train = score corpus, the q146
+    path) every bigram exists in the model and the coalesces are inert —
+    values are bit-identical to the pre-refactor form.
+
     Returns (id_col, n_bigrams, mean_nll): one row per document with at
     least one bigram; higher mean_nll = less corpus-typical."""
-    toks = ws_tokens(F.lower(F.col(text_col)))
-    pairs = F.when(
-        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-    ).otherwise(
-        F.slice(
-            F.arrays_zip(toks.alias("w1"),
-                         F.slice(toks, 2, 1 << 30).alias("w2")),
-            1, F.size(toks) - 1))
-    bi = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
-            .select(id_col, F.col("p.w1").alias("w1"),
-                    F.col("p.w2").alias("w2")))
+    def _bigrams(frame):
+        toks = ws_tokens(F.lower(F.col(text_col)))
+        pairs = F.when(
+            F.size(toks) < 2,
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(
+            F.slice(
+                F.arrays_zip(toks.alias("w1"),
+                             F.slice(toks, 2, 1 << 30).alias("w2")),
+                1, F.size(toks) - 1))
+        return (frame.select(F.col(id_col), F.explode(pairs).alias("p"))
+                .select(id_col, F.col("p.w1").alias("w1"),
+                        F.col("p.w2").alias("w2")))
 
-    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = (df.select(F.explode(toks).alias("t")).agg(
+    model_src = df if train_df is None else train_df
+    bi = _bigrams(df)
+    mbi = bi if train_df is None else _bigrams(train_df)
+
+    c2 = mbi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = mbi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (model_src.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t")).agg(
         F.countDistinct("t").alias("v")))
 
-    lp = (bi.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+    lp = (bi.join(c2, ["w1", "w2"], "left").join(c1, ["w1"], "left")
             .crossJoin(F.broadcast(vocab))
             .select(
                 id_col,
-                F.round(F.log((F.col("c2") + F.lit(k))
-                              / (F.col("c1") + F.lit(k) * F.col("v"))),
+                F.round(F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                              / (F.coalesce(F.col("c1"), F.lit(0))
+                                 + F.lit(k) * F.col("v"))),
                         scale).cast(f"decimal(18,{scale})").alias("lp")))
     return (lp.groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
                    F.round(-F.sum("lp").cast("double")
-                           / F.count("*"), scale).alias("mean_nll")))
+                           / F.count("*"), scale).alias("mean_nll"),
+                   # The EXACT decimal NLL sum: consumers comparing two
+                   # models (q157 Moore-Lewis) difference these and divide
+                   # once — the rounded per-doc mean above can land on a
+                   # round-half boundary where engines disagree.
+                   (-F.sum("lp")).alias("sum_nll")))
 
 
 def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,

@@ -5338,6 +5338,113 @@ def q156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "hn_rank"))
 
 
+@_register(
+    "q157_domain_selection",
+    survey="cross-entropy-difference domain data selection (Moore-Lewis 2010 / DSIR family: score pool docs under target-domain vs raw LM, pick the most target-like)",
+    oracle="""
+        -- Two bigram LMs (q146 discipline): TARGET trained on lang='en'
+        -- docs (left-join + coalesce smoothing for unseen bigrams, vocab
+        -- from the target), RAW trained on the whole corpus. Per-bigram
+        -- log-probs are rounded-then-DECIMAL-summed; the Moore-Lewis
+        -- score is one EXACT decimal subtract of the two NLL sums and
+        -- one IEEE divide by the shared bigram count — no further
+        -- rounding step anywhere (a rounded per-doc mean difference can
+        -- land on a round-half boundary where engines disagree).
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), bi AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM toks)
+        ), tbi AS (
+          SELECT b.w1, b.w2 FROM bi b
+          JOIN toks t ON b.doc_id = t.doc_id AND t.lang = 'en'
+        ), tc2 AS (
+          SELECT w1, w2, count(*) AS c2 FROM tbi GROUP BY w1, w2
+        ), tc1 AS (
+          SELECT w1, count(*) AS c1 FROM tbi GROUP BY w1
+        ), tv AS (
+          SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(w) AS t FROM toks WHERE lang = 'en')
+        ), tsc AS (
+          SELECT b.doc_id,
+                 CAST(round(ln((coalesce(tc2.c2, 0) + 0.5)
+                               / (coalesce(tc1.c1, 0) + 0.5 * tv.v)), 4)
+                      AS DECIMAL(18,4)) AS lp
+          FROM bi b
+          LEFT JOIN tc2 ON b.w1 = tc2.w1 AND b.w2 = tc2.w2
+          LEFT JOIN tc1 ON b.w1 = tc1.w1
+          CROSS JOIN tv
+        ), tnll AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 -sum(lp) AS sum_t
+          FROM tsc GROUP BY doc_id
+        ), rc2 AS (
+          SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+        ), rc1 AS (
+          SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+        ), rv AS (
+          SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(w) AS t FROM toks)
+        ), rsc AS (
+          SELECT b.doc_id,
+                 CAST(round(ln((rc2.c2 + 0.5)
+                               / (rc1.c1 + 0.5 * rv.v)), 4)
+                      AS DECIMAL(18,4)) AS lp
+          FROM bi b
+          JOIN rc2 ON b.w1 = rc2.w1 AND b.w2 = rc2.w2
+          JOIN rc1 ON b.w1 = rc1.w1
+          CROSS JOIN rv
+        ), rnll AS (
+          SELECT doc_id, -sum(lp) AS sum_r
+          FROM rsc GROUP BY doc_id
+        )
+        SELECT t.doc_id, d.lang, t.n_bigrams,
+               CAST(t.sum_t - r.sum_r AS DOUBLE) / t.n_bigrams AS ce_diff
+        FROM tnll t
+        JOIN rnll r ON t.doc_id = r.doc_id
+        JOIN documents d ON t.doc_id = d.doc_id
+        WHERE d.lang <> 'en'
+        ORDER BY ce_diff ASC, t.doc_id ASC
+        LIMIT 25
+    """,
+)
+def q157_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain data selection by cross-entropy difference (Moore & Lewis
+    2010, the ancestor of DSIR): score every pool document under a
+    target-domain bigram LM (here lang='en') AND the raw-corpus LM; the
+    documents where H_target − H_raw is most negative are the
+    out-of-domain pool's most target-like members — the classic recipe
+    for mining domain-relevant training data from a general crawl. Both
+    scoring passes are the q146 linear-shuffle shape; unseen bigrams
+    smooth via left-join coalesce (:func:`text.bigram_lm_nll` with
+    ``train_df``); the final score is one subtract of two
+    decimal-exact NLLs."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    target = docs.filter(F.col("lang") == "en")
+    h_t = (T.bigram_lm_nll(docs, train_df=target)
+           .select("doc_id", "n_bigrams",
+                   F.col("sum_nll").alias("sum_t")))
+    h_r = (T.bigram_lm_nll(docs)
+           .select("doc_id", F.col("sum_nll").alias("sum_r")))
+    # ce_diff = (Σnll_t − Σnll_r)/n computed from the EXACT decimal sums:
+    # one decimal subtract (exact), one IEEE divide of identical operands
+    # — bit-identical across engines with NO rounding step, where a
+    # rounded per-doc mean difference can land on a round-half boundary.
+    return (h_t.join(h_r, "doc_id")
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .filter(F.col("lang") != "en")
+            .select("doc_id", "lang", "n_bigrams",
+                    ((F.col("sum_t") - F.col("sum_r")).cast("double")
+                     / F.col("n_bigrams")).alias("ce_diff"))
+            .orderBy(F.asc("ce_diff"), F.asc("doc_id"))
+            .limit(25))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5398,6 +5505,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q154_bpe_merges",
     "q155_quantized_recall",
     "q156_hard_negatives",
+    "q157_domain_selection",
 )
 
 #: Queries whose code path changed since their last driver certification.
@@ -5410,6 +5518,10 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
 #: artifact+pytest surface.
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q56_minhash_pairs", "q64_neardup_corpus",
+    # bigram_lm_nll grew the train_df scoring path (left-join + coalesce
+    # smoothing) for q157; the q146 values are replica-verified identical
+    # but the code path changed, so it re-certifies.
+    "q146_bigram_lm_nll",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.

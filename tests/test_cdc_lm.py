@@ -177,3 +177,41 @@ def test_cross_doc_boilerplate_hand_case(spark):
         assert out[s].n_docs == 5
         assert out[s].n_flagged == 5  # 0.25 > 0.2
         assert float(out[s].mean_boiler_ratio) == pytest.approx(0.25)
+
+
+def test_bigram_lm_separate_train_corpus_smooths_unseen(spark):
+    # Model trained ONLY on doc 1 ("a b a b"): c2 (a,b)=2 (b,a)=1,
+    # c1 a=2 b=1, V={a,b}=2. Scoring doc 2 "a b z": bigram (a,b) seen,
+    # (b,z) unseen under seen w1=b -> ln(k/(c1_b + kV)); doc 3 "z z":
+    # fully unseen w1 -> ln(k/(kV)) = ln(1/V).
+    import math
+
+    train = spark.createDataFrame([(1, "a b a b")],
+                                  "doc_id long, text string")
+    score = spark.createDataFrame([(2, "a b z"), (3, "z z")],
+                                  "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bigram_lm_nll(score, train_df=train).collect()}
+    k, v = 0.5, 2
+    lp_ab = round(math.log((2 + k) / (2 + k * v)), 4)
+    lp_bz = round(math.log((0 + k) / (1 + k * v)), 4)
+    lp_zz = round(math.log((0 + k) / (0 + k * v)), 4)
+    assert out[2].n_bigrams == 2
+    assert out[2].mean_nll == pytest.approx(
+        round(-(lp_ab + lp_bz) / 2, 4), abs=1e-9)
+    assert out[3].mean_nll == pytest.approx(round(-lp_zz, 4), abs=1e-9)
+    # exact decimal sum exposed for cross-model differencing (q157)
+    assert float(out[2].sum_nll) == pytest.approx(-(lp_ab + lp_bz), abs=1e-9)
+
+
+def test_bigram_lm_default_train_is_unchanged_by_refactor(spark):
+    # train_df=None must reproduce the historical self-trained values —
+    # the left-join coalesces are inert when every bigram is in-model.
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (4, "c c c")],
+        "doc_id long, text string")
+    a = sorted((r.doc_id, r.n_bigrams, r.mean_nll)
+               for r in bigram_lm_nll(df).collect())
+    b = sorted((r.doc_id, r.n_bigrams, r.mean_nll)
+               for r in bigram_lm_nll(df, train_df=df).collect())
+    assert a == b
