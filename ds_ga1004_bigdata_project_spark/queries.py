@@ -5445,6 +5445,75 @@ def q157_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(25))
 
 
+@_register(
+    "q158_cluster_cap_sample",
+    survey="cluster-capped diversity sampling (semantic-bucket quota: per-cluster cap keeps the corpus from collapsing onto its dense modes — ClusterClip/SemDeDup-adjacent pruning stage)",
+    oracle="""
+        -- q126 assignment conventions (8 fixed centroids, rounded d2,
+        -- cid tie-break), then a per-cluster cap of 10 keeping the
+        -- vectors CLOSEST to their centroid, plus the per-cluster
+        -- kept/dropped accounting. Exact integers and 6dp distances.
+        WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+        p AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                          * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6)
+                   AS d2
+          FROM embeddings e, c),
+        assigned AS (
+          SELECT vec_id, cid, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2 ASC, cid ASC) AS rn
+            FROM p) WHERE rn = 1),
+        capped AS (
+          SELECT cid, vec_id, d2,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY d2 ASC, vec_id ASC) AS krank,
+                 count(*) OVER (PARTITION BY cid) AS n_cluster
+          FROM assigned)
+        SELECT cid, CAST(krank AS INT) AS krank, vec_id, d2,
+               CAST(n_cluster AS BIGINT) AS n_cluster,
+               CAST(n_cluster - least(n_cluster, 10) AS BIGINT) AS n_dropped
+        FROM capped WHERE krank <= 10
+        ORDER BY cid, krank
+    """,
+)
+def q158_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving corpus pruning: assign every embedding to its
+    nearest fixed centroid (the q126 zero-corpus-shuffle broadcast
+    argmin), then CAP each semantic cluster at 10 members, keeping the
+    closest-to-centroid representatives and reporting how much each
+    dense mode was cut. The cap is what stops web-scale corpora from
+    collapsing onto their over-represented modes (the
+    ClusterClip/CCNet-bucketing motivation); one doc-keyed window per
+    cluster — WindowGroupLimit-prunable, no global sort."""
+    from pyspark.sql import Window as W
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings.select("vec_id", "embedding")
+    cents = (cat.embeddings.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    assigned = kmeans.assign(emb, cents).select("vec_id", "cid", "d2")
+    # Cluster sizes via a map-side-combined groupBy (k-row output), NOT a
+    # count(*) OVER (PARTITION BY cid) — that window would drag every
+    # corpus row through k hot partitions AND defeat the WindowGroupLimit
+    # prune on the rank window below (which keeps only 10 rows per cid
+    # per map task ahead of the shuffle).
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_cluster"))
+    wk = W.partitionBy("cid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (assigned
+            .withColumn("krank", F.row_number().over(wk))
+            .filter(F.col("krank") <= 10)
+            .join(F.broadcast(sizes), "cid")
+            .select("cid", "krank", "vec_id", "d2", "n_cluster",
+                    (F.col("n_cluster")
+                     - F.least(F.col("n_cluster"), F.lit(10)))
+                    .alias("n_dropped"))
+            .orderBy("cid", "krank"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5506,6 +5575,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q155_quantized_recall",
     "q156_hard_negatives",
     "q157_domain_selection",
+    "q158_cluster_cap_sample",
 )
 
 #: Queries whose code path changed since their last driver certification.
