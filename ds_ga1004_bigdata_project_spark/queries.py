@@ -5563,8 +5563,14 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
 #: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's four additions — q149 (CDC partial-overlap clustering),
-#: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split).
+#: round's ten additions — q149 (CDC partial-overlap clustering),
+#: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
+#: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
+#: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
+#: domain selection), q158 (cluster-capped sampling). Front = these 10
+#: + 3 changed (q56/q64 LSH blast-radius, q146 bigram-LM refactor) +
+#: the anchor = 14; the remaining 36 slots refresh stalest-first per
+#: the rotation SLO.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
