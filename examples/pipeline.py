@@ -258,7 +258,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     sim.hard_negatives(emb, docs, emb.filter(F.col("vec_id") < 3),
                        k_dense=10, k_out=3).show(9)
 
-    print("-- 12e. leakage-safe split + ANN-tier recall check --")
+    print("-- 12e. Moore-Lewis domain selection (most en-like non-en docs) --")
+    target = docs.filter(F.col("lang") == "en")
+    h_t = (TX.bigram_lm_nll(docs, train_df=target)
+           .select("doc_id", "n_bigrams", F.col("sum_nll").alias("sum_t")))
+    h_r = (TX.bigram_lm_nll(docs)
+           .select("doc_id", F.col("sum_nll").alias("sum_r")))
+    (h_t.join(h_r, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "lang",
+                ((F.col("sum_t") - F.col("sum_r")).cast("double")
+                 / F.col("n_bigrams")).alias("ce_diff"))
+        .orderBy("ce_diff", "doc_id").show(5))
+
+    print("-- 12f. leakage-safe split + ANN-tier recall check --")
     dedup.leakage_safe_split(docs).groupBy("split") \
         .agg(F.count("*").alias("n_docs")).orderBy("split").show()
     from ds_ga1004_bigdata_project_spark.ml import metrics as MM
