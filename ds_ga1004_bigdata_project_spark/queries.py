@@ -5514,6 +5514,84 @@ def q158_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cid", "krank"))
 
 
+@_register(
+    "q159_adaptive_quality_gate",
+    survey="per-source adaptive quality gate (exact p25 order-statistic threshold per domain — the FineWeb-style per-domain filter, all-integer scoring)",
+    oracle="""
+        -- Integer-only: score_bp = (distinct-token count * 10000) // n
+        -- (basis points of the distinct-token ratio — no float, no
+        -- round-half boundary anywhere); per-source p25 threshold is the
+        -- score at ascending rank ceil(n/4) = (n+3)//4; docs strictly
+        -- below their source's threshold are dropped.
+        WITH scored AS (
+          SELECT doc_id, source,
+                 (len(list_distinct(w)) * 10000) // len(w) AS score_bp
+          FROM (SELECT doc_id, source,
+                       string_split_regex(lower(text), '\\s+') AS w
+                FROM documents)
+          WHERE len(w) > 0
+        ), ranked AS (
+          SELECT doc_id, source, score_bp,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score_bp ASC, doc_id ASC)
+                   AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM scored
+        ), thr AS (
+          SELECT source, score_bp AS thr_bp
+          FROM ranked WHERE rn = (n + 3) // 4
+        )
+        SELECT r.source,
+               count(*) AS n_docs,
+               CAST(min(t.thr_bp) AS BIGINT) AS thr_bp,
+               CAST(sum(CASE WHEN r.score_bp < t.thr_bp
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN r.score_bp >= t.thr_bp
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ranked r JOIN thr t ON r.source = t.source
+        GROUP BY r.source
+        ORDER BY r.source
+    """,
+)
+def q159_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain adaptive quality filtering: every source gets its OWN
+    p25 quality threshold (exact order statistic, not a corpus-global
+    cutoff), and documents strictly below their domain's bar are
+    dropped — a global threshold over-prunes terse domains and
+    under-prunes verbose ones, which is why production pipelines
+    calibrate per source. Scoring is ALL-INTEGER (distinct-token basis
+    points via integral division), so no engine can disagree on a
+    boundary. One source-partitioned window pass computes rank and
+    group size together (same exchange+sort); the 100 TB tier for
+    thousands of large domains is the q121 approximate-percentile path
+    — this operator is the exact, certifiable twin."""
+    from pyspark.sql import Window as W
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    scored = (cat.documents
+              .select("doc_id", "source",
+                      F.expr("(size(array_distinct(split(lower(text), "
+                             "'\\\\s+'))) * 10000L) div "
+                             "size(split(lower(text), '\\\\s+'))")
+                       .alias("score_bp"))
+              .filter(F.size(toks) > 0))
+    ws = W.partitionBy("source")
+    wr = ws.orderBy(F.asc("score_bp"), F.asc("doc_id"))
+    ranked = (scored.withColumn("rn", F.row_number().over(wr))
+                    .withColumn("n", F.count("*").over(ws)))
+    thr = (ranked.filter(F.col("rn") == F.expr("(n + 3) div 4"))
+           .select("source", F.col("score_bp").alias("thr_bp")))
+    return (ranked.join(F.broadcast(thr), "source")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("thr_bp").alias("thr_bp"),
+                 F.sum(F.when(F.col("score_bp") < F.col("thr_bp"), 1)
+                        .otherwise(0)).alias("n_dropped"),
+                 F.sum(F.when(F.col("score_bp") >= F.col("thr_bp"), 1)
+                        .otherwise(0)).alias("n_kept"))
+            .orderBy("source"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5582,6 +5660,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q156_hard_negatives",
     "q157_domain_selection",
     "q158_cluster_cap_sample",
+    "q159_adaptive_quality_gate",
 )
 
 #: Queries whose code path changed since their last driver certification.
