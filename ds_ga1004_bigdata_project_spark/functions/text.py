@@ -560,3 +560,241 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "rank", id_col, "n_terms",
                           "score_4dp"))
+
+
+def _adjacent_pairs(toks: Column) -> Column:
+    """Adjacent (w1, w2) token pairs as an array of structs — the shared
+    zip-slice construction of the bigram family (no explode here; callers
+    explode once into their own count shape)."""
+    return F.when(
+        F.size(toks) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.slice(F.arrays_zip(toks.alias("w1"),
+                             F.slice(toks, 2, 1 << 30).alias("w2")),
+                1, F.size(toks) - 1))
+
+
+def pmi_collocations(df, text_col: str = "text", min_count: int = 5,
+                     scale: int = 4):
+    """Collocation mining by pointwise mutual information — the classic
+    phrase-detection / tokenizer-vocabulary pass (Church & Hanks 1990;
+    word2vec's phrase-joining step is the same count ratio): adjacent
+    token pairs whose joint frequency beats the independence prediction
+    of their unigram frequencies.
+
+    Plan shape: ONE token explode feeds the unigram counts and ONE bigram
+    explode feeds the pair counts (both map-side-combined shuffles on
+    token keys). The corpus totals (token count N, bigram count M, from
+    the UNFILTERED counts) are one tiny agg each over the already-reduced
+    count relations — no second corpus pass. The ``min_count`` filter
+    lands BEFORE the unigram joins, so only surviving pairs (a vanishing
+    fraction of the pair vocabulary at scale) ever join. Linear in
+    tokens; no all-pairs step anywhere.
+
+    Cross-engine determinism: every operand is an exact integer count;
+    the PMI ratio is evaluated in ONE fixed association
+    ``(c12/M) / ((c1/N) * (c2/N))`` in both engines and the single ``ln``
+    is rounded to ``scale`` (the q146 bigram-LM discipline — each divide
+    is one IEEE op on exact-integer-valued doubles).
+
+    Returns (w1, w2, c12, pmi) for pairs with ``c12 >= min_count``.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    uni = (df.select(F.explode(toks).alias("t"))
+             .groupBy("t").agg(F.count("*").alias("c1")))
+    bi_all = (df.select(F.explode(_adjacent_pairs(toks)).alias("p"))
+                .select(F.col("p.w1").alias("w1"),
+                        F.col("p.w2").alias("w2"))
+                .groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    n_tok = uni.agg(F.sum("c1").cast("double").alias("n_tok"))
+    m_bi = bi_all.agg(F.sum("c12").cast("double").alias("m_bi"))
+    surviving = bi_all.filter(F.col("c12") >= min_count)
+    joined = (surviving
+              .join(uni.select(F.col("t").alias("w1"),
+                               F.col("c1").alias("c1a")), "w1")
+              .join(uni.select(F.col("t").alias("w2"),
+                               F.col("c1").alias("c1b")), "w2")
+              .crossJoin(F.broadcast(n_tok))
+              .crossJoin(F.broadcast(m_bi)))
+    ratio = ((F.col("c12").cast("double") / F.col("m_bi"))
+             / ((F.col("c1a").cast("double") / F.col("n_tok"))
+                * (F.col("c1b").cast("double") / F.col("n_tok"))))
+    return joined.select("w1", "w2", "c12",
+                         F.round(F.log(ratio), scale).alias("pmi"))
+
+
+def stupid_backoff_nll(df, train_df=None, alpha: float = 0.4,
+                       k: float = 0.5, text_col: str = "text",
+                       id_col: str = "doc_id", scale: int = 4):
+    """Trigram language-model scoring with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    web-scale scoring scheme that skips normalization): each trigram
+    scores ``c123/c12`` when the model saw it, backs off to
+    ``alpha * c23/c2`` when it saw only the bigram, and bottoms out at
+    ``alpha² * (c3+k)/(N+k·V)`` (add-k unigram, so unseen words stay
+    finite). Extends :func:`bigram_lm_nll` one order up — the same
+    linear-shuffle shape with one more count relation.
+
+    ``train_df`` trains the counts on a different corpus (the held-out /
+    domain-selection shape, exercising the backoff paths); ``None``
+    trains on ``df`` itself, where every trigram is its own evidence.
+
+    Plan: one trigram explode of the scored corpus; four count relations
+    (c123, c12, c23, c2) from one trigram explode of the train corpus
+    (map-side-combined token-keyed shuffles); unigram counts + (N, V)
+    scalars broadcast. Score joins are on the counts' natural keys.
+
+    Cross-engine determinism: per-trigram log-scores are rounded to
+    ``scale`` then summed as exact DECIMAL (q146 discipline); the
+    backoff tier of each trigram is reported as exact integer counts.
+
+    Returns one row per document with ≥1 trigram:
+    (id_col, n_trigrams, n_tri_hits, n_bi_backoffs, n_uni_backoffs,
+    mean_nll, sum_nll)."""
+    def _trigrams(frame):
+        toks = ws_tokens(F.lower(F.col(text_col)))
+        tri = F.when(
+            F.size(toks) < 3,
+            F.array().cast(
+                "array<struct<w1:string,w2:string,w3:string>>")
+        ).otherwise(
+            F.slice(
+                F.arrays_zip(toks.alias("w1"),
+                             F.slice(toks, 2, 1 << 30).alias("w2"),
+                             F.slice(toks, 3, 1 << 30).alias("w3")),
+                1, F.size(toks) - 2))
+        return (frame.select(F.col(id_col), F.explode(tri).alias("p"))
+                .select(id_col, F.col("p.w1").alias("w1"),
+                        F.col("p.w2").alias("w2"),
+                        F.col("p.w3").alias("w3")))
+
+    model_src = df if train_df is None else train_df
+    tri = _trigrams(df)
+    mtri = tri if train_df is None else _trigrams(model_src)
+
+    c123 = mtri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    c12 = mtri.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c23 = mtri.groupBy("w2", "w3").agg(F.count("*").alias("c23"))
+    c2 = mtri.groupBy("w2").agg(F.count("*").alias("c2"))
+    muni = (model_src.select(
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("c3")))
+    nv = muni.agg(F.sum("c3").cast("double").alias("n_tok"),
+                  F.count("*").cast("double").alias("v"))
+
+    tier = (F.when(F.coalesce(F.col("c123"), F.lit(0)) > 0, F.lit(0))
+             .when(F.coalesce(F.col("c23"), F.lit(0)) > 0, F.lit(1))
+             .otherwise(F.lit(2)))
+    score = (F.when(tier == 0,
+                    F.col("c123").cast("double") / F.col("c12"))
+              .when(tier == 1,
+                    F.lit(alpha) * F.col("c23").cast("double")
+                    / F.col("c2"))
+              .otherwise(
+                  F.lit(alpha * alpha)
+                  * (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(k))
+                  / (F.col("n_tok") + F.lit(k) * F.col("v"))))
+    lp = (tri.join(c123, ["w1", "w2", "w3"], "left")
+             .join(c12, ["w1", "w2"], "left")
+             .join(c23, ["w2", "w3"], "left")
+             .join(c2, ["w2"], "left")
+             .join(muni.select(F.col("t").alias("w3"), "c3"),
+                   ["w3"], "left")
+             .crossJoin(F.broadcast(nv))
+             .select(id_col, tier.alias("tier"),
+                     F.round(F.log(score), scale)
+                      .cast(f"decimal(18,{scale})").alias("lp")))
+    return (lp.groupBy(id_col)
+              .agg(F.count("*").alias("n_trigrams"),
+                   F.sum((F.col("tier") == 0).cast("long"))
+                    .alias("n_tri_hits"),
+                   F.sum((F.col("tier") == 1).cast("long"))
+                    .alias("n_bi_backoffs"),
+                   F.sum((F.col("tier") == 2).cast("long"))
+                    .alias("n_uni_backoffs"),
+                   F.round(-F.sum("lp").cast("double") / F.count("*"),
+                           scale).alias("mean_nll"),
+                   (-F.sum("lp")).alias("sum_nll")))
+
+
+#: ln(2) as the exact double literal BOTH engines are handed — hardcoded so
+#: the JSD only-mass term never depends on two libms agreeing about ln(2).
+_LN2 = 0.6931471805599453
+
+
+def source_js_divergence(df, group_col: str = "source",
+                         text_col: str = "text", scale: int = 6,
+                         term_scale: int = 8, caches: list | None = None):
+    """Pairwise Jensen-Shannon divergence between per-group unigram
+    distributions — the corpus-mixture diagnostic behind data-mixing
+    work (how lexically far apart are my sources/domains?). JSD is
+    symmetric and bounded by ln 2, so the matrix is directly comparable
+    across pairs.
+
+    Decomposition that avoids a per-pair full-outer join: for words both
+    groups share, the per-word term is
+    ``p/2·ln(2p/(p+q)) + q/2·ln(2q/(p+q))``; a word only one side has
+    contributes exactly ``p/2·ln 2`` — so each pair needs ONE inner join
+    on the word key plus its two "missing mass" totals, which are exact
+    integers (n_a − Σ shared c_a). Plan: one (group, word) count shuffle,
+    one word-keyed self-join (each word joins only across groups that
+    share it), per-group totals broadcast. Linear in vocabulary × the
+    groups sharing each word — never |corpus| and never groups².
+
+    Cross-engine determinism: shared-word terms are rounded to
+    ``term_scale`` then DECIMAL-summed (q146 discipline); the missing
+    masses are exact-integer ratios scaled by the hardcoded ``_LN2``
+    literal; the final score is one IEEE add then one round.
+
+    ``caches``: optional list that receives the internally persisted
+    (group, word) count relation — it feeds BOTH sides of the self-join
+    and the totals, so persisting saves two extra corpus token passes;
+    the caller unpersists after its consuming action (the ranks.py
+    ownership contract).
+
+    Returns (g_a, g_b, n_shared, jsd) for every unordered group pair
+    that shares at least one word, g_a < g_b."""
+    cnt = (df.select(F.col(group_col).alias("g"),
+                     F.explode(ws_tokens(
+                         F.lower(F.col(text_col)))).alias("t"))
+             .groupBy("g", "t").agg(F.count("*").alias("c")))
+    if caches is not None:
+        from ..operators.relational import persisted
+        cnt = persisted(cnt)
+        caches.append(cnt)
+    tot = cnt.groupBy("g").agg(F.sum("c").alias("n"))
+    d = (cnt.join(F.broadcast(tot), "g")
+            .select("g", "t", "c", "n"))
+    a = d.select(F.col("g").alias("g_a"), F.col("t"),
+                 F.col("c").alias("c_a"), F.col("n").alias("n_a"))
+    b = d.select(F.col("g").alias("g_b"), F.col("t"),
+                 F.col("c").alias("c_b"), F.col("n").alias("n_b"))
+    p = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    q = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    term = (p / F.lit(2.0) * F.log(F.lit(2.0) * p / (p + q))
+            + q / F.lit(2.0) * F.log(F.lit(2.0) * q / (p + q)))
+    shared = (a.join(b, "t")
+               .filter(F.col("g_a") < F.col("g_b"))
+               .select("g_a", "g_b", "c_a", "c_b",
+                       F.round(term, term_scale)
+                        .cast(f"decimal(18,{term_scale})").alias("term"))
+               .groupBy("g_a", "g_b")
+               .agg(F.count("*").alias("n_shared"),
+                    F.sum("term").alias("shared_dec"),
+                    F.sum("c_a").alias("sh_a"),
+                    F.sum("c_b").alias("sh_b")))
+    out = (shared
+           .join(F.broadcast(tot.select(F.col("g").alias("g_a"),
+                                        F.col("n").alias("n_a"))), "g_a")
+           .join(F.broadcast(tot.select(F.col("g").alias("g_b"),
+                                        F.col("n").alias("n_b"))), "g_b"))
+    only = (((F.col("n_a") - F.col("sh_a")).cast("double")
+             / F.col("n_a").cast("double")
+             + (F.col("n_b") - F.col("sh_b")).cast("double")
+             / F.col("n_b").cast("double"))
+            * F.lit(0.5) * F.lit(_LN2))
+    return out.select(
+        "g_a", "g_b", "n_shared",
+        F.round(F.col("shared_dec").cast("double") + only, scale)
+         .alias("jsd"))

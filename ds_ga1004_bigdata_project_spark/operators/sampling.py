@@ -142,9 +142,16 @@ def shard_assign_sql(key_col: str, n_shards: int,
 def per_group_quota_sample(df: DataFrame, group_col: str, key_col: str,
                            quota: int, salt: int = DEFAULT_SEED) -> DataFrame:
     """Deterministic per-group quota sample: keep the ``quota`` rows of each
-    group with the smallest multiplicative-hash of ``key_col`` (key asc as
-    the collision tiebreak) — balanced per-source corpus construction with
-    a reproducible, engine-independent keep-set.
+    group with the smallest :func:`_perm_rank` of ``key_col`` (key asc as
+    the out-of-domain-collision tiebreak) — balanced per-source corpus
+    construction with a reproducible, engine-independent keep-set.
+
+    Ranking history: this originally ordered by raw :func:`_knuth_hash`,
+    whose ``div 2¹⁶`` keeps the product's monotone HIGH bits — ordering by
+    it is ordering by the key, so the "sample" silently kept each group's
+    smallest keys (fine for determinism, wrong for representativeness —
+    low ids are the OLDEST records in most corpora). ``_perm_rank`` is the
+    bijective low-bits mix, a genuine scrambled permutation.
 
     Plan: one hash-partitioned window per group — each group sorts only its
     own rows. For groups large enough that a single group's rows strain one
@@ -153,7 +160,7 @@ def per_group_quota_sample(df: DataFrame, group_col: str, key_col: str,
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
-        _knuth_hash(key_col, salt).asc(), F.col(key_col).asc())
+        _perm_rank(key_col, salt).asc(), F.col(key_col).asc())
     return (df.withColumn("_quota_rn", F.row_number().over(w))
             .filter(F.col("_quota_rn") <= quota).drop("_quota_rn"))
 
@@ -161,7 +168,7 @@ def per_group_quota_sample(df: DataFrame, group_col: str, key_col: str,
 def per_group_quota_sql(table: str, group_col: str, key_col: str,
                         quota: int, salt: int = DEFAULT_SEED) -> str:
     """DuckDB-SQL twin (see :func:`_knuth_hash_sql` dialect note) of :func:`per_group_quota_sample` (as a subquery)."""
-    h = _knuth_hash_sql(key_col, salt)
+    h = _perm_rank_sql(key_col, salt)
     return (f"(SELECT * FROM (SELECT *, row_number() OVER "
             f"(PARTITION BY {group_col} ORDER BY {h} ASC, {key_col} ASC) "
             f"AS _quota_rn FROM {table}) WHERE _quota_rn <= {quota})")
@@ -247,3 +254,110 @@ def weighted_bernoulli_predicate_sql(key_col: str, weight_expr: str,
     w = f"least(greatest(({weight_expr}), 0.0), 1.0)"
     return (f"({_knuth_hash_sql(key_col, salt)} % {scale})"
             f" < CAST(floor({w} * {scale}) AS BIGINT)")
+
+
+def _perm_rank(key_col: str, salt: int):
+    """Bijective pseudo-random PERMUTATION rank over integer keys:
+    ``((key + salt) mod 2³¹) · C mod 2³¹``. Ordering by this value is a
+    genuinely scrambled order — the property :func:`_knuth_hash` does NOT
+    have for ordering purposes: its ``div 2¹⁶`` keeps the product's HIGH
+    bits, which grow monotonically with the key (~40504 per step, no
+    64-bit wrap below 2³¹·C), so ordering by it is ordering by key. The
+    LOW 31 bits of the product are the mixed ones, and with C odd the map
+    ``k ↦ k·C mod 2³¹`` is a bijection on [0, 2³¹) — distinct in-domain
+    keys get distinct ranks (no tie clusters at any corpus size).
+
+    The salt offsets the KEY, not the product: a post-multiply ``+ salt``
+    shifts every rank by the same constant (same order), while a key
+    offset hands each salt the rank sequence of a translated key range —
+    multiplicative mixing decorrelates those completely. Overflow-free
+    (operands < 2³¹ and C < 2³² ⇒ product < 2⁶³); exact int64 arithmetic
+    on any engine (:func:`_perm_rank_sql`)."""
+    k = F.pmod(F.col(key_col) + F.lit(salt), F.lit(1 << 31))
+    return F.pmod(k * F.lit(_KNUTH_C), F.lit(1 << 31))
+
+
+def _perm_rank_sql(key_col: str, salt: int) -> str:
+    """DuckDB-SQL twin of :func:`_perm_rank` (see :func:`_knuth_hash_sql`
+    dialect note; the product is non-negative so one canonicalizing
+    double-mod on the key side suffices)."""
+    return (f"(((({key_col} + {salt}) % 2147483648 + 2147483648)"
+            f" % 2147483648) * {_KNUTH_C} % 2147483648)")
+
+
+def epoch_batch_manifest(df: DataFrame, key_col: str, token_col: str,
+                         budget: int, epochs: int = 2,
+                         salt: int = DEFAULT_SEED,
+                         caches: list | None = None) -> DataFrame:
+    """Deterministic per-epoch training order + fixed-token-budget
+    microbatch manifest — the data-order side of reproducible LLM
+    training: every epoch is a fresh global permutation (epoch-salted
+    :func:`_knuth_hash` over the document key, so any engine — and any
+    restart — reproduces the exact same order), and consecutive
+    documents pack greedily into batches of ``budget`` tokens.
+
+    Batch semantics: document d lands in batch
+    ``floor(exclusive_token_prefix(d) / budget)`` along the epoch's
+    order — i.e. batch b covers the token interval
+    [b·budget, (b+1)·budget), with a document straddling a boundary
+    belonging to the batch its FIRST token falls in. A pure function of
+    the prefix sum, so the manifest is exact integer arithmetic
+    end-to-end and a resumed run can seek to any batch without replaying
+    the shuffle.
+
+    Plan: per epoch, ONE range-partitioned sort on the hash order +
+    the metadata-sized per-partition offset collect
+    (:func:`ranks.global_prefix_sum` — no single-partition window at any
+    size), then a map-side-combined (epoch, batch) agg. Epochs union.
+
+    ``caches`` receives the internally persisted range-sorted tables
+    (ranks.py ownership contract).
+
+    Returns one row per (epoch, batch_id): n_docs, sum_tokens, min_h
+    (the batch's first hash key — lets an external consumer verify the
+    order without recomputing it)."""
+    from . import ranks
+
+    out = None
+    for epoch in range(epochs):
+        h = _perm_rank(key_col, salt + epoch)
+        ordered = df.select(F.col(key_col), F.col(token_col),
+                            h.alias("_h"))
+        cum = ranks.global_prefix_sum(
+            ordered, [F.col("_h").asc(), F.col(key_col).asc()],
+            token_col, out_col="_cum", caches=caches)
+        batches = (cum
+                   .withColumn("_pre", F.col("_cum") - F.col(token_col))
+                   .groupBy(F.floor(F.col("_pre") / budget)
+                             .cast("long").alias("batch_id"))
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum(token_col).cast("long").alias("sum_tokens"),
+                        F.min("_h").alias("min_h"))
+                   .select(F.lit(epoch).alias("epoch"), "batch_id",
+                           "n_docs", "sum_tokens", "min_h"))
+        out = batches if out is None else out.unionAll(batches)
+    return out
+
+
+def epoch_batch_manifest_sql(key_col: str, token_col: str, budget: int,
+                             epochs: int = 2,
+                             salt: int = DEFAULT_SEED) -> str:
+    """DuckDB-SQL twin of :func:`epoch_batch_manifest` over a table named
+    ``t`` with columns ``key_col``/``token_col`` (see
+    :func:`_knuth_hash_sql` dialect note). Single-partition window on the
+    oracle side — the point of the twin is semantics, not scale."""
+    parts = []
+    for epoch in range(epochs):
+        hx = _perm_rank_sql(key_col, salt + epoch)
+        parts.append(f"""
+        SELECT {epoch} AS epoch,
+               CAST(floor(pre / {budget}) AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({token_col}) AS BIGINT) AS sum_tokens,
+               min(h) AS min_h
+        FROM (SELECT {token_col}, h,
+                     sum({token_col}) OVER (ORDER BY h, {key_col}
+                         ROWS UNBOUNDED PRECEDING) - {token_col} AS pre
+              FROM (SELECT {key_col}, {token_col}, {hx} AS h FROM t))
+        GROUP BY 2""")
+    return " UNION ALL ".join(parts)

@@ -5592,6 +5592,234 @@ def q159_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@_register(
+    "q160_pmi_collocations",
+    survey="net-new collocation mining by pointwise mutual information (Church & Hanks 1990; the word2vec phrase-join count ratio) — tokenizer-vocabulary / phrase-detection pass",
+    oracle="""
+        WITH toks AS (
+          SELECT string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), uni AS (
+          SELECT t, count(*) AS c1
+          FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+        ), bi AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM toks)
+        ), c AS (
+          SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+        ), nt AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_tok FROM uni),
+        mb AS (SELECT CAST(sum(c12) AS DOUBLE) AS m_bi FROM c)
+        SELECT s.w1, s.w2, CAST(s.c12 AS BIGINT) AS c12,
+               round(ln((CAST(s.c12 AS DOUBLE) / mb.m_bi)
+                        / ((CAST(ua.c1 AS DOUBLE) / nt.n_tok)
+                           * (CAST(ub.c1 AS DOUBLE) / nt.n_tok))), 4)
+                 AS pmi
+        FROM c s
+        JOIN uni ua ON s.w1 = ua.t
+        JOIN uni ub ON s.w2 = ub.t
+        CROSS JOIN nt CROSS JOIN mb
+        WHERE s.c12 >= 5
+        ORDER BY pmi DESC, s.w1 ASC, s.w2 ASC
+        LIMIT 25
+    """,
+)
+def q160_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 collocations by PMI (:func:`T.pmi_collocations`): adjacent
+    token pairs whose joint count beats the independence prediction —
+    the phrase-detection pass a tokenizer-vocabulary pipeline runs over
+    the corpus. One token explode + one bigram explode (map-side-
+    combined count shuffles), min-count filter BEFORE the unigram joins,
+    totals broadcast; the PMI ratio is exact-integer-valued doubles in
+    one fixed association, single rounded ln (q146 discipline)."""
+    cat = Catalog(spark, sf_dir)
+    return (T.pmi_collocations(cat.documents, min_count=5)
+            .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+            .limit(25))
+
+
+@_register(
+    "q161_epoch_batch_manifest",
+    survey="net-new deterministic per-epoch training order + fixed-token-budget microbatch manifest (reproducible data order; resume = seek to a batch id, never replay a shuffle)",
+    oracle="SELECT * FROM (\nWITH t AS (SELECT doc_id, "
+           "len(string_split_regex(text, '\\s+')) AS n_tokens "
+           "FROM documents)\n"
+           + sampling.epoch_batch_manifest_sql(
+               "doc_id", "n_tokens", budget=2048, epochs=2)
+           + "\n) ORDER BY epoch, batch_id",
+)
+def q161_epoch_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch training-order manifest
+    (:func:`sampling.epoch_batch_manifest`): each epoch reshuffles the
+    corpus with an epoch-salted multiplicative hash (any engine, any
+    restart reproduces the identical order) and packs consecutive
+    documents into 2048-token microbatches by exclusive-prefix
+    arithmetic — batch = floor(prefix/budget), so the manifest is exact
+    integers end-to-end and training can seek to any batch. Per epoch:
+    one range-partitioned sort + metadata-sized offsets
+    (``ranks.global_prefix_sum``), one (epoch, batch) agg; no
+    single-partition window at any size."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select(
+        "doc_id", F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"))
+    caches: list[DataFrame] = []
+    try:
+        out = (sampling.epoch_batch_manifest(
+                   docs, "doc_id", "n_tokens", budget=2048, epochs=2,
+                   caches=caches)
+               .orderBy("epoch", "batch_id"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+@_register(
+    "q162_trigram_backoff_nll",
+    survey="net-new trigram LM scoring with stupid backoff (Brants et al. 2007) — held-out corpus scored against a domain-restricted model, exercising all three backoff tiers",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), tri AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 2)) AS i
+                FROM toks WHERE len(w) >= 3)
+        ), mtri AS (
+          SELECT t.w1, t.w2, t.w3 FROM tri t
+          JOIN toks k ON t.doc_id = k.doc_id AND k.source <> 'src0'
+        ), c123 AS (
+          SELECT w1, w2, w3, count(*) AS c123 FROM mtri GROUP BY 1, 2, 3
+        ), c12 AS (
+          SELECT w1, w2, count(*) AS c12 FROM mtri GROUP BY 1, 2
+        ), c23 AS (
+          SELECT w2, w3, count(*) AS c23 FROM mtri GROUP BY 1, 2
+        ), c2 AS (
+          SELECT w2, count(*) AS c2 FROM mtri GROUP BY 1
+        ), uni AS (
+          SELECT t, count(*) AS c3
+          FROM (SELECT unnest(w) AS t FROM toks WHERE source <> 'src0')
+          GROUP BY t
+        ), nv AS (
+          SELECT CAST(sum(c3) AS DOUBLE) AS n_tok,
+                 CAST(count(*) AS DOUBLE) AS v FROM uni
+        ), sc AS (
+          SELECT t.doc_id,
+                 CASE WHEN coalesce(c123.c123, 0) > 0 THEN 0
+                      WHEN coalesce(c23.c23, 0) > 0 THEN 1
+                      ELSE 2 END AS tier,
+                 CAST(round(ln(
+                   CASE WHEN coalesce(c123.c123, 0) > 0
+                        THEN CAST(c123.c123 AS DOUBLE) / c12.c12
+                        WHEN coalesce(c23.c23, 0) > 0
+                        THEN 0.4 * CAST(c23.c23 AS DOUBLE) / c2.c2
+                        ELSE 0.16000000000000003
+                             * (coalesce(uni.c3, 0) + 0.5)
+                             / (nv.n_tok + 0.5 * nv.v) END), 4)
+                      AS DECIMAL(18,4)) AS lp
+          FROM tri t
+          LEFT JOIN c123 ON t.w1 = c123.w1 AND t.w2 = c123.w2
+                         AND t.w3 = c123.w3
+          LEFT JOIN c12 ON t.w1 = c12.w1 AND t.w2 = c12.w2
+          LEFT JOIN c23 ON t.w2 = c23.w2 AND t.w3 = c23.w3
+          LEFT JOIN c2 ON t.w2 = c2.w2
+          LEFT JOIN uni ON t.w3 = uni.t
+          CROSS JOIN nv
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_tri_hits,
+               CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bi_backoffs,
+               CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_uni_backoffs,
+               round(CAST(-sum(lp) AS DOUBLE) / count(*), 4) AS mean_nll
+        FROM sc GROUP BY doc_id
+        ORDER BY mean_nll DESC, doc_id ASC
+        LIMIT 25
+    """,
+)
+def q162_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff scoring (:func:`T.stupid_backoff_nll`):
+    the whole corpus scored against a model trained WITHOUT src0, so
+    src0's unseen trigrams genuinely fall through the
+    trigram→bigram→add-k-unigram tiers (per-document tier counts are
+    exact integers in the output). Top-25 most-surprising documents —
+    the held-out-perplexity shape of corpus quality triage one order up
+    from q146. Linear token-keyed count shuffles; unigram model + (N,V)
+    broadcast; per-trigram log-scores rounded-then-DECIMAL-summed."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    return (T.stupid_backoff_nll(
+                docs, train_df=docs.filter(F.col("source") != "src0"))
+            .select("doc_id", "n_trigrams", "n_tri_hits",
+                    "n_bi_backoffs", "n_uni_backoffs", "mean_nll")
+            .orderBy(F.desc("mean_nll"), F.asc("doc_id"))
+            .limit(25))
+
+
+@_register(
+    "q163_source_jsd_matrix",
+    survey="net-new pairwise Jensen-Shannon divergence between per-source unigram distributions (data-mixture diagnostic; shared-word inner join + exact-integer missing-mass residual, never a per-pair full outer join)",
+    oracle="""
+        WITH cnt AS (
+          SELECT source AS g, t, count(*) AS c
+          FROM (SELECT source,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents)
+          GROUP BY g, t
+        ), tot AS (SELECT g, sum(c) AS n FROM cnt GROUP BY g),
+        d AS (
+          SELECT cnt.g, cnt.t, cnt.c, tot.n
+          FROM cnt JOIN tot ON cnt.g = tot.g
+        ), sh AS (
+          SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_shared,
+                 sum(CAST(round(
+                       CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) / 2.0
+                       * ln(2.0 * (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+                            / (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                               + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE)))
+                     + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) / 2.0
+                       * ln(2.0 * (CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                            / (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                               + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))),
+                     8) AS DECIMAL(18,8))) AS shared_dec,
+                 sum(a.c) AS sh_a, sum(b.c) AS sh_b
+          FROM d a JOIN d b ON a.t = b.t AND a.g < b.g
+          GROUP BY 1, 2
+        )
+        SELECT g_a, g_b, CAST(n_shared AS BIGINT) AS n_shared,
+               round(CAST(shared_dec AS DOUBLE)
+                     + (CAST(ta.n - sh_a AS DOUBLE) / CAST(ta.n AS DOUBLE)
+                        + CAST(tb.n - sh_b AS DOUBLE) / CAST(tb.n AS DOUBLE))
+                       * 0.5 * 0.6931471805599453, 6) AS jsd
+        FROM sh
+        JOIN tot ta ON sh.g_a = ta.g
+        JOIN tot tb ON sh.g_b = tb.g
+        ORDER BY g_a, g_b
+    """,
+)
+def q163_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-distribution JSD (:func:`T.source_js_divergence`):
+    how lexically far apart every pair of the corpus's 20 sources is —
+    the mixture diagnostic data-mixing work starts from. One (source,
+    word) count shuffle (persisted — it feeds both self-join sides and
+    the totals), one word-keyed self-join, per-source totals broadcast;
+    shared-word terms rounded-then-DECIMAL-summed, missing masses exact
+    integers scaled by a hardcoded ln 2 literal."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        out = (T.source_js_divergence(cat.documents, caches=caches)
+               .orderBy("g_a", "g_b"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5661,6 +5889,10 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q157_domain_selection",
     "q158_cluster_cap_sample",
     "q159_adaptive_quality_gate",
+    "q160_pmi_collocations",
+    "q161_epoch_batch_manifest",
+    "q162_trigram_backoff_nll",
+    "q163_source_jsd_matrix",
 )
 
 #: Queries whose code path changed since their last driver certification.
@@ -5673,6 +5905,10 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
 #: artifact+pytest surface.
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q56_minhash_pairs", "q64_neardup_corpus",
+    # per_group_quota_sample now orders by the bijective _perm_rank (the
+    # raw _knuth_hash order was key-monotone — the "sample" kept each
+    # group's smallest ids); q106's keep-set changed, oracle twin in sync.
+    "q106_source_quota_sample",
     # bigram_lm_nll grew the train_df scoring path (left-join + coalesce
     # smoothing) for q157; the q146 values are replica-verified identical
     # but the code path changed, so it re-certifies.

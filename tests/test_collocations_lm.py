@@ -1,0 +1,186 @@
+"""Unit semantics for the round-8 corpus-statistics additions: PMI
+collocations (q160), the epoch-shuffle microbatch manifest (q161), trigram
+stupid-backoff scoring (q162), and the source JSD matrix (q163). Hand-sized
+corpora with hand-computed expectations — the driver parity suite covers the
+cross-engine contract; these pin the math itself."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.functions import text as T
+from ds_ga1004_bigdata_project_spark.operators import sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- PMI
+
+
+def test_pmi_matches_hand_computation(spark):
+    # corpus: "a b" x 4, "a c" x 2  ->  tokens: a=6, b=4, c=2, N=12
+    # bigrams: (a,b)=4, (a,c)=2, M=6
+    df = _docs(spark, [(i, "a b") for i in range(4)]
+               + [(10 + i, "a c") for i in range(2)])
+    out = {(r["w1"], r["w2"]): r for r in
+           T.pmi_collocations(df, min_count=1).collect()}
+    assert set(out) == {("a", "b"), ("a", "c")}
+    def pmi(c12, c1, c2, m=6.0, n=12.0):
+        return round(math.log((c12 / m) / ((c1 / n) * (c2 / n))), 4)
+    assert out[("a", "b")]["c12"] == 4
+    assert out[("a", "b")]["pmi"] == pytest.approx(pmi(4, 6, 4), abs=0)
+    assert out[("a", "c")]["pmi"] == pytest.approx(pmi(2, 6, 2), abs=0)
+
+
+def test_pmi_min_count_filters_but_totals_use_all_pairs(spark):
+    # (a,b) survives min_count=2; (c,d) does not — but M must still
+    # count it (M=3, not 2): a filtered-M PMI would be ln-shifted.
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "c d")])
+    rows = T.pmi_collocations(df, min_count=2).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+    n, m = 6.0, 3.0
+    expect = round(math.log((2 / m) / ((2 / n) * (2 / n))), 4)
+    assert rows[0]["pmi"] == pytest.approx(expect, abs=0)
+
+
+# ------------------------------------------------- epoch batch manifest
+
+
+def test_epoch_manifest_partitions_every_doc_exactly_once(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 7) + 1).alias("n_tokens"))
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    out = sampling.epoch_batch_manifest(
+        df, "doc_id", "n_tokens", budget=50, epochs=3).collect()
+    for e in range(3):
+        rows = [r for r in out if r["epoch"] == e]
+        assert sum(r["n_docs"] for r in rows) == 300
+        assert sum(r["sum_tokens"] for r in rows) == total
+        # batch ids are the dense prefix-interval ids: 0..max with no gap
+        ids = sorted(r["batch_id"] for r in rows)
+        assert ids == list(range(len(ids)))
+
+
+def test_epoch_manifest_batches_respect_budget_semantics(spark):
+    # 10 docs of 30 tokens, budget 100: exclusive prefixes 0,30,..,270
+    # -> batch = prefix // 100 gives batches of 4, 3, 3 docs.
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"),
+                                   F.lit(30).alias("n_tokens"))
+    rows = sorted(sampling.epoch_batch_manifest(
+        df, "doc_id", "n_tokens", budget=100, epochs=1).collect(),
+        key=lambda r: r["batch_id"])
+    assert [r["n_docs"] for r in rows] == [4, 3, 3]
+    assert [r["sum_tokens"] for r in rows] == [120, 90, 90]
+
+
+def test_epoch_manifest_epochs_are_decorrelated_and_deterministic(spark):
+    # variable token counts: a different permutation lands different
+    # documents around each budget boundary, so the per-batch token
+    # sums fingerprint the epoch's order
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 7) + 1).alias("n_tokens"))
+    a = sampling.epoch_batch_manifest(df, "doc_id", "n_tokens",
+                                      budget=200, epochs=2)
+    b = sampling.epoch_batch_manifest(df, "doc_id", "n_tokens",
+                                      budget=200, epochs=2)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # rerun-identical
+    per_epoch = {e: [(r[1], r[2], r[3]) for r in ra if r[0] == e]
+                 for e in (0, 1)}
+    assert per_epoch[0] != per_epoch[1]  # fresh permutation per epoch
+
+
+# --------------------------------------------------- stupid backoff
+
+
+def test_stupid_backoff_tiers_and_values(spark):
+    # model corpus: one doc "x y z x y z" -> trigrams xyz, yzx, zxy;
+    # scored doc exercises all three tiers.
+    train = _docs(spark, [(1, "x y z x y z")])
+    # "x y z" -> trigram hit (c123=2/c12=2 -> ln 1 = 0)
+    # "w y z" -> unseen trigram, bigram (y,z) seen: alpha*c23/c2 = .4*2/2
+    # "w w q" -> unseen trigram AND bigram (w,q): alpha^2 * unigram(q)
+    score = _docs(spark, [(10, "x y z"), (11, "w y z"), (12, "w w q")])
+    out = {r["doc_id"]: r for r in
+           T.stupid_backoff_nll(score, train_df=train).collect()}
+    assert (out[10]["n_tri_hits"], out[10]["n_bi_backoffs"],
+            out[10]["n_uni_backoffs"]) == (1, 0, 0)
+    assert out[10]["mean_nll"] == pytest.approx(0.0, abs=0)
+    assert (out[11]["n_tri_hits"], out[11]["n_bi_backoffs"],
+            out[11]["n_uni_backoffs"]) == (0, 1, 0)
+    assert out[11]["mean_nll"] == pytest.approx(
+        -round(math.log(0.4 * 2 / 2), 4), abs=1e-9)
+    assert (out[12]["n_tri_hits"], out[12]["n_bi_backoffs"],
+            out[12]["n_uni_backoffs"]) == (0, 0, 1)
+    # unigram tier: q unseen -> (0+0.5)/(N + 0.5*V), N=6 tokens, V=3
+    expect = -round(math.log(0.4 * 0.4 * 0.5 / (6 + 0.5 * 3)), 4)
+    assert out[12]["mean_nll"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_stupid_backoff_self_train_never_backs_off(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
+    out = T.stupid_backoff_nll(df).collect()
+    assert all(r["n_bi_backoffs"] == 0 and r["n_uni_backoffs"] == 0
+               for r in out)
+    assert sum(r["n_trigrams"] for r in out) == 4
+
+
+# ------------------------------------------------------------- JSD
+
+
+def test_jsd_identical_distributions_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string")
+    rows = T.source_js_divergence(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["jsd"] == pytest.approx(0.0, abs=0)
+    assert rows[0]["n_shared"] == 3
+
+
+def test_jsd_disjoint_vocabularies_is_ln2(spark):
+    # No shared words -> the pair has no inner-join row at all; the
+    # operator reports only pairs sharing >= 1 word, so pad each side
+    # with one shared token and check the value approaches ln 2.
+    df = spark.createDataFrame(
+        [(1, "z a a a a a a a a a", "s1"),
+         (2, "z b b b b b b b b b", "s2")],
+        "doc_id long, text string, source string")
+    rows = T.source_js_divergence(df).collect()
+    assert len(rows) == 1
+    # hand value: shared word z has p=q=0.1 -> term 0; missing mass 0.9
+    # each side -> jsd = 0.9 * ln 2
+    assert rows[0]["jsd"] == pytest.approx(0.9 * math.log(2), abs=1e-6)
+
+
+def test_jsd_hand_computed_two_source_value(spark):
+    # s1: a a b   s2: a b b  -> p_a=2/3, q_a=1/3; symmetric for b
+    df = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a b b", "s2")],
+        "doc_id long, text string, source string")
+    rows = T.source_js_divergence(df).collect()
+    p, q = 2 / 3, 1 / 3
+    term = (round(p / 2 * math.log(2 * p / (p + q))
+                  + q / 2 * math.log(2 * q / (p + q)), 8) * 2)
+    assert rows[0]["jsd"] == pytest.approx(round(term, 6), abs=1e-9)
+
+
+def test_jsd_symmetric_in_group_order(spark):
+    # swapping which source holds which text flips g_a/g_b but not jsd
+    d1 = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a b b", "s2")],
+        "doc_id long, text string, source string")
+    d2 = spark.createDataFrame(
+        [(1, "a a b", "s2"), (2, "a b b", "s1")],
+        "doc_id long, text string, source string")
+    j1 = T.source_js_divergence(d1).collect()[0]["jsd"]
+    j2 = T.source_js_divergence(d2).collect()[0]["jsd"]
+    assert j1 == pytest.approx(j2, abs=0)

@@ -223,3 +223,23 @@ def test_weighted_bernoulli_matches_duckdb_and_tracks_weight(spark):
     assert by_w[3] == 2000                   # clamped weight 1 keeps all
     assert 0.15 * 2000 < by_w[1] < 0.35 * 2000
     assert 0.65 * 2000 < by_w[2] < 0.85 * 2000
+
+
+def test_per_group_quota_is_scrambled_not_key_monotone(spark):
+    """Regression for the raw-hash ordering defect: _knuth_hash's div-2^16
+    keeps the product's monotone high bits, so ordering by it == ordering
+    by key and the 'sample' kept each group's smallest ids. The _perm_rank
+    order must NOT be the smallest-keys prefix, and must decorrelate
+    across salts (different salt -> different keep-set)."""
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        per_group_quota_sample)
+
+    df = spark.createDataFrame([(0, i) for i in range(1000)],
+                               "grp int, k long")
+    kept = sorted(r["k"] for r in
+                  per_group_quota_sample(df, "grp", "k", 10).collect())
+    assert kept != list(range(10)), "quota sample degenerated to min-keys"
+    other = sorted(r["k"] for r in
+                   per_group_quota_sample(df, "grp", "k", 10,
+                                          salt=43).collect())
+    assert kept != other, "salt must change the keep-set"
