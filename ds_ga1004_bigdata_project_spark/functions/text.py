@@ -389,7 +389,8 @@ def sequence_pack_slices(df, seq_len: int, id_col: str = "doc_id",
 
 
 def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
-                  k: float = 0.5, scale: int = 4, train_df=None):
+                  k: float = 0.5, scale: int = 4, train_df=None,
+                  caches: list | None = None):
     """Corpus-trained bigram-LM negative log-likelihood per document — the
     perplexity-style quality filter of CCNet/Gopher-class pipelines (score
     each document against a language model of the corpus itself; the most
@@ -436,8 +437,17 @@ def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
     bi = _bigrams(df)
     mbi = bi if train_df is None else _bigrams(train_df)
 
+    # Count pyramid (the q162 discipline): one corpus-sized bigram
+    # shuffle builds c2; c1 — the count of w1 as a bigram FIRST — is
+    # exactly Σ_w2 c2, a vocab-sized rollup instead of a second pass
+    # over the exploded corpus. c2 persists when the caller passes
+    # ``caches`` (it feeds the scoring join and the c1 rollup).
     c2 = mbi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = mbi.groupBy("w1").agg(F.count("*").alias("c1"))
+    if caches is not None:
+        from ..operators.relational import persisted
+        c2 = persisted(c2)
+        caches.append(c2)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (model_src.select(
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t")).agg(
         F.countDistinct("t").alias("v")))
@@ -576,7 +586,7 @@ def _adjacent_pairs(toks: Column) -> Column:
 
 
 def pmi_collocations(df, text_col: str = "text", min_count: int = 5,
-                     scale: int = 4):
+                     scale: int = 4, caches: list | None = None):
     """Collocation mining by pointwise mutual information — the classic
     phrase-detection / tokenizer-vocabulary pass (Church & Hanks 1990;
     word2vec's phrase-joining step is the same count ratio): adjacent
@@ -607,6 +617,14 @@ def pmi_collocations(df, text_col: str = "text", min_count: int = 5,
                 .select(F.col("p.w1").alias("w1"),
                         F.col("p.w2").alias("w2"))
                 .groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    if caches is not None:
+        # uni feeds BOTH unigram joins + the N total; bi_all feeds the
+        # surviving-pair filter + the M total — without the persists each
+        # consumer re-executes its corpus explode (5 scans instead of 2).
+        from ..operators.relational import persisted
+        uni = persisted(uni)
+        bi_all = persisted(bi_all)
+        caches.extend([uni, bi_all])
     n_tok = uni.agg(F.sum("c1").cast("double").alias("n_tok"))
     m_bi = bi_all.agg(F.sum("c12").cast("double").alias("m_bi"))
     surviving = bi_all.filter(F.col("c12") >= min_count)
@@ -626,7 +644,8 @@ def pmi_collocations(df, text_col: str = "text", min_count: int = 5,
 
 def stupid_backoff_nll(df, train_df=None, alpha: float = 0.4,
                        k: float = 0.5, text_col: str = "text",
-                       id_col: str = "doc_id", scale: int = 4):
+                       id_col: str = "doc_id", scale: int = 4,
+                       caches: list | None = None):
     """Trigram language-model scoring with stupid backoff (Brants et al.
     2007, "Large Language Models in Machine Translation" — the
     web-scale scoring scheme that skips normalization): each trigram
@@ -673,10 +692,21 @@ def stupid_backoff_nll(df, train_df=None, alpha: float = 0.4,
     tri = _trigrams(df)
     mtri = tri if train_df is None else _trigrams(model_src)
 
+    # Count pyramid: ONE corpus-sized trigram shuffle builds c123; the
+    # lower orders are rollups of the already-reduced count relation
+    # (c12 = Σ_w3 c123, c23 = Σ_w1 c123, c2 = Σ_w3 c23) — vocab-sized
+    # aggs, not three more passes over the exploded corpus. c123 is
+    # persisted when the caller passes ``caches`` (it feeds the scoring
+    # join AND two rollups; without the persist each consumer would
+    # re-execute the corpus explode that built it).
     c123 = mtri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
-    c12 = mtri.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c23 = mtri.groupBy("w2", "w3").agg(F.count("*").alias("c23"))
-    c2 = mtri.groupBy("w2").agg(F.count("*").alias("c2"))
+    if caches is not None:
+        from ..operators.relational import persisted
+        c123 = persisted(c123)
+        caches.append(c123)
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    c23 = c123.groupBy("w2", "w3").agg(F.sum("c123").alias("c23"))
+    c2 = c23.groupBy("w2").agg(F.sum("c23").alias("c2"))
     muni = (model_src.select(
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t"))
         .groupBy("t").agg(F.count("*").alias("c3")))

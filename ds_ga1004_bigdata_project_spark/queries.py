@@ -4606,9 +4606,15 @@ def q146_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     score join on the same keys (:func:`text.bigram_lm_nll`); the vocab
     scalar rides a broadcast. Beyond-reference LLM-pipeline operator."""
     cat = Catalog(spark, sf_dir)
-    out = T.bigram_lm_nll(cat.documents)
-    return (out.orderBy(F.desc("mean_nll"), F.asc("doc_id")).limit(25)
+    caches: list[DataFrame] = []
+    try:
+        out = (T.bigram_lm_nll(cat.documents, caches=caches)
+               .orderBy(F.desc("mean_nll"), F.asc("doc_id")).limit(25)
                .select("doc_id", "n_bigrams", "mean_nll"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 @_register(
@@ -5426,23 +5432,29 @@ def q157_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     docs = cat.documents
     target = docs.filter(F.col("lang") == "en")
-    h_t = (T.bigram_lm_nll(docs, train_df=target)
+    caches: list[DataFrame] = []
+    h_t = (T.bigram_lm_nll(docs, train_df=target, caches=caches)
            .select("doc_id", "n_bigrams",
                    F.col("sum_nll").alias("sum_t")))
-    h_r = (T.bigram_lm_nll(docs)
+    h_r = (T.bigram_lm_nll(docs, caches=caches)
            .select("doc_id", F.col("sum_nll").alias("sum_r")))
     # ce_diff = (Σnll_t − Σnll_r)/n computed from the EXACT decimal sums:
     # one decimal subtract (exact), one IEEE divide of identical operands
     # — bit-identical across engines with NO rounding step, where a
     # rounded per-doc mean difference can land on a round-half boundary.
-    return (h_t.join(h_r, "doc_id")
-            .join(docs.select("doc_id", "lang"), "doc_id")
-            .filter(F.col("lang") != "en")
-            .select("doc_id", "lang", "n_bigrams",
-                    ((F.col("sum_t") - F.col("sum_r")).cast("double")
-                     / F.col("n_bigrams")).alias("ce_diff"))
-            .orderBy(F.asc("ce_diff"), F.asc("doc_id"))
-            .limit(25))
+    try:
+        out = (h_t.join(h_r, "doc_id")
+               .join(docs.select("doc_id", "lang"), "doc_id")
+               .filter(F.col("lang") != "en")
+               .select("doc_id", "lang", "n_bigrams",
+                       ((F.col("sum_t") - F.col("sum_r")).cast("double")
+                        / F.col("n_bigrams")).alias("ce_diff"))
+               .orderBy(F.asc("ce_diff"), F.asc("doc_id"))
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 @_register(
@@ -5633,9 +5645,16 @@ def q160_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals broadcast; the PMI ratio is exact-integer-valued doubles in
     one fixed association, single rounded ln (q146 discipline)."""
     cat = Catalog(spark, sf_dir)
-    return (T.pmi_collocations(cat.documents, min_count=5)
-            .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-            .limit(25))
+    caches: list[DataFrame] = []
+    try:
+        out = (T.pmi_collocations(cat.documents, min_count=5,
+                                  caches=caches)
+               .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 @_register(
@@ -5752,12 +5771,19 @@ def q162_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; per-trigram log-scores rounded-then-DECIMAL-summed."""
     cat = Catalog(spark, sf_dir)
     docs = cat.documents
-    return (T.stupid_backoff_nll(
-                docs, train_df=docs.filter(F.col("source") != "src0"))
-            .select("doc_id", "n_trigrams", "n_tri_hits",
-                    "n_bi_backoffs", "n_uni_backoffs", "mean_nll")
-            .orderBy(F.desc("mean_nll"), F.asc("doc_id"))
-            .limit(25))
+    caches: list[DataFrame] = []
+    try:
+        out = (T.stupid_backoff_nll(
+                   docs, train_df=docs.filter(F.col("source") != "src0"),
+                   caches=caches)
+               .select("doc_id", "n_trigrams", "n_tri_hits",
+                       "n_bi_backoffs", "n_uni_backoffs", "mean_nll")
+               .orderBy(F.desc("mean_nll"), F.asc("doc_id"))
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 @_register(
