@@ -115,3 +115,39 @@ def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
               "pair_count bigint")
     mdf = spark.createDataFrame(merges, schema)
     return (mdf, vocab) if return_vocab else mdf
+
+
+def bpe_fertility(df: DataFrame, n_merges: int = 24,
+                  text_col: str = "text", group_col: str = "lang",
+                  scale: int = 4) -> DataFrame:
+    """Apply a learned BPE segmentation to the corpus and measure
+    tokenizer fertility (subword tokens per whitespace word) per group —
+    the gauge multilingual tokenizer work watches (a vocabulary trained
+    on one language family over-fragments the others; fertility per
+    language is the standard evidence).
+
+    The encode path is the SCALABLE one: the corpus never re-runs the
+    merge loop. :func:`bpe_learn` already leaves every distinct word's
+    final segmentation on the (Heaps-law-sized) vocabulary relation, so
+    encoding is ONE token explode + ONE word-keyed join against the
+    |vocab|-row segmentation table (broadcast at any realistic vocab
+    size) — per-document merge replay would pay the O(merges·len) fold
+    corpus-wide for identical results on duplicate words.
+
+    Returns per group: n_words, n_subtokens, distinct_words,
+    fertility = n_subtokens/n_words (rounded once)."""
+    _, vocab = bpe_learn(df, n_merges=n_merges, text_col=text_col,
+                         return_vocab=True)
+    seg = vocab.select("word", F.size("syms").alias("n_sub"))
+    words = (df.select(F.col(group_col).alias("grp"),
+                       F.explode(ws_tokens(F.lower(F.col(text_col))))
+                        .alias("word"))
+               .filter(F.col("word") != ""))
+    return (words.join(F.broadcast(seg), "word")
+            .groupBy("grp")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_subtokens"),
+                 F.countDistinct("word").alias("distinct_words"),
+                 F.round(F.sum("n_sub").cast("double")
+                         / F.count("*"), scale).alias("fertility"))
+            .withColumnRenamed("grp", group_col))

@@ -361,3 +361,42 @@ def epoch_batch_manifest_sql(key_col: str, token_col: str, budget: int,
               FROM (SELECT {key_col}, {token_col}, {hx} AS h FROM t))
         GROUP BY 2""")
     return " UNION ALL ".join(parts)
+
+
+def temperature_mixture_plan(df: DataFrame, source_col: str = "source",
+                             tokens_col: str = "n_tokens",
+                             tau: float = 0.7, budget: int = 100_000,
+                             scale: int = 4) -> DataFrame:
+    """Temperature-scaled data-mixture planning — the sampling-weight
+    computation of multilingual/multi-source LLM training (sample source
+    i with probability ∝ nᵢ^τ, τ < 1 up-weighting small sources): per
+    source, the token mass, the normalized mixture weight, the planned
+    tokens per epoch under a global token ``budget``, and how many
+    epochs exhaust the source at that rate (small sources repeat —
+    the overexposure number data-mixing work watches).
+
+    One map-side-combined agg to source-level token sums (sources-sized
+    output), then pure scalar arithmetic against the broadcast total.
+    Cross-engine determinism: each ``nᵢ^τ`` rounds to ``scale`` then
+    sums as exact DECIMAL (associative integer math — aggregation order
+    can't drift the total), the weight is one IEEE divide of identical
+    operands rounded once, and planned tokens floor a double product of
+    identical operands."""
+    per = (df.groupBy(source_col)
+             .agg(F.sum(tokens_col).cast("long").alias("n_tokens"))
+             .withColumn(
+                 "p",
+                 F.round(F.pow(F.col("n_tokens").cast("double"),
+                               F.lit(tau)), scale)
+                  .cast(f"decimal(18,{scale})")))
+    tot = per.agg(F.sum("p").alias("ptot"))
+    w = F.round(F.col("p").cast("double") / F.col("ptot").cast("double"),
+                6)
+    planned = F.floor(w * F.lit(float(budget))).cast("long")
+    return (per.crossJoin(F.broadcast(tot))
+            .select(source_col, "n_tokens", w.alias("weight"),
+                    planned.alias("planned_tokens_per_epoch"),
+                    F.when(planned > 0,
+                           F.round(F.col("n_tokens").cast("double")
+                                   / planned.cast("double"), 2))
+                     .alias("epochs_to_exhaust")))

@@ -5846,6 +5846,78 @@ def q163_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+@_register(
+    "q164_bpe_fertility",
+    survey="net-new tokenizer-fertility evaluation (apply learned BPE segmentation via the vocab relation — corpus never replays merges — and measure subtokens/word per language)",
+    oracle=None,  # depends on the q154 iterative merge loop (argmax per
+                  # round, not single-query-expressible); deterministic —
+                  # sha256 value pin in tests/test_snapshot_pins.py plus
+                  # pure-Python reference fertility in test_subword.py.
+)
+def q164_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (:func:`subword.bpe_fertility`):
+    learn 24 BPE merges (q154's loop — one corpus word-count pass,
+    vocab-relation iterations), then ENCODE by joining corpus words to
+    the vocabulary's final segmentation (broadcast |vocab|-row table —
+    the corpus never replays the merge fold) and report subtokens/word
+    per language — the over-fragmentation gauge of multilingual
+    tokenizer work."""
+    cat = Catalog(spark, sf_dir)
+    return (subword.bpe_fertility(cat.documents, n_merges=24,
+                                  group_col="lang")
+            .orderBy("lang"))
+
+
+@_register(
+    "q165_temperature_mixture",
+    survey="net-new temperature-scaled data-mixture planning (sample source i with p ∝ n_i^tau — the multilingual up-weighting recipe; weights, per-epoch token plan, epochs-to-exhaustion)",
+    oracle="""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ), p AS (
+          SELECT source, n_tokens,
+                 CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 4)
+                      AS DECIMAL(18,4)) AS p
+          FROM per
+        ), t AS (SELECT sum(p) AS ptot FROM p)
+        SELECT source, n_tokens,
+               round(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE), 6)
+                 AS weight,
+               CAST(floor(round(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE),
+                                6) * 100000.0) AS BIGINT)
+                 AS planned_tokens_per_epoch,
+               CASE WHEN floor(round(CAST(p AS DOUBLE)
+                                     / CAST(ptot AS DOUBLE), 6)
+                               * 100000.0) > 0
+                    THEN round(CAST(n_tokens AS DOUBLE)
+                               / CAST(floor(round(CAST(p AS DOUBLE)
+                                                  / CAST(ptot AS DOUBLE),
+                                                  6) * 100000.0)
+                                      AS DOUBLE), 2)
+               END AS epochs_to_exhaust
+        FROM p CROSS JOIN t
+        ORDER BY source
+    """,
+)
+def q165_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan
+    (:func:`sampling.temperature_mixture_plan`, τ=0.7, 100k-token epoch
+    budget): per-source sampling weights ∝ n^τ — the multilingual
+    up-weighting recipe — with the per-epoch token plan and the
+    epochs-to-exhaustion overexposure number. One map-side-combined agg
+    to 20 source rows; n^τ rounds once then DECIMAL-sums so the
+    normalizer is aggregation-order-proof."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "source", F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"))
+    return (sampling.temperature_mixture_plan(
+                toks, tau=0.7, budget=100_000)
+            .orderBy("source"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5895,14 +5967,17 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
 #: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's ten additions — q149 (CDC partial-overlap clustering),
+#: round's seventeen additions — q149 (CDC partial-overlap clustering),
 #: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
 #: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
 #: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
-#: domain selection), q158 (cluster-capped sampling). Front = these 10
-#: + 3 changed (q56/q64 LSH blast-radius, q146 bigram-LM refactor) +
-#: the anchor = 14; the remaining 36 slots refresh stalest-first per
-#: the rotation SLO.
+#: domain selection), q158 (cluster-capped sampling), q159 (adaptive
+#: quality gate), q160 (PMI collocations), q161 (epoch-batch manifest),
+#: q162 (trigram stupid backoff), q163 (source JSD matrix), q164 (BPE
+#: fertility, pin-backed rows-only), q165 (temperature mixture plan).
+#: Front = these 17 + 4 changed (q56/q64 LSH blast-radius, q106 quota
+#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 22; the
+#: remaining 28 slots refresh stalest-first per the rotation SLO.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
@@ -5919,6 +5994,8 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q161_epoch_batch_manifest",
     "q162_trigram_backoff_nll",
     "q163_source_jsd_matrix",
+    "q164_bpe_fertility",
+    "q165_temperature_mixture",
 )
 
 #: Queries whose code path changed since their last driver certification.

@@ -243,3 +243,42 @@ def test_per_group_quota_is_scrambled_not_key_monotone(spark):
                    per_group_quota_sample(df, "grp", "k", 10,
                                           salt=43).collect())
     assert kept != other, "salt must change the keep-set"
+
+
+def test_temperature_mixture_plan_hand_values(spark):
+    import math
+
+    import pytest
+
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        temperature_mixture_plan)
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("a", 1000), ("b", 125)], "source string, n int")
+    out = {r["source"]: r for r in temperature_mixture_plan(
+        df, tokens_col="n", tau=0.5, budget=1000).collect()}
+    # n_a=2000, n_b=125; p = round(sqrt(n), 4) -> 44.7214, 11.1803
+    pa, pb = round(math.sqrt(2000), 4), round(math.sqrt(125), 4)
+    wa = round(pa / (pa + pb), 6)
+    wb = round(pb / (pa + pb), 6)
+    assert out["a"]["weight"] == pytest.approx(wa, abs=0)
+    assert out["b"]["weight"] == pytest.approx(wb, abs=0)
+    assert out["a"]["planned_tokens_per_epoch"] == math.floor(wa * 1000.0)
+    assert out["b"]["epochs_to_exhaust"] == pytest.approx(
+        round(125 / math.floor(wb * 1000.0), 2), abs=0)
+    # tau<1 up-weights the small source relative to proportional share
+    assert wb > 125 / 2125
+
+
+def test_temperature_mixture_tau_one_is_proportional(spark):
+    import pytest
+
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        temperature_mixture_plan)
+
+    df = spark.createDataFrame(
+        [("a", 3000), ("b", 1000)], "source string, n int")
+    out = {r["source"]: r["weight"] for r in temperature_mixture_plan(
+        df, tokens_col="n", tau=1.0, budget=100).collect()}
+    assert out["a"] == pytest.approx(0.75, abs=1e-6)
+    assert out["b"] == pytest.approx(0.25, abs=1e-6)

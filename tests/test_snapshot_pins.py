@@ -48,6 +48,10 @@ _PINS: dict[str, tuple[str, int]] = {
     # the merge list is exact-integer deterministic and additionally
     # verified against a pure-Python BPE reference in test_subword.py.
     "q154_bpe_merges": ("19467f56e56394e1", 24),
+    # q164: rows-only because it consumes q154's merge loop; the encode
+    # join + fertility agg are exact integers + one rounded divide, and
+    # test_subword.py checks fertility against the pure-Python reference.
+    "q164_bpe_fertility": ("5da5df01e15b8ac4", 5),
 }
 
 

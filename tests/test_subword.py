@@ -102,3 +102,45 @@ def test_invalid_n_merges_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_learn(df, n_merges=0)
+
+
+def test_fertility_matches_reference(spark):
+    from ds_ga1004_bigdata_project_spark.functions.subword import (
+        bpe_fertility)
+
+    rows = [(i, t, "en" if i % 2 == 0 else "de")
+            for i, t in enumerate(CORPUS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in
+           bpe_fertility(df, n_merges=8, group_col="lang").collect()}
+
+    _, vocab = _ref_bpe(CORPUS, 8)
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0, set()])
+    for i, t in enumerate(CORPUS):
+        lang = "en" if i % 2 == 0 else "de"
+        for w in t.lower().split():
+            if not w:
+                continue
+            agg[lang][0] += 1
+            agg[lang][1] += len(vocab[w])
+            agg[lang][2].add(w)
+    for lang, (nw, ns, dw) in agg.items():
+        assert got[lang]["n_words"] == nw
+        assert got[lang]["n_subtokens"] == ns
+        assert got[lang]["distinct_words"] == len(dw)
+        assert got[lang]["fertility"] == pytest.approx(
+            round(ns / nw, 4), abs=0)
+
+
+def test_fertility_every_corpus_word_is_encodable(spark):
+    # the vocab join must cover EVERY corpus word (inner join loses none):
+    # total word count in == n_words out
+    from ds_ga1004_bigdata_project_spark.functions.subword import (
+        bpe_fertility)
+
+    df = spark.createDataFrame([(i, t, "x") for i, t in enumerate(CORPUS)],
+                               "doc_id long, text string, lang string")
+    out = bpe_fertility(df, n_merges=4, group_col="lang").collect()
+    total_in = sum(len(t.lower().split()) for t in CORPUS)
+    assert sum(r["n_words"] for r in out) == total_in
