@@ -1078,3 +1078,82 @@ def span_dedup_rewrite(df: DataFrame, k: int = 8, text_col: str = "text",
         F.size("w").alias("n_tokens"),
         F.size("covered").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"))
+
+
+def winnowing_fingerprints(df: DataFrame, k: int = 4, w: int = 5,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           max_df: int | None = None) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-token gram, then from each
+    sliding window of ``w`` consecutive hashes keep the minimum. The
+    guarantee that makes this the standard similarity-fingerprint
+    selector: any shared run of ``k + w - 1`` tokens between two
+    documents is CERTAIN to contribute at least one common fingerprint,
+    while only ~2/(w+1) of positions are kept — density is tunable,
+    detection is deterministic (no MinHash-style probabilistic miss).
+
+    Plan: the k-gram hashes are built IN-ROW (one ``transform`` over a
+    position sequence whose lambda touches only the pre-projected token
+    attribute — the HOF free-subexpression trap doesn't apply to
+    attributes), so the only corpus-shaped data motion is one doc-keyed
+    exchange for the per-document window min and one fingerprint-keyed
+    exchange for the distinct. 16-hex-char truncated md5 keeps shuffle
+    rows narrow (the q31/q147 convention).
+
+    ``max_df`` (optional) drops fingerprints appearing in more than
+    that many documents before any pairing — the boilerplate
+    blast-radius cap for corpus scale (a fingerprint shared by 10⁶
+    documents is template noise generating 10¹² pairs, not linkage
+    evidence). ``None`` keeps exact semantics.
+
+    Returns the distinct (id_col, fp) fingerprint relation."""
+    n = F.size(F.col("_toks"))
+    # guard: sequence(1, x) DESCENDS for x < 1 (short docs would slice at
+    # non-positive positions) — docs with fewer than k tokens have no gram
+    positions = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+                 .otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        positions,
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+            1, 16))
+    pos = (df.select(F.col(id_col),
+                     ws_tokens(F.lower(F.col(text_col))).alias("_toks"))
+             .select(id_col, (n - (k - 1)).alias("_npos"),
+                     F.posexplode(hashes).alias("_p0", "_h")))
+    from pyspark.sql import Window
+    win = (Window.partitionBy(id_col).orderBy(F.col("_p0"))
+                 .rowsBetween(0, w - 1))
+    fps = (pos.withColumn("_fp", F.min("_h").over(win))
+              .filter(F.col("_p0") + 1 <= F.col("_npos") - (w - 1))
+              .select(id_col, F.col("_fp").alias("fp"))
+              .distinct())
+    if max_df is not None:
+        dfreq = (fps.groupBy("fp")
+                    .agg(F.count("*").alias("_df"))
+                    .filter(F.col("_df") <= max_df)
+                    .select("fp"))
+        fps = fps.join(dfreq, "fp")
+    return fps
+
+
+def winnowing_pairs(df: DataFrame, k: int = 4, w: int = 5,
+                    min_shared: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_df: int | None = None) -> DataFrame:
+    """Document pairs ranked by shared winnowing fingerprints — the
+    MOSS-style similarity report over :func:`winnowing_fingerprints`.
+    Inverted-index pairing: docs meet only through fingerprints they
+    share (never all-pairs), counts are exact integers.
+
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b and
+    ``n_shared >= min_shared``."""
+    fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col,
+                                 id_col=id_col, max_df=max_df)
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))

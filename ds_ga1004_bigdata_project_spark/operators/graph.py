@@ -242,3 +242,84 @@ def connected_components(edges: DataFrame, src: str = "src",
                             nonconverged="iterate")
     return out.select(F.col("id").alias("node"),
                       F.col("keep_id").alias("component"))
+
+
+def triangle_participation(edges: DataFrame, src: str = "src",
+                           dst: str = "dst",
+                           caches: list | None = None) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (community density, spam/bot subgraph detection).
+    ``edges`` must be the canonical undirected relation: distinct,
+    ``src < dst``.
+
+    Algorithm: degree-ordered orientation + edge-iterator over compact
+    adjacency arrays (the standard distributed-triangle design — Suri &
+    Vassilvitskii 2011 lineage). Every edge directs from its
+    (degree, id)-smaller endpoint to the larger, which (a) makes each
+    triangle appear exactly once — as the closure of its base edge
+    (a, b) by the common out-neighborhood of a and b — and (b) bounds
+    every out-degree at O(√m) on any graph, so the oriented adjacency
+    array of even a 10⁸-degree hub is √m-sized. The per-edge work is
+    ONE in-row ``array_intersect`` of two sorted O(√m) arrays; the
+    O(m^1.5) wedge stream of the naive formulation (measured 3× slower
+    wall at sf0.1 and OOM-prone — it materializes Σ outdeg² rows) never
+    exists as data.
+
+    Plan: one degree agg, two joins to attach endpoint degrees, one
+    collect_list agg to the |V|-row oriented adjacency relation, two
+    adjacency joins back onto the edge list (node-keyed; AQE broadcasts
+    while the adjacency relation fits, shuffles when it doesn't), then
+    explode(intersect) → per-node count. The only corpus-shaped shuffles
+    are on node keys; nothing ever materializes wedges.
+
+    ``caches`` receives the persisted adjacency relation (it feeds both
+    endpoint joins).
+
+    Returns (node, n_triangles), one row per node in ≥1 triangle."""
+    # the edge relation appears three times in the plan (degree union ×2
+    # + orientation join) but is NOT persisted: the identical exchange
+    # subtrees dedupe via ReusedExchange, which measured FASTER than an
+    # InMemoryRelation round-trip (persist cost > recompute-from-reuse).
+    deg = (edges.select(F.col(src).alias("n"))
+           .unionAll(edges.select(F.col(dst).alias("n")))
+           .groupBy("n").agg(F.count("*").alias("deg")))
+    e = (edges
+         .join(deg.select(F.col("n").alias(src),
+                          F.col("deg").alias("_dsrc")), src)
+         .join(deg.select(F.col("n").alias(dst),
+                          F.col("deg").alias("_ddst")), dst))
+    s_first = (F.struct(F.col("_dsrc"), F.col(src))
+               < F.struct(F.col("_ddst"), F.col(dst)))
+    o = e.select(
+        F.when(s_first, F.col(src)).otherwise(F.col(dst)).alias("s"),
+        F.when(s_first, F.col(dst)).otherwise(F.col(src)).alias("d"))
+    adj = (o.groupBy("s")
+            .agg(F.sort_array(F.collect_list("d")).alias("nbrs")))
+    if caches is not None:
+        from .relational import persisted
+        adj = persisted(adj)
+        caches.append(adj)
+    closed = (o
+              .join(adj.select(F.col("s"), F.col("nbrs").alias("_na")),
+                    "s")
+              .join(adj.select(F.col("s").alias("d"),
+                               F.col("nbrs").alias("_nb")), "d")
+              .select(F.col("s"), F.col("d"),
+                      F.array_intersect("_na", "_nb").alias("_c"))
+              .filter(F.size("_c") > 0))
+    # per-node contributions in ONE pass over the closed edges: a
+    # union-of-three-projections over `tri` would re-execute the whole
+    # closure join per branch (no exchange sits at the union point to
+    # reuse). Here s and d each earn |intersection| triangles and every
+    # common neighbor earns 1, emitted as one in-row explode.
+    contrib = (closed.select(F.explode(F.concat(
+        F.array(F.struct(F.col("s").alias("node"),
+                         F.size("_c").cast("long").alias("w"))),
+        F.array(F.struct(F.col("d").alias("node"),
+                         F.size("_c").cast("long").alias("w"))),
+        F.transform(F.col("_c"),
+                    lambda x: F.struct(x.alias("node"),
+                                       F.lit(1).cast("long")
+                                        .alias("w"))))).alias("p"))
+        .select(F.col("p.node").alias("node"), F.col("p.w").alias("w")))
+    return contrib.groupBy("node").agg(F.sum("w").alias("n_triangles"))

@@ -5918,6 +5918,114 @@ def q165_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@_register(
+    "q166_winnowing_pairs",
+    survey="net-new winnowing fingerprint similarity (Schleimer-Wilkerson-Aiken 2003 / MOSS: window-min k-gram hash selection with a deterministic shared-run detection guarantee)",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, i AS pos,
+                 substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16) AS h,
+                 len(w) - 3 AS npos
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 3)) AS i
+                FROM toks WHERE len(w) >= 4)
+        ), wmin AS (
+          SELECT doc_id, pos, npos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                   AS fp
+          FROM pos
+        ), fps AS (
+          SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= npos - 4
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5
+        ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+        LIMIT 50
+    """,
+)
+def q166_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style similarity report (:func:`dedup.winnowing_pairs`,
+    k=4-token grams, window w=5): any shared run of k+w−1 = 8 tokens is
+    GUARANTEED to surface a common fingerprint — deterministic
+    detection at ~2/(w+1) fingerprint density, the selection guarantee
+    MinHash can't give. In-row gram hashing over the pre-projected
+    token attribute; one doc-keyed window exchange + one
+    fingerprint-keyed distinct; inverted-index pairing so documents
+    meet only through shared fingerprints."""
+    cat = Catalog(spark, sf_dir)
+    return (dedup.winnowing_pairs(cat.documents, k=4, w=5, min_shared=5)
+            .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(50))
+
+
+@_register(
+    "q167_triangle_participation",
+    survey="net-new per-node triangle counting with degree-ordered orientation (Suri-Vassilvitskii MR-NodeIterator++ family — wedge join bounded at O(m^1.5))",
+    oracle="""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ), tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), nodes AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY node
+        ORDER BY n_triangles DESC, node ASC
+        LIMIT 25
+    """,
+)
+def q167_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 parts by co-purchase triangle participation
+    (:func:`graph.triangle_participation` over the q138 co-purchase
+    edges): the local-clustering signal behind community density and
+    coordinated-behavior detection. The engine orients each edge from
+    its (degree, id)-smaller endpoint — every triangle becomes exactly
+    one wedge + one closure probe and out-degrees are O(√m)-bounded,
+    so the wedge join is O(m^1.5) worst-case where the naive neighbor
+    join is hub-quadratic. The oracle counts the same triangles with
+    the orientation-free a<b<c three-way join — the count is
+    plan-independent, which is exactly what certifies the optimized
+    orientation."""
+    from .operators.graph import triangle_participation
+
+    cat = Catalog(spark, sf_dir)
+    items = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("_ok2"),
+                     F.col("l_partkey").alias("v"))
+    edges = (a.join(b, (F.col("l_orderkey") == F.col("_ok2"))
+                    & (F.col("u") < F.col("v")))
+             .select("u", "v").distinct())
+    caches: list[DataFrame] = []
+    try:
+        out = (triangle_participation(edges, src="u", dst="v",
+                                      caches=caches)
+               .orderBy(F.desc("n_triangles"), F.asc("node"))
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -5967,17 +6075,18 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
 #: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's seventeen additions — q149 (CDC partial-overlap clustering),
+#: round's nineteen additions — q149 (CDC partial-overlap clustering),
 #: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
 #: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
 #: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
 #: domain selection), q158 (cluster-capped sampling), q159 (adaptive
 #: quality gate), q160 (PMI collocations), q161 (epoch-batch manifest),
 #: q162 (trigram stupid backoff), q163 (source JSD matrix), q164 (BPE
-#: fertility, pin-backed rows-only), q165 (temperature mixture plan).
-#: Front = these 17 + 4 changed (q56/q64 LSH blast-radius, q106 quota
-#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 22; the
-#: remaining 28 slots refresh stalest-first per the rotation SLO.
+#: fertility, pin-backed rows-only), q165 (temperature mixture plan),
+#: q166 (winnowing fingerprints), q167 (triangle participation).
+#: Front = these 19 + 4 changed (q56/q64 LSH blast-radius, q106 quota
+#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 24; the
+#: remaining 26 slots refresh stalest-first per the rotation SLO.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
@@ -5996,6 +6105,8 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q163_source_jsd_matrix",
     "q164_bpe_fertility",
     "q165_temperature_mixture",
+    "q166_winnowing_pairs",
+    "q167_triangle_participation",
 )
 
 #: Queries whose code path changed since their last driver certification.

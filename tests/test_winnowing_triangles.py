@@ -1,0 +1,138 @@
+"""Unit semantics for winnowing fingerprints (q166) and degree-oriented
+triangle counting (q167). Hand-built inputs with known answers; the parity
+suite covers the cross-engine contract."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from ds_ga1004_bigdata_project_spark.operators.dedup import (
+    winnowing_fingerprints, winnowing_pairs)
+from ds_ga1004_bigdata_project_spark.operators.graph import (
+    triangle_participation)
+
+# ------------------------------------------------------------ winnowing
+
+
+def _ref_winnow(text, k, w):
+    import hashlib
+
+    toks = text.lower().split()
+    if len(toks) < k:
+        return set()
+    hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:16]
+          for i in range(len(toks) - k + 1)]
+    if len(hs) < w:
+        return set()
+    return {min(hs[s:s + w]) for s in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_reference(spark):
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "the quick brown fox jumps over the lazy dog again today"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=3, w=3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        want = _ref_winnow(t, 3, 3)
+        assert got.get(i, set()) == want, f"doc {i}"
+
+
+def test_winnowing_guarantee_shared_run_always_detected(spark):
+    # the Schleimer guarantee: a shared run of k+w-1 tokens MUST produce
+    # >= 1 common fingerprint. Build two docs sharing exactly an
+    # 8-token run (k=4, w=5) inside otherwise-distinct text.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    a = "one two three four " + shared + " five six seven eight"
+    b = "nine ten eleven twelve " + shared + " thirteen fourteen fifteen sixteen"
+    df = spark.createDataFrame([(1, a), (2, b)],
+                               "doc_id long, text string")
+    pairs = winnowing_pairs(df, k=4, w=5, min_shared=1).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (1, 2)
+    assert pairs[0]["n_shared"] >= 1
+
+
+def test_winnowing_short_docs_yield_no_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f")], "doc_id long, text string")
+    rows = winnowing_fingerprints(df, k=4, w=5).collect()
+    # doc 1: < k tokens; doc 2: 3 grams < w windows -> none either
+    assert rows == []
+
+
+def test_winnowing_max_df_drops_boilerplate(spark):
+    t = "common common common common common common common common"
+    df = spark.createDataFrame(
+        [(i, t) for i in range(5)], "doc_id long, text string")
+    full = winnowing_fingerprints(df, k=3, w=3).collect()
+    assert len(full) > 0
+    capped = winnowing_fingerprints(df, k=3, w=3, max_df=4).collect()
+    assert capped == []  # every fp appears in all 5 docs -> dropped
+
+
+# ------------------------------------------------------------ triangles
+
+
+def _edges_df(spark, pairs):
+    rows = [(min(a, b), max(a, b)) for a, b in pairs]
+    return (spark.createDataFrame(rows, "u long, v long").distinct())
+
+
+def _ref_triangles(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    nodes = {x for e in es for x in e}
+    from collections import Counter
+    c = Counter()
+    for a, b, cc in combinations(sorted(nodes), 3):
+        if (a, b) in es and (b, cc) in es and (a, cc) in es:
+            c[a] += 1
+            c[b] += 1
+            c[cc] += 1
+    return dict(c)
+
+
+def test_triangles_match_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = {r["node"]: r["n_triangles"] for r in
+           triangle_participation(_edges_df(spark, pairs),
+                                  src="u", dst="v").collect()}
+    assert got == _ref_triangles(pairs)
+
+
+def test_triangles_k4_counts(spark):
+    # K4: every vertex sits in C(3,2)=3 triangles, 4 triangles total
+    pairs = list(combinations(range(4), 2))
+    got = {r["node"]: r["n_triangles"] for r in
+           triangle_participation(_edges_df(spark, pairs),
+                                  src="u", dst="v").collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_hub_star_has_none(spark):
+    # star graph: hub connected to 10 leaves, no leaf-leaf edges
+    pairs = [(0, i) for i in range(1, 11)]
+    got = triangle_participation(_edges_df(spark, pairs),
+                                 src="u", dst="v").collect()
+    assert got == []
+
+
+def test_triangles_cache_contract(spark):
+    pairs = list(combinations(range(5), 2))
+    caches: list = []
+    out = triangle_participation(_edges_df(spark, pairs), src="u",
+                                 dst="v", caches=caches)
+    n = out.count()
+    assert n == 5  # K5: every vertex in C(4,2)=6 triangles
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()
