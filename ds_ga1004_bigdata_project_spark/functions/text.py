@@ -710,6 +710,12 @@ def stupid_backoff_nll(df, train_df=None, alpha: float = 0.4,
     muni = (model_src.select(
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t"))
         .groupBy("t").agg(F.count("*").alias("c3")))
+    if caches is not None:
+        # muni feeds the w3 scoring join AND the (N, V) scalar agg —
+        # unpersisted, each consumer re-runs the unigram corpus explode
+        from ..operators.relational import persisted
+        muni = persisted(muni)
+        caches.append(muni)
     nv = muni.agg(F.sum("c3").cast("double").alias("n_tok"),
                   F.count("*").cast("double").alias("v"))
 

@@ -281,6 +281,60 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     cand = sim.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     MM.retrieval_recall_at_k(truth, cand, k=10).orderBy("query_id").show()
 
+    print("== 13. corpus statistics & training-order surface ==")
+
+    print("-- 13a. PMI collocations (phrase/tokenizer-vocab mining) --")
+    TX.pmi_collocations(docs, min_count=3) \
+        .orderBy(F.desc("pmi"), "w1", "w2").show(5)
+
+    print("-- 13b. temperature-scaled mixture plan (tau=0.7) --")
+    toks = docs.select("source",
+                       F.size(TX.ws_tokens(F.col("text")))
+                        .alias("n_tokens"))
+    S.temperature_mixture_plan(toks, tau=0.7, budget=10_000) \
+        .orderBy(F.desc("weight")).show(5)
+
+    print("-- 13c. epoch-shuffle microbatch manifest (budget=1024) --")
+    d2 = docs.select("doc_id",
+                     F.size(TX.ws_tokens(F.col("text"))).alias("n_tokens"))
+    S.epoch_batch_manifest(d2, "doc_id", "n_tokens",
+                           budget=1024, epochs=2) \
+        .orderBy("epoch", "batch_id").show(6)
+
+    print("-- 13d. trigram stupid-backoff scoring (held-out src0) --")
+    TX.stupid_backoff_nll(docs,
+                          train_df=docs.filter(F.col("source") != "src0")) \
+        .orderBy(F.desc("mean_nll"), "doc_id") \
+        .select("doc_id", "n_trigrams", "n_bi_backoffs",
+                "n_uni_backoffs", "mean_nll").show(5)
+
+    print("-- 13e. source JSD matrix (closest + farthest source pairs) --")
+    jsd = TX.source_js_divergence(docs)
+    jsd.orderBy("jsd").show(3)
+    jsd.orderBy(F.desc("jsd")).show(3)
+
+    print("-- 13f. BPE fertility per language --")
+    subword.bpe_fertility(docs, n_merges=8, group_col="lang") \
+        .orderBy("lang").show()
+
+    print("-- 13g. winnowing fingerprint similarity (MOSS) --")
+    dedup.winnowing_pairs(docs, k=4, w=5, min_shared=2) \
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b").show(5)
+
+    print("-- 13h. co-purchase triangle participation --")
+    from ds_ga1004_bigdata_project_spark.operators.graph import (
+        triangle_participation)
+
+    items = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
+    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    ib = items.select(F.col("l_orderkey").alias("_ok2"),
+                      F.col("l_partkey").alias("v"))
+    tri_edges = (ia.join(ib, (F.col("l_orderkey") == F.col("_ok2"))
+                         & (F.col("u") < F.col("v")))
+                 .select("u", "v").distinct())
+    triangle_participation(tri_edges, src="u", dst="v") \
+        .orderBy(F.desc("n_triangles"), "node").show(5)
+
     spark.stop()
 
 

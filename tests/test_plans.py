@@ -177,3 +177,78 @@ def test_shard_and_mixture_are_shuffle_free(spark):
     assert "Exchange" not in physical_plan(shard_assign(docs, "doc_id", 16))
     assert "Exchange" not in physical_plan(
         mixture_sample(docs, "source", "doc_id", {"src0": 0.5}))
+
+
+def test_epoch_manifest_never_plans_single_partition(spark):
+    """q161: the global prefix sum must be the range-partitioned
+    construction — an `Exchange SinglePartition` under the cumsum means
+    someone reintroduced a global window."""
+    from ds_ga1004_bigdata_project_spark.operators import sampling
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    docs = (Catalog(spark, SF_ORACLE).documents
+            .select("doc_id", F.size(F.split(F.col("text"), r"\s+"))
+                    .alias("n_tokens")))
+    caches: list = []
+    try:
+        df = sampling.epoch_batch_manifest(docs, "doc_id", "n_tokens",
+                                           budget=2048, epochs=2,
+                                           caches=caches)
+        plan = physical_plan(df)
+        assert "Exchange SinglePartition" not in plan
+        assert plan.count("rangepartitioning") >= 2  # one sort per epoch
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def test_lm_count_pyramids_cache_their_base(spark):
+    """q162/q146: the count pyramid's base relation (c123 / c2) and the
+    unigram model must read from cache — without the persists every
+    rollup re-executes its corpus explode."""
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, SF_ORACLE).documents
+    caches: list = []
+    try:
+        df = T.stupid_backoff_nll(
+            docs, train_df=docs.filter(F.col("source") != "src0"),
+            caches=caches)
+        plan = physical_plan(df)
+        assert plan.count("InMemoryTableScan") >= 4  # c123 rollups + muni
+        assert_no_cartesian(df)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def test_winnowing_hashes_in_row_and_shuffles_narrow(spark):
+    """q166: gram hashing happens in-row (substring(md5(...)) in the
+    projection, not a corpus-wide HOF over a computed array) and the
+    pairing never plans a cartesian product."""
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        winnowing_pairs)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    df = winnowing_pairs(Catalog(spark, SF_ORACLE).documents, k=4, w=5)
+    plan = physical_plan(df)
+    assert "substring(md5" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert_no_cartesian(df)
+
+
+def test_triangles_use_edge_iterator_not_wedge_join(spark):
+    """q167: the plan must close triangles with the in-row
+    array_intersect over adjacency arrays — a regression to the
+    materialized wedge self-join (29.3 s / OOM class at sf0.1) loses
+    that node."""
+    from ds_ga1004_bigdata_project_spark.operators.graph import (
+        triangle_participation)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long")
+    df = triangle_participation(edges, src="u", dst="v")
+    plan = physical_plan(df)
+    assert "array_intersect" in plan
+    assert_no_cartesian(df)
