@@ -1157,3 +1157,39 @@ def winnowing_pairs(df: DataFrame, k: int = 4, w: int = 5,
              .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("n_shared"))
              .filter(F.col("n_shared") >= min_shared))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      min_containment: float = 0.5,
+                      max_doc_freq: int | None = None,
+                      caches: list[DataFrame] | None = None) -> DataFrame:
+    """Asymmetric shingle-set CONTAINMENT pairs — the partial-copy
+    detector Jaccard systematically misses (Broder's resemblance vs
+    containment distinction): a short document fully embedded in a long
+    one has containment ≈ 1 on the short side while Jaccard ≈
+    |short|/|long| can sit far below any dedup threshold. The standard
+    quote-expansion / article-plus-wrapper case in web corpora.
+
+    Reuses the q32 inverted-index candidate machinery
+    (:func:`ngram_jaccard_pairs` — docs meet only on shared shingles,
+    same ``max_doc_freq`` stop-list trade) and derives both directed
+    containments from the exact intersection and set sizes it already
+    carries. Keeps pairs where EITHER direction reaches
+    ``min_containment``.
+
+    Output: (a, b, inter_cnt, a_cnt, b_cnt, containment_a,
+    containment_b) with a < b; ``containment_a`` = |A∩B|/|A| — how much
+    of A lives inside B."""
+    pairs = ngram_jaccard_pairs(df, text_col=text_col, id_col=id_col,
+                                n=n, min_jaccard=0.0,
+                                max_doc_freq=max_doc_freq, caches=caches)
+    ca = F.round(F.col("inter_cnt").cast("double")
+                 / F.col("a_cnt").cast("double"), 6)
+    cb = F.round(F.col("inter_cnt").cast("double")
+                 / F.col("b_cnt").cast("double"), 6)
+    return (pairs.select("a", "b", "inter_cnt", "a_cnt", "b_cnt",
+                         ca.alias("containment_a"),
+                         cb.alias("containment_b"))
+            .filter((F.col("containment_a") >= min_containment)
+                    | (F.col("containment_b") >= min_containment)))

@@ -533,3 +533,53 @@ def hard_negatives(emb: DataFrame, docs: DataFrame, probes: DataFrame,
             .filter(F.col("hn_rank") <= k_out)
             .select("query_id", "hn_rank", "neighbor_id", "cosine_sim",
                     "jaccard"))
+
+
+def jl_distortion(emb: DataFrame, out_dim: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  salt: int = 42, scale: int = 4) -> DataFrame:
+    """Seeded Johnson-Lindenstrauss random projection with a per-vector
+    distortion certificate — the dimensionality-reduction step in front
+    of ANN indexing, made ORACLE-CHECKABLE: the ±1 Rademacher projection
+    matrix is not sampled but DERIVED from integer hash arithmetic
+    (``sign(i,j) = 1 − 2·(bit 15 of ((i·k + j + salt) mod 2³¹)·C
+    mod 2³¹)``, the sampling module's multiplicative-mix convention), so
+    any engine reproduces the identical matrix and the projection
+    becomes exact shared arithmetic instead of an engine-specific RNG
+    artifact. Bit 15, not bit 0: with C odd, ``(x·C) mod 2`` IS
+    ``x mod 2`` — the low bit of a multiplicative mix is the unmixed
+    input parity (a checkerboard, not a Rademacher matrix); the middle
+    bits are the scrambled ones.
+
+    Entirely in-row (zero shuffle): each vector folds through the k
+    sign rows (O(k·d) per row, whole-stage codegen), and the distortion
+    ratio ‖Pv‖²/(k·‖v‖²) — whose expectation is 1 under Rademacher
+    projections, the JL guarantee being its concentration — is one
+    division of identically-derived doubles.
+
+    Returns (id_col, n2_orig, n2_proj, ratio), all rounded once."""
+    vec = F.col(vec_col)
+    c = 2_654_435_761
+
+    def sign(i, j):
+        h = F.pmod(F.pmod(i * out_dim + j + F.lit(salt),
+                          F.lit(1 << 31)) * F.lit(c), F.lit(1 << 31))
+        return F.lit(1) - F.lit(2) * F.pmod(F.shiftright(h, 15),
+                                            F.lit(2))
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(1), F.size(vec)), F.lit(0.0),
+            lambda acc, i: acc + F.element_at(vec, i).cast("double")
+            * sign(i, j)))
+    n2p = F.aggregate(proj, F.lit(0.0), lambda a, x: a + x * x)
+    n2o = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        F.col(id_col),
+        F.round(n2o, scale).alias("n2_orig"),
+        F.round(n2p, scale).alias("n2_proj"),
+        F.round(n2p / (F.lit(float(out_dim)) * n2o), scale)
+         .alias("ratio"))

@@ -6026,6 +6026,165 @@ def q167_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+@_register(
+    "q168_containment_pairs",
+    survey="net-new asymmetric shingle-set containment dedup (Broder's containment vs resemblance: the partial-copy / quote-expansion detector Jaccard misses)",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                   AS shingles
+          FROM (SELECT doc_id,
+                       string_split_regex(text, '\\s+') AS w
+                FROM documents)
+          WHERE len(w) >= 3
+        ), post AS (
+          SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), sizes AS (
+          SELECT doc_id, len(shingles) AS set_size FROM sh
+        ), inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter_cnt
+          FROM post a JOIN post b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.a, i.b, CAST(i.inter_cnt AS BIGINT) AS inter_cnt,
+               CAST(sa.set_size AS BIGINT) AS a_cnt,
+               CAST(sb.set_size AS BIGINT) AS b_cnt,
+               round(CAST(i.inter_cnt AS DOUBLE)
+                     / CAST(sa.set_size AS DOUBLE), 6) AS containment_a,
+               round(CAST(i.inter_cnt AS DOUBLE)
+                     / CAST(sb.set_size AS DOUBLE), 6) AS containment_b
+        FROM inter i
+        JOIN sizes sa ON i.a = sa.doc_id
+        JOIN sizes sb ON i.b = sb.doc_id
+        WHERE round(CAST(i.inter_cnt AS DOUBLE)
+                    / CAST(sa.set_size AS DOUBLE), 6) >= 0.5
+           OR round(CAST(i.inter_cnt AS DOUBLE)
+                    / CAST(sb.set_size AS DOUBLE), 6) >= 0.5
+        ORDER BY greatest(
+                   round(CAST(i.inter_cnt AS DOUBLE)
+                         / CAST(sa.set_size AS DOUBLE), 6),
+                   round(CAST(i.inter_cnt AS DOUBLE)
+                         / CAST(sb.set_size AS DOUBLE), 6)) DESC,
+                 i.a ASC, i.b ASC
+        LIMIT 25
+    """,
+)
+def q168_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy detection by shingle-set containment
+    (:func:`dedup.containment_pairs`): |A∩B|/|A| ≥ 0.5 in either
+    direction — the Broder-containment complement to q32's Jaccard,
+    catching the short-doc-embedded-in-long-doc case whose Jaccard
+    sits below any threshold. Same inverted-index candidate machinery
+    (docs meet only on shared shingles); both directed containments
+    derive from the exact intersection counts."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        out = (dedup.containment_pairs(cat.documents, n=3,
+                                       min_containment=0.5,
+                                       caches=caches)
+               .orderBy(F.desc(F.greatest("containment_a",
+                                          "containment_b")),
+                        F.asc("a"), F.asc("b"))
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+@_register(
+    "q169_jl_distortion",
+    survey="net-new oracle-checkable Johnson-Lindenstrauss projection (hash-derived Rademacher signs — no engine RNG; per-vector norm-distortion certificate)",
+    oracle="""
+        WITH p AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                   AS n2o,
+                 list_aggregate(list_transform(
+                   list_transform(generate_series(0, 7), j ->
+                     list_aggregate(list_transform(
+                       generate_series(1, len(embedding)), i ->
+                       CAST(embedding[i] AS DOUBLE)
+                       * (1 - 2 * (((((i * 8 + j + 42) % 2147483648)
+                                    * 2654435761 % 2147483648)
+                                    // 32768) % 2))),
+                       'sum')),
+                   pj -> pj * pj), 'sum') AS n2p
+          FROM embeddings
+        )
+        SELECT vec_id, round(n2o, 4) AS n2_orig,
+               round(n2p, 4) AS n2_proj,
+               round(n2p / (8.0 * n2o), 4) AS ratio
+        FROM p ORDER BY vec_id
+    """,
+)
+def q169_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded JL random projection 64→8 dims with per-vector distortion
+    certificate (:func:`sim.jl_distortion`): the ±1 Rademacher matrix
+    derives from integer hash arithmetic instead of an engine RNG, so
+    DuckDB reproduces the identical projection and the oracle certifies
+    the whole reduction — the pattern that makes even "random" ANN
+    preprocessing testable. Zero shuffle: one in-row O(k·d) fold per
+    vector."""
+    cat = Catalog(spark, sf_dir)
+    return (sim.jl_distortion(cat.embeddings, out_dim=8, salt=42)
+            .orderBy("vec_id"))
+
+
+@_register(
+    "q170_event_transitions",
+    survey="net-new per-user event-sequence Markov transition matrix (lag-window bigrams over time-ordered sessions; row-normalized probabilities)",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ), cnt AS (
+          SELECT prev, event_type AS next, count(*) AS n
+          FROM seq WHERE prev IS NOT NULL
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT prev, sum(n) AS tn FROM cnt GROUP BY prev
+        )
+        SELECT c.prev, c.next, CAST(c.n AS BIGINT) AS n,
+               round(CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6)
+                 AS p
+        FROM cnt c JOIN tot t ON c.prev = t.prev
+        ORDER BY c.prev, c.next
+    """,
+)
+def q170_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    lag-window bigrams per user (time-ordered, event_id tiebreak for
+    simultaneous rows), exact transition counts, row-normalized
+    probabilities — the session-model baseline behind next-event
+    prediction and anomalous-flow detection. One user-keyed window
+    exchange + one 25-row agg."""
+    from pyspark.sql import Window as W
+    cat = Catalog(spark, sf_dir)
+    seq = cat.events.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+         .alias("prev"))
+    cnt = (seq.filter(F.col("prev").isNotNull())
+           .groupBy("prev", F.col("event_type").alias("next"))
+           .agg(F.count("*").alias("n")))
+    tot = cnt.groupBy("prev").agg(F.sum("n").alias("tn"))
+    return (cnt.join(tot, "prev")
+            .select("prev", "next", F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n").cast("double")
+                            / F.col("tn").cast("double"), 6).alias("p"))
+            .orderBy("prev", "next"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -6075,7 +6234,7 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
 #: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's nineteen additions — q149 (CDC partial-overlap clustering),
+#: round's twenty-two additions — q149 (CDC partial-overlap clustering),
 #: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
 #: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
 #: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
@@ -6083,10 +6242,12 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: quality gate), q160 (PMI collocations), q161 (epoch-batch manifest),
 #: q162 (trigram stupid backoff), q163 (source JSD matrix), q164 (BPE
 #: fertility, pin-backed rows-only), q165 (temperature mixture plan),
-#: q166 (winnowing fingerprints), q167 (triangle participation).
-#: Front = these 19 + 4 changed (q56/q64 LSH blast-radius, q106 quota
-#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 24; the
-#: remaining 26 slots refresh stalest-first per the rotation SLO.
+#: q166 (winnowing fingerprints), q167 (triangle participation),
+#: q168 (containment pairs), q169 (JL distortion), q170 (event
+#: transitions). Front = these 22 + 4 changed (q56/q64 LSH
+#: blast-radius, q106 quota perm-rank fix, q146 bigram-LM count
+#: pyramid) + the anchor = 27; the remaining 23 slots refresh
+#: stalest-first per the rotation SLO.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
@@ -6107,6 +6268,9 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q165_temperature_mixture",
     "q166_winnowing_pairs",
     "q167_triangle_participation",
+    "q168_containment_pairs",
+    "q169_jl_distortion",
+    "q170_event_transitions",
 )
 
 #: Queries whose code path changed since their last driver certification.

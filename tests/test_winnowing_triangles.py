@@ -136,3 +136,102 @@ def test_triangles_cache_contract(spark):
     assert len(caches) == 1
     for c in caches:
         c.unpersist()
+
+
+# ------------------------------------------------- wave-3 additions
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        containment_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    longd = (short + " one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    df = spark.createDataFrame([(1, short), (2, longd)],
+                               "doc_id long, text string")
+    caches: list = []
+    rows = containment_pairs(df, min_containment=0.9,
+                             caches=caches).collect()
+    for c in caches:
+        c.unpersist()
+    assert len(rows) == 1
+    r = rows[0]
+    # the short doc's 3 shingles all live in the long doc
+    assert r["containment_a"] == 1.0
+    # while the symmetric Jaccard is far below any dedup threshold
+    jac = r["inter_cnt"] / (r["a_cnt"] + r["b_cnt"] - r["inter_cnt"])
+    assert jac < 0.2
+
+
+def test_jl_distortion_concentrates_and_is_deterministic(spark):
+    from ds_ga1004_bigdata_project_spark.operators.similarity import (
+        jl_distortion)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    a = jl_distortion(emb, out_dim=8).collect()
+    b = jl_distortion(emb, out_dim=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    ratios = [r["ratio"] for r in a]
+    mean = sum(ratios) / len(ratios)
+    # E[ratio] = 1 under Rademacher projections; k=8 concentrates the
+    # corpus MEAN tightly even though single vectors swing
+    assert 0.85 < mean < 1.15, mean
+    assert all(r["n2_orig"] > 0 for r in a)
+
+
+def test_jl_distortion_salt_changes_projection(spark):
+    from ds_ga1004_bigdata_project_spark.operators.similarity import (
+        jl_distortion)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    emb = Catalog(spark, SF_SMOKE).embeddings.limit(20)
+    a = {r["vec_id"]: r["n2_proj"] for r in
+         jl_distortion(emb, out_dim=8, salt=42).collect()}
+    b = {r["vec_id"]: r["n2_proj"] for r in
+         jl_distortion(emb, out_dim=8, salt=43).collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_event_transitions_probabilities_normalize(spark):
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+
+    from .conftest import SF_ORACLE
+
+    rows = REGISTRY["q170_event_transitions"].build(
+        spark, SF_ORACLE).collect()
+    from collections import defaultdict
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev"]] += r["p"]
+    # rounded 6dp probabilities per prev-state sum to 1 within rounding
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+
+
+def test_event_transitions_hand_counts(spark):
+    rows = [(1, i, 100, t) for i, t in
+            enumerate(["a", "b", "a", "b", "a"])] + \
+           [(10 + i, i, 200, t) for i, t in enumerate(["a", "a", "c"])]
+    import datetime
+    df = spark.createDataFrame(
+        [(eid, datetime.datetime(2026, 1, 1, 0, 0, sec), uid, t)
+         for (eid, sec, uid, t) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F2
+    seq = df.select("user_id", "event_type",
+                    F2.lag("event_type").over(
+                        W.partitionBy("user_id").orderBy("ts", "event_id"))
+                    .alias("prev"))
+    cnt = {(r["prev"], r["event_type"]): r["n"] for r in
+           seq.filter(F2.col("prev").isNotNull())
+              .groupBy("prev", "event_type")
+              .agg(F2.count("*").alias("n")).collect()}
+    assert cnt == {("a", "b"): 2, ("b", "a"): 2,
+                   ("a", "a"): 1, ("a", "c"): 1}
