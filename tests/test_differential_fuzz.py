@@ -323,3 +323,79 @@ def test_ordered_topn_sequences_match_duckdb(spark):
             f"ORDER BY l_extendedprice {d}, l_orderkey, l_linenumber "
             f"LIMIT {n}").fetchall()
         assert got == [tuple(r) for r in exp], (n, desc)
+
+
+# ---------------------------------------------- permutation-hash family
+# Generative coverage for the deterministic-ordering operators after the
+# round-8 findings that (a) raw _knuth_hash order is key-monotone and
+# (b) bit 0 of a multiplicative mix is the input's parity: random keys
+# (including negatives), salts, budgets and epochs, compiled through the
+# operator AND its SQL twin side-by-side.
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_epoch_manifests_match_duckdb(spark, seed):
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        epoch_batch_manifest, epoch_batch_manifest_sql)
+
+    rng = random.Random(9_000 + seed)
+    n = rng.randint(40, 300)
+    salt = rng.randint(0, 1_000_000)
+    budget = rng.choice((64, 128, 500, 1009))
+    epochs = rng.randint(1, 3)
+    keys = rng.sample(range(-(1 << 40), 1 << 40), n)
+    rows = [(k, rng.randint(1, 50)) for k in keys]
+
+    sdf = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    caches: list = []
+    try:
+        got = sorted(map(tuple, epoch_batch_manifest(
+            sdf, "doc_id", "n_tokens", budget=budget, epochs=epochs,
+            salt=salt, caches=caches).collect()))
+    finally:
+        for c in caches:
+            c.unpersist()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, n_tokens INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        epoch_batch_manifest_sql("doc_id", "n_tokens", budget=budget,
+                                 epochs=epochs, salt=salt)).fetchall()))
+    assert got == want, f"seed {seed}: manifest diverged"
+    # structural invariants on top of cross-engine equality
+    per_epoch = {}
+    for e, b, nd, st, _ in got:
+        per_epoch.setdefault(e, [0, 0])
+        per_epoch[e][0] += nd
+        per_epoch[e][1] += st
+    total = sum(t for _, t in rows)
+    for e, (nd, st) in per_epoch.items():
+        assert nd == n and st == total
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_quota_samples_match_duckdb(spark, seed):
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        per_group_quota_sample, per_group_quota_sql)
+
+    rng = random.Random(17_000 + seed)
+    n = rng.randint(60, 400)
+    salt = rng.randint(0, 1_000_000)
+    quota = rng.randint(1, 7)
+    n_groups = rng.randint(1, 6)
+    keys = rng.sample(range(-(1 << 40), 1 << 40), n)
+    rows = [(rng.randrange(n_groups), k) for k in keys]
+
+    sdf = spark.createDataFrame(rows, "grp int, k long")
+    got = sorted((r["grp"], r["k"]) for r in per_group_quota_sample(
+        sdf, "grp", "k", quota, salt=salt).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp INT, k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        "SELECT grp, k FROM "
+        + per_group_quota_sql("t", "grp", "k", quota, salt=salt)
+        + " q").fetchall()))
+    assert got == want, f"seed {seed}: quota keep-set diverged"
