@@ -834,3 +834,37 @@ def source_js_divergence(df, group_col: str = "source",
         "g_a", "g_b", "n_shared",
         F.round(F.col("shared_dec").cast("double") + only, scale)
          .alias("jsd"))
+
+
+def blocklist_stats(df, terms: tuple[str, ...], text_col: str = "text",
+                    group_col: str = "source",
+                    max_hit_ratio: float = 0.0, scale: int = 4):
+    """C4-style blocklist gating: per-group counts of documents whose
+    token stream hits a (small, broadcastable-by-literal) term
+    blocklist — the classic bad-words / boilerplate-marker filter that
+    runs at full scan speed before anything expensive. A document is
+    DROPPED when its hit ratio exceeds ``max_hit_ratio`` (0.0 = any hit
+    drops, the C4 rule).
+
+    Pure per-row expressions (token filter against a literal array —
+    no join, no shuffle except the final group agg), so the gate
+    composes into any scan. Exact integers + one rounded ratio.
+
+    Returns per group: n_docs, n_flagged, n_kept, total_hits,
+    flagged_rate."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    lit = F.array(*[F.lit(t) for t in terms])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(lit, x)))
+    ratio = hits.cast("double") / F.size(toks).cast("double")
+    flagged = (ratio > F.lit(max_hit_ratio)).cast("int")
+    return (df.select(F.col(group_col).alias("grp"),
+                      hits.alias("hits"), flagged.alias("flagged"))
+            .groupBy("grp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("flagged").cast("long").alias("n_flagged"),
+                 (F.count("*") - F.sum("flagged")).cast("long")
+                  .alias("n_kept"),
+                 F.sum("hits").cast("long").alias("total_hits"),
+                 F.round(F.sum("flagged").cast("double")
+                         / F.count("*"), scale).alias("flagged_rate"))
+            .withColumnRenamed("grp", group_col))

@@ -6185,6 +6185,113 @@ def q170_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prev", "next"))
 
 
+@_register(
+    "q171_blocklist_gate",
+    survey="net-new C4-style blocklist gating (bad-words/marker filter at scan speed; per-source flagged/kept accounting)",
+    oracle="""
+        WITH t AS (
+          SELECT source,
+                 list_transform(string_split_regex(lower(text), '\\s+'),
+                                x -> x) AS w
+          FROM documents
+        ), h AS (
+          SELECT source,
+                 len(list_filter(w, x -> list_contains(
+                     ['dup', 'spam', 'error', 'noise'], x))) AS hits,
+                 CASE WHEN len(list_filter(w, x -> list_contains(
+                     ['dup', 'spam', 'error', 'noise'], x)))
+                     / CAST(len(w) AS DOUBLE) > 0.0
+                      THEN 1 ELSE 0 END AS flagged
+          FROM t
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(flagged) AS BIGINT) AS n_flagged,
+               CAST(count(*) - sum(flagged) AS BIGINT) AS n_kept,
+               CAST(sum(hits) AS BIGINT) AS total_hits,
+               round(CAST(sum(flagged) AS DOUBLE) / count(*), 4)
+                 AS flagged_rate
+        FROM h GROUP BY source
+        ORDER BY source
+    """,
+)
+def q171_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gating per source (:func:`T.blocklist_stats`, the C4
+    bad-words rule — any hit drops the document): token filter against
+    a literal term array at full scan speed, zero joins, one
+    sources-row agg. The gate every crawl pipeline runs before paying
+    for anything smarter."""
+    cat = Catalog(spark, sf_dir)
+    return (T.blocklist_stats(cat.documents,
+                              terms=("dup", "spam", "error", "noise"),
+                              group_col="source", max_hit_ratio=0.0)
+            .orderBy("source"))
+
+
+def _duck_half_lang(half_expr: str) -> str:
+    """CASE argmax of the lexicon-hit scores over ``half_expr`` (a SQL
+    token-list expression) — the q33 convention applied to a document
+    half (see :func:`_duck_lang_sql`)."""
+    from .functions.text import LANG_LEXICONS
+
+    langs = sorted(LANG_LEXICONS)
+    scores = {lang: (f"len(list_intersect(list_distinct(list_transform("
+                     f"{half_expr}, x -> lower(x))), "
+                     f"{list(LANG_LEXICONS[lang])}))")
+              for lang in langs}
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        if i < len(langs) - 1:
+            conds = " AND ".join(f"{scores[lang]} >= {scores[later]}"
+                                 for later in langs[i + 1:])
+            case += f"WHEN {conds} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' END"
+    return case
+
+
+@_register(
+    "q172_mixed_language",
+    survey="net-new mixed-language detection (per-half language-ID disagreement — the FineWeb-class flag for code-switched / concatenated documents)",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 string_split_regex(text, '\\s+') AS w
+          FROM documents
+        ), halves AS (
+          SELECT doc_id, lang,
+                 {_duck_half_lang("w[1:len(w)//2]")} AS lang_first,
+                 {_duck_half_lang("w[len(w)//2+1:len(w)]")} AS lang_second
+          FROM t WHERE len(w) >= 2
+        )
+        SELECT lang_first, lang_second,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM halves
+        WHERE lang_first <> lang_second
+        GROUP BY 1, 2
+        ORDER BY lang_first, lang_second
+    """,
+)
+def q172_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language flags: language-ID each HALF of every document
+    (the q33 lexicon-argmax convention on token slices) and count the
+    disagreeing (first, second) pairs — the cheap code-switch /
+    concatenated-document detector crawl pipelines run before routing
+    to per-language models. Scan-speed expressions; one pairs-row
+    agg."""
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    half = F.floor(F.size(toks) / 2).cast("int")
+    first = T.lang_id(F.slice(toks, 1, half))
+    second = T.lang_id(F.slice(toks, half + 1, F.size(toks) - half))
+    return (cat.documents
+            .filter(F.size(toks) >= 2)
+            .select(first.alias("lang_first"), second.alias("lang_second"))
+            .filter(F.col("lang_first") != F.col("lang_second"))
+            .groupBy("lang_first", "lang_second")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang_first", "lang_second"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -6234,7 +6341,7 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
 #: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's twenty-two additions — q149 (CDC partial-overlap clustering),
+#: round's twenty-four additions — q149 (CDC partial-overlap clustering),
 #: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
 #: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
 #: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
@@ -6244,10 +6351,10 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: fertility, pin-backed rows-only), q165 (temperature mixture plan),
 #: q166 (winnowing fingerprints), q167 (triangle participation),
 #: q168 (containment pairs), q169 (JL distortion), q170 (event
-#: transitions). Front = these 22 + 4 changed (q56/q64 LSH
-#: blast-radius, q106 quota perm-rank fix, q146 bigram-LM count
-#: pyramid) + the anchor = 27; the remaining 23 slots refresh
-#: stalest-first per the rotation SLO.
+#: transitions), q171 (blocklist gate), q172 (mixed language). Front =
+#: these 24 + 4 changed (q56/q64 LSH blast-radius, q106 quota
+#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 29; the
+#: remaining 21 slots refresh stalest-first per the rotation SLO.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
@@ -6271,6 +6378,8 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q168_containment_pairs",
     "q169_jl_distortion",
     "q170_event_transitions",
+    "q171_blocklist_gate",
+    "q172_mixed_language",
 )
 
 #: Queries whose code path changed since their last driver certification.

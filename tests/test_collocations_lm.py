@@ -184,3 +184,53 @@ def test_jsd_symmetric_in_group_order(spark):
     j1 = T.source_js_divergence(d1).collect()[0]["jsd"]
     j2 = T.source_js_divergence(d2).collect()[0]["jsd"]
     assert j1 == pytest.approx(j2, abs=0)
+
+
+# ---------------------------------------------------- blocklist / langs
+
+
+def test_blocklist_stats_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "good text here", "s1"),
+         (2, "spam spam good", "s1"),
+         (3, "all clean words", "s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in T.blocklist_stats(
+        df, terms=("spam",), group_col="source").collect()}
+    assert (out["s1"]["n_docs"], out["s1"]["n_flagged"],
+            out["s1"]["n_kept"], out["s1"]["total_hits"]) == (2, 1, 1, 2)
+    assert out["s1"]["flagged_rate"] == pytest.approx(0.5, abs=0)
+    assert (out["s2"]["n_flagged"], out["s2"]["total_hits"]) == (0, 0)
+
+
+def test_blocklist_max_ratio_tolerates_low_rates(spark):
+    # 1 hit in 10 tokens = 0.1 ratio; a 0.15 threshold keeps it
+    text = "spam " + " ".join(f"w{i}" for i in range(9))
+    df = spark.createDataFrame([(1, text, "s")],
+                               "doc_id long, text string, source string")
+    strict = T.blocklist_stats(df, ("spam",), group_col="source",
+                               max_hit_ratio=0.0).collect()[0]
+    loose = T.blocklist_stats(df, ("spam",), group_col="source",
+                              max_hit_ratio=0.15).collect()[0]
+    assert strict["n_flagged"] == 1
+    assert loose["n_flagged"] == 0
+
+
+def test_mixed_language_detects_concatenated_doc(spark):
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY  # noqa: F401
+
+    en = "the cat and the dog is in a house of cards and a king"
+    de = "der hund und die katze ist nicht das haus und der mann die"
+    df = spark.createDataFrame(
+        [(1, en + " " + de), (2, en + " " + en)],
+        "doc_id long, text string")
+    toks = T.ws_tokens(F.col("text"))
+    half = F.floor(F.size(toks) / 2).cast("int")
+    out = df.select(
+        "doc_id",
+        T.lang_id(F.slice(toks, 1, half)).alias("a"),
+        T.lang_id(F.slice(toks, half + 1,
+                          F.size(toks) - half)).alias("b")).collect()
+    got = {r["doc_id"]: (r["a"], r["b"]) for r in out}
+    assert got[1] == ("en", "de")
+    assert got[2][0] == got[2][1] == "en"
