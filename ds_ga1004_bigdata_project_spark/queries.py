@@ -6292,6 +6292,65 @@ def q172_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang_first", "lang_second"))
 
 
+@_register(
+    "q173_prefix_filtered_join",
+    survey="net-new prefix-filtered set-similarity join (SSJoin/All-Pairs/PPJoin: rarity-ordered prefixes make candidate pruning COMPLETE — exact results, no recall trade)",
+    oracle="""
+        -- The UNFILTERED inverted-index join at the same threshold:
+        -- PPJoin's prefix lemma says the optimized plan must produce
+        -- the identical pair set, which is exactly what this certifies.
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                FROM documents)
+        ), posting AS (
+          SELECT id, unnest(shingles) AS s FROM sh
+        ), sizes AS (
+          SELECT id, len(shingles) AS n FROM sh
+        ), pairs AS (
+          SELECT a.id AS a, b.id AS b, count(*) AS inter_cnt
+          FROM posting a JOIN posting b
+            ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT p.a, p.b, CAST(p.inter_cnt AS BIGINT) AS inter_cnt,
+               CAST(sa.n AS BIGINT) AS a_cnt, CAST(sb.n AS BIGINT) AS b_cnt,
+               round(p.inter_cnt
+                     / CAST(sa.n + sb.n - p.inter_cnt AS DOUBLE), 6)
+                 AS jaccard
+        FROM pairs p JOIN sizes sa ON p.a = sa.id
+                     JOIN sizes sb ON p.b = sb.id
+        WHERE round(p.inter_cnt
+                    / CAST(sa.n + sb.n - p.inter_cnt AS DOUBLE), 6) >= 0.5
+        ORDER BY jaccard DESC, p.a ASC, p.b ASC
+    """,
+)
+def q173_prefix_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact J ≥ 0.5 similarity join via prefix filtering
+    (:func:`dedup.prefix_filtered_jaccard_pairs`): candidates come only
+    from each document's rarity-ordered shingle PREFIX (PPJoin's
+    completeness lemma — any qualifying pair must collide there), then
+    exact in-row verification. The oracle runs the UNFILTERED join at
+    the same threshold: identical output is precisely the lemma's
+    claim, certified per row. At corpus scale the prefix index skips
+    the boilerplate-heavy shingle tail entirely — the zero-recall-loss
+    version of q32's stop-list."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        out = (dedup.prefix_filtered_jaccard_pairs(
+                   cat.documents, threshold=0.5, n=3, caches=caches)
+               .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -6341,7 +6400,7 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
 #: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's twenty-four additions — q149 (CDC partial-overlap clustering),
+#: round's twenty-five additions — q149 (CDC partial-overlap clustering),
 #: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
 #: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
 #: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
@@ -6351,10 +6410,11 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: fertility, pin-backed rows-only), q165 (temperature mixture plan),
 #: q166 (winnowing fingerprints), q167 (triangle participation),
 #: q168 (containment pairs), q169 (JL distortion), q170 (event
-#: transitions), q171 (blocklist gate), q172 (mixed language). Front =
-#: these 24 + 4 changed (q56/q64 LSH blast-radius, q106 quota
-#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 29; the
-#: remaining 21 slots refresh stalest-first per the rotation SLO.
+#: transitions), q171 (blocklist gate), q172 (mixed language), q173
+#: (prefix-filtered join). Front = these 25 + 4 changed (q56/q64 LSH
+#: blast-radius, q106 quota perm-rank fix, q146 bigram-LM count
+#: pyramid) + the anchor = 30; the remaining 20 slots refresh
+#: stalest-first per the rotation SLO.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
@@ -6380,6 +6440,7 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q170_event_transitions",
     "q171_blocklist_gate",
     "q172_mixed_language",
+    "q173_prefix_filtered_join",
 )
 
 #: Queries whose code path changed since their last driver certification.

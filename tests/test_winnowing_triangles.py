@@ -235,3 +235,81 @@ def test_event_transitions_hand_counts(spark):
               .agg(F2.count("*").alias("n")).collect()}
     assert cnt == {("a", "b"): 2, ("b", "a"): 2,
                    ("a", "a"): 1, ("a", "c"): 1}
+
+
+# ---------------------------------------------- prefix-filtered join
+
+
+def test_prefix_filter_is_complete_vs_unfiltered(spark):
+    """PPJoin completeness on randomized near-dup data: the prefix-
+    filtered join must output the IDENTICAL pair set as the plain
+    inverted-index join at the same threshold."""
+    import random
+
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filtered_jaccard_pairs)
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choices(vocab, k=30))))
+    # planted near-dups: copy with small perturbations
+    for i in range(10):
+        base = docs[i][1].split()
+        j = rng.randrange(len(base))
+        base[j] = rng.choice(vocab)
+        docs.append((100 + i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for t in (0.4, 0.6, 0.8):
+        caches: list = []
+        fast = sorted((r["a"], r["b"], r["jaccard"]) for r in
+                      prefix_filtered_jaccard_pairs(
+                          df, threshold=t, caches=caches).collect())
+        for c in caches:
+            c.unpersist()
+        caches = []
+        slow = sorted((r["a"], r["b"], r["jaccard"]) for r in
+                      ngram_jaccard_pairs(df, min_jaccard=t,
+                                          caches=caches).collect())
+        for c in caches:
+            c.unpersist()
+        assert fast == slow, f"threshold {t}: prefix filter lost pairs"
+        assert len(fast) >= 10  # the planted dups are found
+
+
+def test_prefix_filter_generates_fewer_candidates(spark):
+    """The point of the scheme: prefix postings are a strict subset of
+    full postings, so candidate pairs shrink (here: measured, not
+    assumed)."""
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    from ds_ga1004_bigdata_project_spark.functions.text import (
+        word_shingles, ws_tokens)
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_shingles(ws_tokens(F.col("text")), 3))
+         .alias("s"))
+    posting = sh.select("id", F.explode("s").alias("t"))
+    full_cands = (posting.alias("x").join(
+        posting.alias("y"),
+        (F.col("x.t") == F.col("y.t")) & (F.col("x.id") < F.col("y.id")))
+        .select("x.id", "y.id").distinct().count())
+
+    dfreq = posting.groupBy("t").agg(F.count("*").alias("d"))
+    ordered = (posting.join(dfreq, "t").groupBy("id")
+               .agg(F.sort_array(F.collect_list(F.struct("d", "t")))
+                    .alias("o")))
+    plen = (F.size("o") - F.ceil(F.size("o") * F.lit(0.5)) + 1).cast("int")
+    pre = ordered.select("id", F.explode(
+        F.transform(F.slice("o", 1, plen), lambda s: s["t"])).alias("t"))
+    pre_cands = (pre.alias("x").join(
+        pre.alias("y"),
+        (F.col("x.t") == F.col("y.t")) & (F.col("x.id") < F.col("y.id")))
+        .select("x.id", "y.id").distinct().count())
+    assert pre_cands < full_cands / 3, (pre_cands, full_cands)
