@@ -1266,3 +1266,40 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, threshold: float,
                                 / (F.col("a_cnt") + F.col("b_cnt")
                                    - F.col("inter_cnt")), 6))
             .filter(F.col("jaccard") >= threshold))
+
+
+def exact_dedup_keep_best(df: DataFrame, score, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          normalize: bool = True,
+                          fingerprint: bool = False) -> DataFrame:
+    """Duplicate groups keeping the BEST copy instead of the min-id copy
+    (:func:`exact_dedup` / :func:`fingerprint_dedup`'s policy):
+    production dedup keeps the highest-quality / longest / most-recent
+    representative — min-id keeps whatever was crawled first. ``score``
+    is any integer-valued quality Column (integer so the keep decision
+    has no float boundary anywhere); ties break to the SMALLEST id.
+    ``fingerprint=True`` groups on the order/duplication-invariant
+    token-bag fingerprint (the q31 canonical key) instead of the raw
+    normalized text.
+
+    Same shuffle shape as exact_dedup — one hash-keyed agg over
+    (hash, score, id); the winner is a max over (score, −id) structs,
+    map-side combined. Returns (content_hash, keep_id, keep_score,
+    dup_cnt) for every distinct content."""
+    if fingerprint:
+        key = content_fingerprint(F.col(text_col))
+    else:
+        c = F.col(text_col)
+        if normalize:
+            c = F.lower(F.trim(c))
+        key = F.md5(c)
+    return (df.select(key.alias("content_hash"),
+                      F.col(id_col), score.alias("_score"))
+            .groupBy("content_hash")
+            .agg(F.max(F.struct(F.col("_score").alias("s"),
+                                (-F.col(id_col)).alias("ni"))).alias("w"),
+                 F.count(F.lit(1)).alias("dup_cnt"))
+            .select("content_hash",
+                    (-F.col("w.ni")).alias("keep_id"),
+                    F.col("w.s").alias("keep_score"),
+                    "dup_cnt"))

@@ -6351,6 +6351,151 @@ def q173_prefix_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+@_register(
+    "q174_keep_best_dedup",
+    survey="net-new quality-aware dedup keep policy (keep the best copy, not the first-crawled: integer quality argmax per content group, min-id tiebreak)",
+    oracle="""
+        WITH scored AS (
+          SELECT md5(array_to_string(list_sort(list_distinct(
+                   regexp_extract_all(lower(text), '[a-z0-9'']+'))), ' '))
+                   AS content_hash, doc_id,
+                 (len(list_distinct(string_split_regex(lower(text),
+                      '\\s+'))) * 10000)
+                   // len(string_split_regex(lower(text), '\\s+'))
+                   AS score
+          FROM documents
+        ), ranked AS (
+          SELECT content_hash, doc_id, score,
+                 row_number() OVER (PARTITION BY content_hash
+                                    ORDER BY score DESC, doc_id ASC)
+                   AS rn,
+                 count(*) OVER (PARTITION BY content_hash) AS dup_cnt
+          FROM scored
+        )
+        SELECT content_hash, doc_id AS keep_id,
+               CAST(score AS BIGINT) AS keep_score,
+               CAST(dup_cnt AS BIGINT) AS dup_cnt
+        FROM ranked WHERE rn = 1 AND dup_cnt > 1
+        ORDER BY dup_cnt DESC, content_hash ASC
+        LIMIT 25
+    """,
+)
+def q174_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical dedup (:func:`dedup.exact_dedup_keep_best`
+    over the q31 token-bag fingerprint — raw-text-exact groups are empty
+    at the small SFs, fingerprint groups exist at every scale): each
+    duplicate group keeps its highest-quality copy (integer
+    distinct-token basis points — the q159 all-integer score, so the
+    keep decision has no float boundary), min-id tiebreak — the
+    production policy; min-id keeps whatever was crawled first. Same
+    one-hash-shuffle shape as q31; the winner is a map-side-combined
+    (score, −id) struct max. Top-25 largest duplicate groups."""
+    cat = Catalog(spark, sf_dir)
+    score = F.expr("(size(array_distinct(split(lower(text), '\\\\s+'))) "
+                   "* 10000L) div size(split(lower(text), '\\\\s+'))")
+    return (dedup.exact_dedup_keep_best(cat.documents, score,
+                                        fingerprint=True)
+            .filter(F.col("dup_cnt") > 1)
+            .orderBy(F.desc("dup_cnt"), F.asc("content_hash"))
+            .limit(25))
+
+
+@_register(
+    "q175_psi_drift",
+    survey="net-new population-stability-index drift monitor (PSI over fixed value buckets, first vs second half of the event stream per type — the standard ML-ops input-drift metric)",
+    oracle="""
+        WITH b AS (
+          SELECT event_type,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 0 ELSE 1 END AS half,
+                 least(CAST(floor(value / 50.0) AS INT), 9) AS bucket
+          FROM events
+        ), cnt AS (
+          SELECT event_type, half, bucket, count(*) AS c
+          FROM b GROUP BY 1, 2, 3
+        ), grid AS (
+          SELECT DISTINCT e.event_type, h.half, g.bucket
+          FROM (SELECT DISTINCT event_type FROM cnt) e
+          CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+          CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) g
+        ), full_cnt AS (
+          SELECT g.event_type, g.half, g.bucket,
+                 coalesce(c.c, 0) AS c
+          FROM grid g LEFT JOIN cnt c
+            ON g.event_type = c.event_type AND g.half = c.half
+           AND g.bucket = c.bucket
+        ), tot AS (
+          SELECT event_type, half, sum(c) AS n
+          FROM full_cnt GROUP BY 1, 2
+        ), probs AS (
+          SELECT f.event_type, f.bucket,
+                 max(CASE WHEN f.half = 0 THEN
+                     CAST(f.c + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE)
+                     END) AS p,
+                 max(CASE WHEN f.half = 1 THEN
+                     CAST(f.c + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE)
+                     END) AS q
+          FROM full_cnt f JOIN tot t
+            ON f.event_type = t.event_type AND f.half = t.half
+          GROUP BY 1, 2
+        )
+        SELECT event_type,
+               round(CAST(sum(CAST(round((p - q) * ln(p / q), 8)
+                                   AS DECIMAL(18,8))) AS DOUBLE), 6)
+                 AS psi,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM probs GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q175_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the standard
+    ML-monitoring drift score — between the first and second half of
+    the event stream: fixed 50-unit value buckets (floor arithmetic,
+    capped), add-one smoothing so empty buckets stay finite, per-bucket
+    terms rounded-then-DECIMAL-summed (q146 discipline). One bucketed
+    count agg + a types×buckets-row reshape; the corpus contributes
+    one scan."""
+    cat = Catalog(spark, sf_dir)
+    b = cat.events.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+               F.lit(0)).otherwise(F.lit(1)).alias("half"),
+        F.least(F.floor(F.col("value") / 50.0).cast("int"),
+                F.lit(9)).alias("bucket"))
+    cnt = b.groupBy("event_type", "half", "bucket").agg(
+        F.count("*").alias("c"))
+    types = cnt.select("event_type").distinct()
+    grid = (types
+            .crossJoin(spark.range(2).select(
+                F.col("id").cast("int").alias("half")))
+            .crossJoin(spark.range(10).select(
+                F.col("id").cast("int").alias("bucket"))))
+    full_cnt = (grid.join(cnt, ["event_type", "half", "bucket"], "left")
+                .select("event_type", "half", "bucket",
+                        F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    tot = full_cnt.groupBy("event_type", "half").agg(
+        F.sum("c").alias("n"))
+    probs = (full_cnt.join(tot, ["event_type", "half"])
+             .groupBy("event_type", "bucket")
+             .agg(F.max(F.when(F.col("half") == 0,
+                               (F.col("c") + 1).cast("double")
+                               / (F.col("n") + 10).cast("double")))
+                   .alias("p"),
+                  F.max(F.when(F.col("half") == 1,
+                               (F.col("c") + 1).cast("double")
+                               / (F.col("n") + 10).cast("double")))
+                   .alias("q")))
+    term = F.round((F.col("p") - F.col("q"))
+                   * F.log(F.col("p") / F.col("q")), 8) \
+            .cast("decimal(18,8)")
+    return (probs.select("event_type", term.alias("t"))
+            .groupBy("event_type")
+            .agg(F.round(F.sum("t").cast("double"), 6).alias("psi"),
+                 F.count("*").alias("n_buckets"))
+            .orderBy("event_type"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -6400,7 +6545,7 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
 #: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
 #: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's twenty-five additions — q149 (CDC partial-overlap clustering),
+#: round's twenty-seven additions — q149 (CDC partial-overlap clustering),
 #: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
 #: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
 #: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
@@ -6411,10 +6556,10 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: q166 (winnowing fingerprints), q167 (triangle participation),
 #: q168 (containment pairs), q169 (JL distortion), q170 (event
 #: transitions), q171 (blocklist gate), q172 (mixed language), q173
-#: (prefix-filtered join). Front = these 25 + 4 changed (q56/q64 LSH
-#: blast-radius, q106 quota perm-rank fix, q146 bigram-LM count
-#: pyramid) + the anchor = 30; the remaining 20 slots refresh
-#: stalest-first per the rotation SLO.
+#: (prefix-filtered join), q174 (keep-best dedup), q175 (PSI drift).
+#: Front = these 27 + 4 changed (q56/q64 LSH blast-radius, q106 quota
+#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 32; the
+#: remaining 18 slots refresh stalest-first per the rotation SLO.
 _NEVER_CERTIFIED: tuple[str, ...] = (
     "q149_cdc_overlap_clusters",
     "q150_bm25_retrieval",
@@ -6441,6 +6586,8 @@ _NEVER_CERTIFIED: tuple[str, ...] = (
     "q171_blocklist_gate",
     "q172_mixed_language",
     "q173_prefix_filtered_join",
+    "q174_keep_best_dedup",
+    "q175_psi_drift",
 )
 
 #: Queries whose code path changed since their last driver certification.

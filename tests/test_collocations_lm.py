@@ -234,3 +234,69 @@ def test_mixed_language_detects_concatenated_doc(spark):
     got = {r["doc_id"]: (r["a"], r["b"]) for r in out}
     assert got[1] == ("en", "de")
     assert got[2][0] == got[2][1] == "en"
+
+
+# ------------------------------------------- keep-best dedup / PSI
+
+
+def test_keep_best_dedup_picks_quality_not_first(spark):
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        exact_dedup_keep_best)
+
+    # docs 1 and 2: same token bag; doc 2 has the higher distinct-token
+    # ratio (fewer repeats) -> keep 2 despite the larger id.
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # 3 distinct / 9 tokens
+         (2, "a b c"),               # 3 distinct / 3 tokens
+         (3, "x y z")],
+        "doc_id long, text string")
+    score = F.expr("(size(array_distinct(split(lower(text), '\\\\s+'))) "
+                   "* 10000L) div size(split(lower(text), '\\\\s+'))")
+    out = {r["content_hash"]: r for r in exact_dedup_keep_best(
+        df, score, fingerprint=True).collect()}
+    grp = [r for r in out.values() if r["dup_cnt"] == 2]
+    assert len(grp) == 1
+    assert grp[0]["keep_id"] == 2
+    assert grp[0]["keep_score"] == 10000
+
+
+def test_keep_best_dedup_ties_break_to_min_id(spark):
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        exact_dedup_keep_best)
+
+    df = spark.createDataFrame(
+        [(7, "p q r"), (3, "p q r")], "doc_id long, text string")
+    out = exact_dedup_keep_best(
+        df, F.lit(1), fingerprint=True).collect()
+    assert len(out) == 1 and out[0]["keep_id"] == 3
+
+
+def test_psi_zero_for_identical_halves_and_positive_for_shifted(spark):
+    import datetime
+
+    rows = []
+    # identical value distributions in both halves for type "same";
+    # shifted distribution for type "moved"
+    for i in range(200):
+        d0 = datetime.datetime(2024, 1, 2) + datetime.timedelta(minutes=i)
+        d1 = datetime.datetime(2024, 1, 20) + datetime.timedelta(minutes=i)
+        v = float(25 + (i % 4) * 50)
+        rows.append((i, d0, 1, "same", v, "{}"))
+        rows.append((1000 + i, d1, 1, "same", v, "{}"))
+        rows.append((2000 + i, d0, 1, "moved", v, "{}"))
+        rows.append((3000 + i, d1, 1, "moved", v + 200.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile
+    import os
+    tmp = tempfile.mkdtemp()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        pass  # q175 only reads events
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+    out = {r["event_type"]: r["psi"] for r in
+           REGISTRY["q175_psi_drift"].build(spark, tmp).collect()}
+    assert out["same"] == pytest.approx(0.0, abs=1e-9)
+    assert out["moved"] > 0.5  # textbook "significant drift" band
