@@ -321,7 +321,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     dedup.winnowing_pairs(docs, k=4, w=5, min_shared=2) \
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b").show(5)
 
-    print("-- 13h. co-purchase triangle participation --")
+    print("-- 13h. blocklist gate + per-source PSI-style accounting --")
+    TX.blocklist_stats(docs, terms=("dup", "spam"), group_col="source") \
+        .orderBy(F.desc("flagged_rate")).show(4)
+
+    print("-- 13i. keep-best dedup (quality argmax per canonical group) --")
+    score = F.expr("(size(array_distinct(split(lower(text), '\\\\s+'))) "
+                   "* 10000L) div size(split(lower(text), '\\\\s+'))")
+    dedup.exact_dedup_keep_best(docs, score, fingerprint=True) \
+        .filter(F.col("dup_cnt") > 1) \
+        .orderBy(F.desc("dup_cnt")).show(4)
+
+    print("-- 13j. prefix-filtered exact similarity join (PPJoin) --")
+    caches13 = []
+    dedup.prefix_filtered_jaccard_pairs(docs, threshold=0.5,
+                                        caches=caches13) \
+        .orderBy(F.desc("jaccard"), "a", "b").show(4)
+    for c in caches13:
+        c.unpersist()
+
+    print("-- 13k. co-purchase triangle participation --")
     from ds_ga1004_bigdata_project_spark.operators.graph import (
         triangle_participation)
 
