@@ -6543,89 +6543,58 @@ _R02_CERTIFIED: tuple[str, ...] = (
 
 #: Queries with NO driver row in any CORRECTNESS_r*.json — the very
 #: front of the window, ahead even of changed-code refreshes (VERDICT r6
-#: #1). Round 8: CORRECTNESS_r07 certified all eight r7 entries (the
-#: tuple was emptied per VERDICT r7 #1); never-certified are this
-#: round's twenty-seven additions — q149 (CDC partial-overlap clustering),
-#: q150 (BM25), q151 (hybrid RRF), q152 (leakage-safe split),
-#: q153 (span-dedup rewrite), q154 (BPE merges, pin-backed rows-only),
-#: q155 (quantized recall), q156 (hard negatives), q157 (Moore-Lewis
-#: domain selection), q158 (cluster-capped sampling), q159 (adaptive
-#: quality gate), q160 (PMI collocations), q161 (epoch-batch manifest),
-#: q162 (trigram stupid backoff), q163 (source JSD matrix), q164 (BPE
-#: fertility, pin-backed rows-only), q165 (temperature mixture plan),
-#: q166 (winnowing fingerprints), q167 (triangle participation),
-#: q168 (containment pairs), q169 (JL distortion), q170 (event
-#: transitions), q171 (blocklist gate), q172 (mixed language), q173
-#: (prefix-filtered join), q174 (keep-best dedup), q175 (PSI drift).
-#: Front = these 27 + 4 changed (q56/q64 LSH blast-radius, q106 quota
-#: perm-rank fix, q146 bigram-LM count pyramid) + the anchor = 32; the
-#: remaining 18 slots refresh stalest-first per the rotation SLO.
-_NEVER_CERTIFIED: tuple[str, ...] = (
-    "q149_cdc_overlap_clusters",
-    "q150_bm25_retrieval",
-    "q151_hybrid_rrf_retrieval",
-    "q152_leakage_safe_split",
-    "q153_span_dedup_rewrite",
-    "q154_bpe_merges",
-    "q155_quantized_recall",
-    "q156_hard_negatives",
-    "q157_domain_selection",
-    "q158_cluster_cap_sample",
-    "q159_adaptive_quality_gate",
-    "q160_pmi_collocations",
-    "q161_epoch_batch_manifest",
-    "q162_trigram_backoff_nll",
-    "q163_source_jsd_matrix",
-    "q164_bpe_fertility",
-    "q165_temperature_mixture",
-    "q166_winnowing_pairs",
-    "q167_triangle_participation",
-    "q168_containment_pairs",
-    "q169_jl_distortion",
-    "q170_event_transitions",
-    "q171_blocklist_gate",
-    "q172_mixed_language",
-    "q173_prefix_filtered_join",
-    "q174_keep_best_dedup",
-    "q175_psi_drift",
-)
+#: #1). Round 9 (VERDICT r8 #1): the tier is ARTIFACT-DERIVED at import —
+#: a query is never-certified iff no CORRECTNESS_r*.json on disk (nor the
+#: frozen _R02_CERTIFIED record) carries a row for it, so a driver
+#: artifact landing AFTER round close can no longer strand a stale static
+#: tuple (the r7/r8 recurring red-test class). The static tuple below is
+#: only the fallback for when the artifacts are unreadable, and lists the
+#: queries added this round (which by construction have no driver row
+#: yet); ``_derive_never_certified`` is the source of truth.
+_NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = ()
+
+
+def _derive_never_certified(latest: dict[str, int]) -> tuple[str, ...]:
+    """Registry-ordered tuple of queries with no driver certification row
+    in any CORRECTNESS_r*.json artifact (nor the frozen r02 record).
+    ``latest`` is ``_latest_certification_rounds()`` output; an empty dict
+    means the artifacts were unreadable and the static fallback applies —
+    never guess 'everything is uncertified' off a filesystem hiccup."""
+    if not latest:
+        return _NEVER_CERTIFIED_FALLBACK
+    ever = set(latest) | set(_R02_CERTIFIED)
+    return tuple(n for n in REGISTRY if n not in ever)
 
 #: Queries whose code path changed since their last driver certification.
-#: Round 8: q56/q64 ride the LSH hot-bucket blast-radius split (ADVICE r7
-#: — buckets above _LSH_BUCKET_EXPAND_MAX pair via a streamed within-
-#: bucket self-join instead of one quadratic in-row expansion; candidate
-#: SET unchanged, pytest-verified identical) and q64 additionally the
-#: resolve_keep_list iterate-guard fix. The holdout-parity fix
-#: (ml/protocol.py) touches no registry query — sweep/learning-curve are
-#: artifact+pytest surface.
+#: Round 9: q173 rides the exact-prefix-length fix (ADVICE r8 — the
+#: PPJoin prefix ceil now nudges the IEEE product down before F.ceil so
+#: non-dyadic thresholds can't shorten the prefix below the completeness
+#: lemma); q174 rides the keep-best tie-break rewrite (string-id-safe
+#: struct ordering instead of unary-minus on the id column, ADVICE r8).
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
-    "q56_minhash_pairs", "q64_neardup_corpus",
-    # per_group_quota_sample now orders by the bijective _perm_rank (the
-    # raw _knuth_hash order was key-monotone — the "sample" kept each
-    # group's smallest ids); q106's keep-set changed, oracle twin in sync.
-    "q106_source_quota_sample",
-    # bigram_lm_nll grew the train_df scoring path (left-join + coalesce
-    # smoothing) for q157; the q146 values are replica-verified identical
-    # but the code path changed, so it re-certifies.
-    "q146_bigram_lm_nll",
+    "q173_prefix_filtered_join",
+    "q174_keep_best_dedup",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.
 _ANCHOR = "q01_top_parts"
 
 
-def _latest_certification_rounds() -> dict[str, int]:
+def _latest_certification_rounds(repo: str | None = None) -> dict[str, int]:
     """query -> newest round whose CORRECTNESS_r*.json certified it, read
-    from the driver artifacts next to the package. Best-effort: missing or
-    unreadable artifacts yield {} and the caller falls back to static
-    ordering (never let window composition break query registration)."""
+    from the driver artifacts next to the package (or under ``repo`` when
+    given — tests point this at a tmpdir to simulate future artifacts).
+    Best-effort: missing or unreadable artifacts yield {} and the caller
+    falls back to static ordering (never let window composition break
+    query registration)."""
     import glob
     import json
     import os
     import re
 
     latest: dict[str, int] = {}
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
             m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -6649,13 +6618,14 @@ def _reorder_for_certification_window() -> None:
     first 50, so refresh slots always go to the oldest certificates —
     round 7's 40 free slots absorb the full r3-vintage tier (VERDICT r6
     #4) with room left for the oldest r4 rows."""
-    global REGISTRY
+    global REGISTRY, _NEVER_CERTIFIED
+    latest = _latest_certification_rounds()
+    _NEVER_CERTIFIED = _derive_never_certified(latest)
     front = [n for n in _NEVER_CERTIFIED if n in REGISTRY]
     front += [n for n in _CHANGED_SINCE_CERTIFIED
               if n in REGISTRY and n not in front]
     front.append(_ANCHOR)
     seen = set(front)
-    latest = _latest_certification_rounds()
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
     rest = sorted((n for n in REGISTRY if n not in seen),
                   key=lambda n: (latest.get(n, 2), reg_pos[n]))
@@ -6663,5 +6633,9 @@ def _reorder_for_certification_window() -> None:
     assert sorted(ordered) == sorted(REGISTRY), "registry reorder lost entries"
     REGISTRY = {n: REGISTRY[n] for n in ordered}
 
+
+#: Artifact-derived at import by ``_reorder_for_certification_window``;
+#: this assignment is only the pre-derivation default.
+_NEVER_CERTIFIED: tuple[str, ...] = _NEVER_CERTIFIED_FALLBACK
 
 _reorder_for_certification_window()

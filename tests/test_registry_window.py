@@ -38,8 +38,13 @@ def test_window_has_cross_round_anchor_and_nothing_lost():
 
 
 def test_never_certified_tier_is_exact_and_oracle_backed():
-    # The static front tier must agree with the artifacts on disk: a query
-    # is in _NEVER_CERTIFIED iff no CORRECTNESS_r*.json has a row for it.
+    # VERDICT r8 #1: the tier is artifact-DERIVED at import, so this test
+    # recomputes the set independently (raw glob + json, not the package
+    # helper) and asserts the import-time derivation agrees — a revert to
+    # a static tuple, or a derivation bug, goes red here. The real teeth:
+    # every uncertified query entering the window must carry independent
+    # value evidence (a DuckDB oracle, or a sha256 snapshot pin for
+    # rows-only-by-design ops).
     import glob
     import json
     import os
@@ -51,18 +56,48 @@ def test_never_certified_tier_is_exact_and_oracle_backed():
             ever_certified |= set(json.load(fh))
     actual_never = {n for n in REGISTRY if n not in ever_certified}
     assert actual_never == set(_NEVER_CERTIFIED), (
-        "artifact-derived never-certified set drifted from the static tier: "
-        f"missing={actual_never - set(_NEVER_CERTIFIED)}, "
+        "artifact-derived never-certified set drifted from the import-time "
+        f"derivation: missing={actual_never - set(_NEVER_CERTIFIED)}, "
         f"stale={set(_NEVER_CERTIFIED) - actual_never}")
     from .test_snapshot_pins import _PINS
     for name in _NEVER_CERTIFIED:
-        # An uncertified query entering the window must carry independent
-        # value evidence: a DuckDB oracle, or — for ops that are rows-only
-        # BY DESIGN (iterative argmax, seeded paths) — a sha256 value pin
-        # under the 3-fresh-sessions protocol.
         assert REGISTRY[name].oracle is not None or name in _PINS, (
             f"{name} enters the window uncertified — it needs an oracle "
             f"or a snapshot pin")
+
+
+def test_never_certified_derivation_survives_future_artifacts(tmp_path):
+    # The r7/r8 recurring failure: a driver CORRECTNESS artifact landing
+    # AFTER round close certified the static front tier and went red.
+    # Simulate exactly that — a future-round artifact certifying every
+    # registry query — against a tmpdir and assert the derivation empties
+    # the tier instead of going stale.
+    import glob
+    import json
+    import os
+    import shutil
+
+    from ds_ga1004_bigdata_project_spark.queries import (
+        _derive_never_certified, _latest_certification_rounds)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        shutil.copy(path, tmp_path / os.path.basename(path))
+    fake = {n: {"rows_match": True, "hash_match": True} for n in REGISTRY}
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
+
+    latest = _latest_certification_rounds(str(tmp_path))
+    assert max(latest.values()) == 99
+    assert _derive_never_certified(latest) == ()
+    # And the SLO arithmetic holds against the simulated future: every
+    # query appears in the fake r99 artifact, so none is stale.
+    assert not {n for n in REGISTRY if latest.get(n, 0) < 99 - 2}
+
+    # Unreadable-artifact fallback: empty dict -> the static fallback,
+    # never "everything is uncertified".
+    from ds_ga1004_bigdata_project_spark.queries import (
+        _NEVER_CERTIFIED_FALLBACK)
+    assert _derive_never_certified({}) == _NEVER_CERTIFIED_FALLBACK
 
 
 def test_every_query_has_a_certification_round():
