@@ -17,6 +17,8 @@ connected-components / min-id-per-group step picks survivors.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1238,8 +1240,23 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, threshold: float,
                .agg(F.sort_array(F.collect_list(
                    F.struct(F.col("_df"), F.col("shingle"))))
                    .alias("_ord")))
+    # Exact prefix length (ADVICE r8): ⌈t·n⌉ via INTEGER arithmetic on a
+    # rationalized threshold, never a float ceil — F.ceil(n*t) on the
+    # IEEE product rounds UP when t·n is an exact integer whose product
+    # carries one ulp of noise (0.28·25 → 7.000000000000001 → ceil 8),
+    # shortening the prefix below the completeness lemma and silently
+    # dropping qualifying pairs. t is rationalized as floor(t·10⁹)/10⁹
+    # (underestimating t only LENGTHENS the prefix — extra candidates,
+    # zero recall loss); ⌈n·p/q⌉ = ⌊(n·p + q − 1)/q⌋ is exact in int64
+    # for any document below ~9·10⁹ shingles, and the double division
+    # below cannot mis-floor because the numerator (< 2⁵³) is exact and
+    # the true quotient is ≥ 10⁻⁹ away from any integer it doesn't equal.
+    _q = 1_000_000_000
+    _p = math.floor(threshold * _q)
     n_sh = F.size("_ord")
-    plen = (n_sh - F.ceil(n_sh * F.lit(threshold)) + 1).cast("int")
+    ceil_tn = F.floor((n_sh.cast("long") * F.lit(_p) + F.lit(_q - 1))
+                      / F.lit(_q))
+    plen = (n_sh - ceil_tn + 1).cast("int")
     prefix = (ordered.select(
         "id", F.explode(F.transform(
             F.slice("_ord", 1, plen), lambda s: s["shingle"]))
@@ -1277,15 +1294,21 @@ def exact_dedup_keep_best(df: DataFrame, score, text_col: str = "text",
     production dedup keeps the highest-quality / longest / most-recent
     representative — min-id keeps whatever was crawled first. ``score``
     is any integer-valued quality Column (integer so the keep decision
-    has no float boundary anywhere); ties break to the SMALLEST id.
+    has no float boundary anywhere — enforced, a non-integral score
+    raises TypeError); ties break to the SMALLEST id under the id
+    column's natural ordering, so ``id_col`` may be numeric OR string
+    (ADVICE r8: the old ``max(struct(score, −id))`` tie-break
+    unary-minused the id, which silently null-casts string ids).
     ``fingerprint=True`` groups on the order/duplication-invariant
     token-bag fingerprint (the q31 canonical key) instead of the raw
     normalized text.
 
     Same shuffle shape as exact_dedup — one hash-keyed agg over
-    (hash, score, id); the winner is a max over (score, −id) structs,
-    map-side combined. Returns (content_hash, keep_id, keep_score,
-    dup_cnt) for every distinct content."""
+    (hash, score, id); the winner is a min over (−score, id) structs
+    (score is integral, so the unary minus is exact and type-safe;
+    the id rides in its own type), map-side combined. Returns
+    (content_hash, keep_id, keep_score, dup_cnt) for every distinct
+    content."""
     if fingerprint:
         key = content_fingerprint(F.col(text_col))
     else:
@@ -1293,13 +1316,20 @@ def exact_dedup_keep_best(df: DataFrame, score, text_col: str = "text",
         if normalize:
             c = F.lower(F.trim(c))
         key = F.md5(c)
-    return (df.select(key.alias("content_hash"),
-                      F.col(id_col), score.alias("_score"))
+    sel = df.select(key.alias("content_hash"),
+                    F.col(id_col).alias("_id"), score.alias("_score"))
+    score_type = sel.schema["_score"].dataType.simpleString()
+    if score_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"exact_dedup_keep_best: score must be integer-valued "
+            f"(got {score_type}) — cast or rank it first so the keep "
+            f"decision has no float boundary")
+    return (sel
             .groupBy("content_hash")
-            .agg(F.max(F.struct(F.col("_score").alias("s"),
-                                (-F.col(id_col)).alias("ni"))).alias("w"),
+            .agg(F.min(F.struct((-F.col("_score")).alias("ns"),
+                                F.col("_id").alias("i"))).alias("w"),
                  F.count(F.lit(1)).alias("dup_cnt"))
             .select("content_hash",
-                    (-F.col("w.ni")).alias("keep_id"),
-                    F.col("w.s").alias("keep_score"),
+                    F.col("w.i").alias("keep_id"),
+                    (-F.col("w.ns")).alias("keep_score"),
                     "dup_cnt"))

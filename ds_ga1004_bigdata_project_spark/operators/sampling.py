@@ -291,9 +291,10 @@ def epoch_batch_manifest(df: DataFrame, key_col: str, token_col: str,
                          caches: list | None = None) -> DataFrame:
     """Deterministic per-epoch training order + fixed-token-budget
     microbatch manifest — the data-order side of reproducible LLM
-    training: every epoch is a fresh global permutation (epoch-salted
-    :func:`_knuth_hash` over the document key, so any engine — and any
-    restart — reproduces the exact same order), and consecutive
+    training: every epoch is a fresh global permutation (the epoch-salted
+    bijective ``_perm_rank`` over the document key — NOT the raw
+    ``_knuth_hash``, whose order is key-monotone — so any engine, and any
+    restart, reproduces the exact same shuffled order), and consecutive
     documents pack greedily into batches of ``budget`` tokens.
 
     Batch semantics: document d lands in batch

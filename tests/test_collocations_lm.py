@@ -271,6 +271,42 @@ def test_keep_best_dedup_ties_break_to_min_id(spark):
     assert len(out) == 1 and out[0]["keep_id"] == 3
 
 
+def test_keep_best_dedup_string_ids(spark):
+    """ADVICE r8 regression: the old (score, −id) struct tie-break
+    unary-minused the id column, which on a STRING id silently casts to
+    null — keep_id came back null instead of the min-id survivor. The
+    rewritten (−score, id) ordering keeps the id in its own type."""
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        exact_dedup_keep_best)
+
+    df = spark.createDataFrame(
+        [("crawl/007", "p q r", 5), ("crawl/003", "p q r", 5),
+         ("crawl/009", "p q r", 9), ("solo/001", "x y", 1)],
+        "doc_id string, text string, q int")
+    out = {r["dup_cnt"]: r for r in exact_dedup_keep_best(
+        df, F.col("q"), id_col="doc_id").collect()}
+    assert out[3]["keep_id"] == "crawl/009"       # highest score wins
+    assert out[3]["keep_score"] == 9
+    assert out[1]["keep_id"] == "solo/001"
+    # score tie -> min string id
+    df2 = spark.createDataFrame(
+        [("b", "p q r", 5), ("a", "p q r", 5)],
+        "doc_id string, text string, q int")
+    out2 = exact_dedup_keep_best(df2, F.col("q"), id_col="doc_id").collect()
+    assert len(out2) == 1 and out2[0]["keep_id"] == "a"
+
+
+def test_keep_best_dedup_rejects_float_score(spark):
+    import pytest
+
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        exact_dedup_keep_best)
+
+    df = spark.createDataFrame([(1, "p q r")], "doc_id long, text string")
+    with pytest.raises(TypeError, match="integer-valued"):
+        exact_dedup_keep_best(df, F.lit(0.5))
+
+
 def test_psi_zero_for_identical_halves_and_positive_for_shifted(spark):
     import datetime
 

@@ -313,3 +313,33 @@ def test_prefix_filter_generates_fewer_candidates(spark):
         (F.col("x.t") == F.col("y.t")) & (F.col("x.id") < F.col("y.id")))
         .select("x.id", "y.id").distinct().count())
     assert pre_cands < full_cands / 3, (pre_cands, full_cands)
+
+
+def test_prefix_filter_exact_ceil_non_dyadic_threshold(spark):
+    """ADVICE r8 regression: the float ceil F.ceil(n·t) rounds UP when
+    t·n is an exact integer whose IEEE product carries ulp noise —
+    threshold 0.28 on a 25-shingle document gives 25·0.28 =
+    7.000000000000001 → ceil 8 → prefix 18 instead of the lemma's 19,
+    silently dropping a qualifying pair whose only common prefix
+    shingle sits at position 19. This fixture constructs exactly that
+    pair: doc A = 27 distinct tokens (25 trigram shingles: the first 18
+    unique to A → df 1 → rarity positions 1–18; the last 7 shared with
+    doc B → df 2 → positions 19–25), doc B = A's last 9 tokens (its 7
+    shingles all shared). J = 7/(25+7−7) = 0.28 ≥ t exactly, and the
+    pair is findable ONLY through A's prefix position 19."""
+    from ds_ga1004_bigdata_project_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs)
+
+    toks = [f"w{i:02d}" for i in range(27)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[18:]))],
+        "doc_id long, text string")
+    caches: list = []
+    pairs = prefix_filtered_jaccard_pairs(
+        df, threshold=0.28, caches=caches).collect()
+    for c in caches:
+        c.unpersist()
+    assert [(r["a"], r["b"], r["inter_cnt"], r["jaccard"])
+            for r in pairs] == [(1, 2, 7, 0.28)], (
+        "the 0.28-threshold qualifying pair was dropped — the prefix "
+        "length regressed below the completeness lemma")
