@@ -5180,10 +5180,13 @@ def q153_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q154_bpe_merges",
     survey="distributed BPE merge learning (Sennrich 2016 — one corpus word-count pass, merge loop on the vocab relation, one-row driver state per iteration)",
-    oracle=None,  # iterative argmax-per-round is not expressible as a
-                  # single DuckDB query; value-pinned vs a pure-Python
-                  # reference (tests/test_subword.py) and in
-                  # tests/test_snapshot_pins.py.
+    # VERDICT r8 #6 oracle upgrade: the merge loop is deterministic
+    # integer arithmetic, so the fixed-n iteration unrolls as a STATIC
+    # chain of MATERIALIZED CTE triples (pair counts → arg-max winner →
+    # wrapped-string replace rewrite) — no recursion, exact equality.
+    # The pure-Python pin (test_subword.py / test_snapshot_pins.py)
+    # stays as the third independent implementation.
+    oracle=subword.bpe_learn_sql(n_merges=24),
 )
 def q154_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training surface (:func:`subword.bpe_learn`): learn 24
@@ -5849,10 +5852,10 @@ def q163_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q164_bpe_fertility",
     survey="net-new tokenizer-fertility evaluation (apply learned BPE segmentation via the vocab relation — corpus never replays merges — and measure subtokens/word per language)",
-    oracle=None,  # depends on the q154 iterative merge loop (argmax per
-                  # round, not single-query-expressible); deterministic —
-                  # sha256 value pin in tests/test_snapshot_pins.py plus
-                  # pure-Python reference fertility in test_subword.py.
+    # VERDICT r8 #6: same unrolled merge chain as q154's oracle, then
+    # the corpus word stream joined to the final vocab segmentation.
+    # The sha256 pin and the pure-Python reference stay alongside.
+    oracle=subword.bpe_fertility_sql(n_merges=24, group_col="lang"),
 )
 def q164_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language (:func:`subword.bpe_fertility`):
@@ -6570,10 +6573,15 @@ def _derive_never_certified(latest: dict[str, int]) -> tuple[str, ...]:
 #: PPJoin prefix ceil now nudges the IEEE product down before F.ceil so
 #: non-dyadic thresholds can't shorten the prefix below the completeness
 #: lemma); q174 rides the keep-best tie-break rewrite (string-id-safe
-#: struct ordering instead of unary-minus on the id column, ADVICE r8).
+#: struct ordering instead of unary-minus on the id column, ADVICE r8);
+#: q154/q164 gained full DuckDB oracles (VERDICT r8 #6 — the unrolled
+#: merge-chain twin upgrades both from rows-only to hash-compared, so
+#: the driver must re-run them under the new gate).
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q173_prefix_filtered_join",
     "q174_keep_best_dedup",
+    "q154_bpe_merges",
+    "q164_bpe_fertility",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.
