@@ -161,9 +161,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 #: LSH bucket size above which candidate-pair expansion switches from the
 #: in-row flatten(transform(...)) (whole quadratic pair set in ONE row) to a
-#: within-bucket self-join (same pair set, streamed). 256 members caps the
-#: in-row path at ~32k 16-byte pair structs ≈ 512 KB per row.
-_LSH_BUCKET_EXPAND_MAX = 256
+#: within-bucket self-join (same pair set, streamed). 512 members caps the
+#: in-row path at ~131k 16-byte pair structs ≈ 2 MB per row — still far
+#: inside the single-value limit. Chosen by the r9 cap sweep (VERDICT r8
+#: #3; SCALE.md "LSH cap sweep"): q64 at sf0.1 measured 3.73/3.49/2.90/
+#: 2.97 s for caps 128/256/512/1024 (min-of-two, fresh session each, q06
+#: control flat) — the knee is 512; 1024 buys nothing further and doubles
+#: the worst-case in-row value. Pair-SET equality between the two paths is
+#: pinned by test_minhash_hot_bucket_join_path_matches_inrow_path at cap=1.
+_LSH_BUCKET_EXPAND_MAX = 512
 
 
 def minhash_banded_pairs(df: DataFrame, text_col: str = "text",

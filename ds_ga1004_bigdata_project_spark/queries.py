@@ -6577,11 +6577,16 @@ def _derive_never_certified(latest: dict[str, int]) -> tuple[str, ...]:
 #: q154/q164 gained full DuckDB oracles (VERDICT r8 #6 — the unrolled
 #: merge-chain twin upgrades both from rows-only to hash-compared, so
 #: the driver must re-run them under the new gate).
+#: q56/q64 ride the LSH expansion-cap retune (256 → 512, the r9 sweep's
+#: knee — same candidate SET, different split point, so the pinned
+#: rows-only checks re-run in-window).
 _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
     "q173_prefix_filtered_join",
     "q174_keep_best_dedup",
     "q154_bpe_merges",
     "q164_bpe_fertility",
+    "q56_minhash_pairs",
+    "q64_neardup_corpus",
 )
 
 #: Cross-round sanity anchor: one never-changed query certified every round.
