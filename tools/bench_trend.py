@@ -61,9 +61,79 @@ def load_file(path: str) -> dict:
     return d
 
 
+def canonical_mode() -> None:
+    """Committed-vs-disk BENCH_LOCAL.json reconciliation (VERDICT r8 #5).
+
+    The committed file is the builder's quiet-box close; the disk file is
+    whatever ran last (typically the driver's post-close overwrite). For
+    every query present in both, a >THRESHOLD divergence is re-timed in
+    isolation (bench_subset methodology, q06 control) and the isolated
+    number picks the canonical side; agreeing queries are canonical on
+    both sides by definition. One JSON line is appended to PROGRESS.jsonl
+    (event=bench_reconcile) so the close records WHICH number is
+    canonical for every query and why."""
+    import time as _time
+
+    path = os.path.join(REPO, "BENCH_LOCAL.json")
+    proc = subprocess.run(["git", "show", "HEAD:BENCH_LOCAL.json"],
+                          capture_output=True, text=True, cwd=REPO)
+    if proc.returncode != 0:
+        raise SystemExit("no committed BENCH_LOCAL.json at HEAD")
+    committed = json.loads(proc.stdout)["queries"]
+    disk = load_file(path)["queries"]
+    shared = sorted(k for k in committed
+                    if k in disk and committed[k] > 0 and disk[k] > 0)
+    diverging = [k for k in shared
+                 if disk[k] / committed[k] > THRESHOLD
+                 or committed[k] / disk[k] > THRESHOLD]
+    print(f"# canonical reconciliation: {len(shared)} shared queries, "
+          f"{len(diverging)} diverging >{THRESHOLD}x, "
+          f"{len(set(committed) ^ set(disk))} one-sided")
+    table: dict[str, dict] = {}
+    ctrl = None
+    if diverging:
+        print(f"# isolating {len(diverging)} diverging queries ...")
+        sub = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_subset.py"),
+             CONTROL, *diverging],
+            capture_output=True, text=True, cwd=REPO)
+        line = (sub.stdout.strip().splitlines() or [""])[-1]
+        try:
+            iso = json.loads(line)
+        except json.JSONDecodeError:
+            raise SystemExit(f"bench_subset failed:\n{sub.stderr[-2000:]}")
+        ctrl = iso.get(CONTROL, -1)
+        boxed = not (CONTROL_BAND[0] <= ctrl <= CONTROL_BAND[1])
+        print(f"control {CONTROL}: {ctrl:.2f}s "
+              f"({'LOADED BOX' if boxed else 'ok'})")
+        for k in diverging:
+            c, d, i = committed[k], disk[k], iso.get(k, -1)
+            if i < 0 or boxed:
+                side, why = "none", ("loaded box" if i >= 0
+                                     else "isolation failed")
+            elif abs(i - c) <= abs(i - d):
+                side, why = "committed", "isolated re-time sides with it"
+            else:
+                side, why = "disk", "isolated re-time sides with it"
+            table[k] = {"committed": c, "disk": d,
+                        "isolated": round(i, 2), "canonical": side}
+            print(f"  {k}: committed {c:.2f}s / disk {d:.2f}s / "
+                  f"isolated {i:.2f}s -> canonical: {side} ({why})")
+    rec = {"event": "bench_reconcile", "ts": int(_time.time()),
+           "shared": len(shared), "diverging": len(diverging),
+           "agreeing_canonical": "both (within noise threshold)",
+           "control": ctrl, "table": table}
+    with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    print("# appended bench_reconcile record to PROGRESS.jsonl")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     reconcile = "--reconcile" in sys.argv
+    if "--canonical" in sys.argv:
+        canonical_mode()
+        return
 
     if len(args) == 2:
         old, new = load_file(args[0]), load_file(args[1])
