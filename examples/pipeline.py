@@ -231,6 +231,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .orderBy(F.desc("n_removed"), "doc_id") \
         .select("doc_id", "n_tokens", "n_removed").show(3)
 
+    print("-- 12a2. CDC chunk-overlap clusters (partial-overlap dedup) --")
+    caches12 = []
+    dedup.cdc_overlap_clusters(docs, caches=caches12) \
+        .orderBy(F.desc("n_cluster_docs"), "cluster_id", "doc_id").show(4)
+    for c in caches12:
+        c.unpersist()
+
     print("-- 12b. BPE merge learning (tokenizer training) --")
     from ds_ga1004_bigdata_project_spark.functions import subword
 
