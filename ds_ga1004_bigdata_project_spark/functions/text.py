@@ -11,7 +11,7 @@ runs FIRST, at full scan speed, to cheaply filter/route the bulk of a corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lexicons for the n-gram/stopword-hit heuristic
@@ -868,3 +868,111 @@ def blocklist_stats(df, terms: tuple[str, ...], text_col: str = "text",
                  F.round(F.sum("flagged").cast("double")
                          / F.count("*"), scale).alias("flagged_rate"))
             .withColumnRenamed("grp", group_col))
+
+
+def dsir_importance(df, target_col, text_col: str = "text",
+                    id_col: str = "doc_id", scale: int = 4,
+                    caches: list | None = None):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    NON-target document by how target-like its unigram distribution is —
+    ``Σ_tokens [ln p_target(tok) − ln p_raw(tok)]`` with add-one
+    smoothing over the joint vocabulary — so the raw pool can be
+    resampled toward a curated domain. ``target_col`` is a boolean
+    column marking the target (curated) documents; raw = the whole
+    corpus, the paper's setup.
+
+    This is the EXACT token-level variant; the paper's hashed-n-gram
+    bucketing is a drop-in key swap (``xxhash64(tok) % B`` instead of
+    ``tok``) that bounds the model relation at ``B`` rows for corpora
+    whose vocabularies outgrow a token-keyed join — same plan shape,
+    coarser features, oracle certifies the exact path.
+
+    Plan (the :func:`bigram_lm_nll` pyramid discipline): ONE corpus
+    token explode feeds (a) the token-keyed count model (target count
+    via conditional sum, raw count — map-side-combined) and (b) the
+    scoring join; totals/vocab-size are a 1-row rollup OF THE MODEL
+    (never a second corpus pass), broadcast. Per-token log-ratio rounds
+    to ``scale`` FIRST and sums as exact DECIMAL per doc (q146
+    discipline — aggregation order cannot drift the value); the weight
+    is the exact decimal sum cast once to double, never re-rounded.
+
+    ``caches`` receives the persisted token-instance relation (it feeds
+    both the model aggregation and the scoring join — separate actions'
+    worth of fan-out in one query plan; relational.persisted ownership
+    contract).
+
+    Returns one row per non-target doc: (id_col, n_tokens, weight);
+    higher = more target-like."""
+    toks = (df.select(F.col(id_col), F.col(target_col).alias("_tgt"),
+                      F.explode(ws_tokens(F.lower(F.col(text_col))))
+                       .alias("tok")))
+    if caches is not None:
+        from ..operators.relational import persisted
+        toks = persisted(toks)
+        caches.append(toks)
+    model = (toks.groupBy("tok")
+             .agg(F.sum(F.col("_tgt").cast("long")).alias("ct"),
+                  F.count("*").alias("cr")))
+    totals = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"),
+                       F.count("*").alias("v"))
+    lam = F.round(
+        F.log((F.col("ct") + 1).cast("double")
+              / (F.col("nt") + F.col("v")).cast("double"))
+        - F.log((F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.col("v")).cast("double")),
+        scale).cast(f"decimal(18,{scale})")
+    scored = (toks.filter(~F.col("_tgt"))
+              .join(model, "tok")
+              .crossJoin(F.broadcast(totals))
+              .select(id_col, lam.alias("lam")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("lam").cast("double").alias("weight")))
+
+
+def zipf_slope(df, text_col: str = "text", top_n: int = 200,
+               scale: int = 4):
+    """Zipf's-law fit of the corpus token-frequency curve: OLS slope of
+    ``ln(count)`` against ``ln(rank)`` over the ``top_n`` most frequent
+    tokens — the standard corpus-health diagnostic (natural language
+    sits near −1; templated/boilerplate corpora flatten, OCR noise
+    steepens the tail).
+
+    Plan: one token-count aggregation (map-side-combined), a global
+    top-``top_n`` (TakeOrderedAndProject — never a full sort), then the
+    regression runs on the ``top_n``-row relation: the single-partition
+    rank window is top_n-sized BY CONSTRUCTION at any corpus size.
+    Cross-engine determinism: ln(rank)/ln(count) round to ``scale``
+    at creation and every OLS sum is exact DECIMAL (products of 4-dp
+    decimals are exact 8-dp decimals); slope/intercept/r² are IEEE
+    ops over the exact sums, never re-rounded.
+
+    Returns one row: (n_points, slope, intercept, r2)."""
+    cnt = (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+                     .alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("tok")).limit(top_n))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    pts = cnt.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), scale)
+         .cast(f"decimal(18,{scale})").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), scale)
+         .cast(f"decimal(18,{scale})").alias("y"))
+    s = pts.agg(F.count("*").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return s.select(F.col("n").alias("n_points"), slope.alias("slope"),
+                    intercept.alias("intercept"), r2.alias("r2"))

@@ -247,3 +247,75 @@ def retrieval_recall_at_k(truth: DataFrame, cand: DataFrame, k: int,
             .select(query_col, "n_overlap",
                     F.round(F.col("n_overlap") / F.lit(k), 4)
                      .alias("recall")))
+
+
+def calibration_table(df: DataFrame, score_col: str, label_col: str,
+                      n_bins: int = 10, scale: int = 9) -> DataFrame:
+    """Reliability table for a probabilistic scorer — the per-bin basis
+    of Expected Calibration Error (Guo et al. 2017): scores in [0, 1]
+    bucket into ``n_bins`` fixed-width bins; each bin reports its count,
+    positive count, mean score (confidence) and positive rate
+    (accuracy). ``ECE = Σ_b |sum_score(b) − pos(b)| / N`` falls out of
+    the returned columns — the |mean−rate| form times the bin weight
+    algebraically cancels the per-bin divides, so a consumer can compute
+    it with integer-exact arithmetic.
+
+    One map-side-combined aggregation over the scored relation — the
+    100 TB cost is the scan that produced the scores. Cross-engine
+    determinism: the score rounds to ``scale`` at binning time and sums
+    as exact DECIMAL; mean_score/pos_rate are one IEEE divide each of
+    exact operands (never re-rounded).
+
+    Returns one row per non-empty bin: (bin, n, n_pos, mean_score,
+    pos_rate, abs_gap), bin ascending."""
+    sc = F.round(F.col(score_col), scale).cast(f"decimal(18,{scale})")
+    b = F.least(F.floor(F.col(score_col) * n_bins).cast("int"),
+                F.lit(n_bins - 1))
+    per = (df.select(b.alias("bin"), sc.alias("s"),
+                     F.col(label_col).cast("long").alias("y"))
+           .groupBy("bin")
+           .agg(F.count("*").alias("n"),
+                F.sum("y").alias("n_pos"),
+                F.sum("s").alias("sum_s")))
+    mean_s = F.col("sum_s").cast("double") / F.col("n").cast("double")
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return (per.select("bin", "n", "n_pos",
+                       mean_s.alias("mean_score"),
+                       rate.alias("pos_rate"),
+                       F.abs(mean_s - rate).alias("abs_gap"))
+            .orderBy("bin"))
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two labelers — chance-corrected agreement,
+    the standard consistency check between two annotation passes (or a
+    heuristic labeler vs gold labels) in data-curation QA.
+
+    ``κ = (N·Σdiag − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k)`` — everything
+    up to the final divide is exact integer arithmetic from ONE
+    confusion-matrix aggregation (classes²-row relation; the marginals
+    and their cross-product are rollups of that tiny relation, never a
+    second corpus pass). po/pe/kappa are IEEE divides of exact int64
+    operands — bit-identical cross-engine, no rounding anywhere.
+
+    Returns one row: (n, n_agree, po, pe, kappa)."""
+    conf = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+            .agg(F.count("*").alias("c")))
+    rows = conf.groupBy("a").agg(F.sum("c").alias("rc"))
+    cols = conf.groupBy("b").agg(F.sum("c").alias("cc"))
+    cross = (rows.join(cols, rows["a"] == cols["b"])
+             .agg(F.coalesce(F.sum(F.col("rc") * F.col("cc")), F.lit(0))
+                  .alias("s")))
+    base = conf.agg(
+        F.sum("c").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))),
+                   F.lit(0)).alias("diag"))
+    n = F.col("n").cast("double")
+    diag = F.col("diag").cast("double")
+    s = F.col("s").cast("double")
+    return (base.crossJoin(F.broadcast(cross))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.col("diag").cast("long").alias("n_agree"),
+                    (diag / n).alias("po"),
+                    (s / (n * n)).alias("pe"),
+                    ((n * diag - s) / (n * n - s)).alias("kappa")))

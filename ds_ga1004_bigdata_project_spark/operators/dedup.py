@@ -1339,3 +1339,47 @@ def exact_dedup_keep_best(df: DataFrame, score, text_col: str = "text",
                     F.col("w.i").alias("keep_id"),
                     (-F.col("w.ns")).alias("keep_score"),
                     "dup_cnt"))
+
+
+def ngram_novelty(train: DataFrame, pool: DataFrame, n: int = 5,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: for every
+    ``pool`` document, the fraction of its DISTINCT n-gram shingles that
+    appear nowhere in ``train`` — the memorization-risk / freshness
+    score. Where :func:`cross_split_ngram_overlap` REPORTS contaminated
+    eval docs (any hit is a defect), novelty SCORES incoming docs on a
+    [0, 1] scale so a curation pipeline can rank-and-keep the most novel
+    additions (continual-pretraining data selection) or flag near-zero
+    novelty as verbatim recall.
+
+    Plan: both sides explode distinct shingles once; the train side
+    collapses to its distinct shingle universe (map-side partial
+    dedup), the pool postings LEFT JOIN it on the shingle key and one
+    doc-keyed agg counts misses — two shuffles, both linear in distinct
+    shingles. The novelty ratio divides two exact integers (one IEEE
+    divide, cross-engine exact). Hot boilerplate shingles are harmless
+    here — they match early and carry no pair fan-out (no self-join
+    anywhere). Docs with fewer than ``n`` tokens have no shingles and
+    are absent from the output (documented contract).
+
+    Returns one row per pool doc: (id_col, n_shingles, n_novel,
+    novelty)."""
+    def _distinct_sh(df):
+        toks = ws_tokens(F.lower(F.col(text_col)))
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(toks, n)))
+             .alias("ng"))
+
+    train_ng = _distinct_sh(train).select("ng").distinct()
+    pool_ng = _distinct_sh(pool)
+    hit = pool_ng.join(train_ng.withColumn("_seen", F.lit(1)),
+                       "ng", "left")
+    return (hit.groupBy(id_col)
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_novel"))
+            .withColumn("novelty",
+                        F.col("n_novel").cast("double")
+                        / F.col("n_shingles").cast("double")))

@@ -401,3 +401,42 @@ def temperature_mixture_plan(df: DataFrame, source_col: str = "source",
                            F.round(F.col("n_tokens").cast("double")
                                    / planned.cast("double"), 2))
                      .alias("epochs_to_exhaust")))
+
+
+def priority_sample(df: DataFrame, key_col: str, weight_col: str,
+                    n: int, salt: int = DEFAULT_SEED) -> DataFrame:
+    """Fixed-size weighted sample without replacement — priority
+    sampling (Duffield–Lund–Thorup, JACM 2007): each row draws priority
+    ``q = w / u`` with ``u`` uniform on (0, 1]; the ``n`` largest
+    priorities are the sample. Complements
+    :func:`weighted_bernoulli_sample` (independent per-row keeps, random
+    output SIZE) when the pipeline needs an exact quota — e.g. "exactly
+    n docs, quality-proportional" for an eval set or an annotation batch.
+
+    Determinism/portability: ``u = (perm_rank(key)+1) / 2³¹`` — the
+    bijective multiplicative-permutation hash (no tie clusters, salt
+    decorrelates draws), so the priority is
+    ``w · 2³¹ / (perm_rank+1)``: one exact int→double product and ONE
+    IEEE divide — bit-identical on any engine, no rounding needed, and
+    a SQL twin reproduces the exact sample. Total order: priority desc,
+    key asc.
+
+    Plan: pure per-row arithmetic + global top-n
+    (TakeOrderedAndProject) — no shuffle of the full input at any
+    corpus size, streaming-safe."""
+    u_rank = _perm_rank(key_col, salt)
+    prio = (F.col(weight_col).cast("double") * F.lit(float(1 << 31))
+            / (u_rank + F.lit(1)).cast("double"))
+    return (df.withColumn("_priority", prio)
+            .orderBy(F.desc("_priority"), F.col(key_col).asc())
+            .limit(n))
+
+
+def priority_sample_sql(key_col: str, weight_col: str, n: int,
+                        salt: int = DEFAULT_SEED) -> str:
+    """DuckDB ORDER-BY/LIMIT twin of :func:`priority_sample` — the
+    priority expression and tiebreak, for embedding in an oracle's
+    ``ORDER BY ... LIMIT {n}`` (see :func:`_perm_rank_sql`)."""
+    h = _perm_rank_sql(key_col, salt)
+    return (f"(CAST({weight_col} AS DOUBLE) * 2147483648.0"
+            f" / CAST(({h}) + 1 AS DOUBLE))")

@@ -6499,6 +6499,459 @@ def q175_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+
+# =====================================================================
+# Training-data pipeline: selection, eval-metrics & corpus analysis
+# (round-9 wave: DSIR, priority sampling, calibration, agreement,
+#  Zipf fit, novelty scoring, CCNet buckets)
+# =====================================================================
+
+
+def _q176_oracle() -> str:
+    return """
+        -- DSIR unigram importance weights: token-keyed count model with
+        -- target/raw conditional sums, 1-row totals, per-token log-ratio
+        -- rounded THEN decimal-summed per doc (q146 discipline).
+        WITH tok AS (
+          SELECT doc_id, source = 'src0' AS tgt,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        ), model AS (
+          SELECT tok,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                 count(*) AS cr
+          FROM tok GROUP BY tok
+        ), tot AS (
+          SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM model
+        ), lam AS (
+          SELECT tok,
+                 CAST(round(
+                   ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+                   - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)),
+                   4) AS DECIMAL(18,4)) AS lam
+          FROM model CROSS JOIN tot
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(l.lam) AS DOUBLE) AS weight
+        FROM tok t JOIN lam l USING (tok)
+        WHERE NOT t.tgt
+        GROUP BY t.doc_id
+        ORDER BY weight DESC, doc_id ASC
+        LIMIT 25
+    """
+
+
+@_register(
+    "q176_dsir_importance",
+    survey="net-new DSIR importance resampling (unigram target-vs-raw log-ratio weights, Xie et al. 2023 — domain-targeted corpus selection)",
+    oracle=_q176_oracle(),
+)
+def q176_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted data selection (:func:`text.dsir_importance`):
+    treat src0 as the curated target domain and rank every other
+    document by its DSIR importance weight — the sum over its tokens of
+    the smoothed target-vs-raw log-probability ratio. The 25 most
+    target-like pool documents. One corpus token explode feeds both the
+    count model and the scoring join (persisted; count-pyramid totals);
+    the hashed-bucket variant is the documented corpus-scale key swap."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        out = (T.dsir_importance(
+                   cat.documents.withColumn("_t", F.col("source") == "src0"),
+                   "_t", caches=caches)
+               .orderBy(F.desc("weight"), F.asc("doc_id")).limit(25)
+               .select("doc_id", "n_tokens", "weight"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def _q177_oracle() -> str:
+    prio = sampling.priority_sample_sql("doc_id", "n_chars", 50, salt=7)
+    return f"""
+        -- Priority sampling: q = w·2^31/(perm_rank+1); top-50. One
+        -- exact int->double product + one IEEE divide — bit-identical
+        -- cross-engine, no rounding anywhere.
+        SELECT doc_id, lang, n_chars, {prio} AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id ASC
+        LIMIT 50
+    """
+
+
+@_register(
+    "q177_priority_sample",
+    survey="net-new fixed-size weighted sampling without replacement (priority sampling, Duffield–Lund–Thorup — exact-quota quality-proportional selection; complements q113's Bernoulli keep)",
+    oracle=_q177_oracle(),
+)
+def q177_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50-document weighted sample, size-proportional
+    (:func:`sampling.priority_sample` with ``n_chars`` as the weight —
+    any per-row quality signal works): priority ``w/u`` with the
+    bijective permutation hash as ``u``, global top-50 via
+    TakeOrderedAndProject — the full corpus never shuffles."""
+    cat = Catalog(spark, sf_dir)
+    return (sampling.priority_sample(cat.documents, "doc_id", "n_chars",
+                                     50, salt=7)
+            .select("doc_id", "lang", "n_chars",
+                    F.col("_priority").alias("priority")))
+
+
+_Q178_STOPWORDS = "['the','a','an','of','and','or','in','on','is','are','to']"
+
+
+def _q178_oracle() -> str:
+    return f"""
+        -- Reliability table: 4-dp stopword-ratio score binned into 10
+        -- fixed bins vs the lang='en' label; per-bin DECIMAL-exact
+        -- score sums, one IEEE divide per emitted mean.
+        WITH t AS (
+          SELECT round(len(list_filter(string_split_regex(text, '\\s+'),
+                           x -> list_contains({_Q178_STOPWORDS}, lower(x))))
+                       / CAST(len(string_split_regex(text, '\\s+'))
+                              AS DOUBLE), 4) AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+        ), b AS (
+          SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+                 CAST(round(score, 9) AS DECIMAL(18,9)) AS s, y
+          FROM t
+        ), per AS (
+          SELECT bin, count(*) AS n, sum(y) AS n_pos, sum(s) AS sum_s
+          FROM b GROUP BY bin
+        )
+        SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+               CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+               abs(CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+        FROM per ORDER BY bin
+    """
+
+
+@_register(
+    "q178_calibration_ece",
+    survey="net-new calibration reliability table (fixed-bin confidence vs accuracy, ECE basis — Guo et al. 2017; quality-classifier QA for filter thresholds)",
+    oracle=_q178_oracle(),
+)
+def q178_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the en-stopword-ratio score a CALIBRATED probability that a
+    document is English? (:func:`metrics.calibration_table` — the
+    reliability diagram behind ECE; a curation pipeline runs this before
+    trusting any scorer's threshold.) One map-side-combined aggregation;
+    ``ECE = Σ|sum_score−n_pos|/N`` falls out of the emitted columns with
+    integer-exact arithmetic."""
+    from .ml.metrics import calibration_table
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    scored = cat.documents.select(
+        T.stopword_ratio(toks).alias("score"),
+        (F.col("lang") == "en").alias("label"))
+    return calibration_table(scored, "score", "label")
+
+
+def _q179_oracle() -> str:
+    # Reuse q33's lexicon-argmax twin for labeler A (predicted lang).
+    from .functions.text import LANG_LEXICONS
+
+    langs = sorted(LANG_LEXICONS)
+    score_exprs = ", ".join(
+        f"len(list_intersect(toks, {list(LANG_LEXICONS[lang])})) AS s_{lang}"
+        for lang in langs)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        if i < len(langs) - 1:
+            conds = " AND ".join(
+                f"s_{lang} >= s_{later}" for later in langs[i + 1:])
+            case += f"WHEN {conds} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' END"
+    return f"""
+        -- Cohen's kappa between the lexicon lang-id heuristic and the
+        -- gold lang column: one confusion-matrix agg, marginal rollups,
+        -- exact int64 arithmetic to the final IEEE divides.
+        WITH t AS (
+          SELECT lang,
+                 list_distinct(list_transform(
+                   string_split_regex(text, '\\s+'), x -> lower(x))) AS toks
+          FROM documents),
+        s AS (SELECT lang, {score_exprs} FROM t),
+        pred AS (SELECT {case} AS a, lang AS b FROM s),
+        conf AS (SELECT a, b, count(*) AS c FROM pred GROUP BY a, b),
+        rows_ AS (SELECT a, sum(c) AS rc FROM conf GROUP BY a),
+        cols_ AS (SELECT b, sum(c) AS cc FROM conf GROUP BY b),
+        cross_ AS (
+          SELECT coalesce(sum(rc * cc), 0) AS s
+          FROM rows_ JOIN cols_ ON rows_.a = cols_.b),
+        base AS (
+          SELECT sum(c) AS n,
+                 coalesce(sum(CASE WHEN a = b THEN c END), 0) AS diag
+          FROM conf)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(diag AS BIGINT) AS n_agree,
+               CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+               CAST(s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+               (CAST(n AS DOUBLE) * CAST(diag AS DOUBLE) - CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(s AS DOUBLE)) AS kappa
+        FROM base CROSS JOIN cross_
+    """
+
+
+@_register(
+    "q179_cohens_kappa",
+    survey="net-new Cohen's kappa annotator agreement (chance-corrected; labeler-vs-gold QA for curation heuristics)",
+    oracle=_q179_oracle(),
+)
+def q179_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much better than chance does the q33 lexicon lang-id agree
+    with the gold ``lang`` column? (:func:`metrics.cohens_kappa` — the
+    standard annotation-QA statistic.) One classes²-row confusion
+    aggregation; everything after is rollups of that tiny relation."""
+    from .ml.metrics import cohens_kappa
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    labeled = cat.documents.select(
+        T.lang_id(toks).alias("pred"), F.col("lang").alias("gold"))
+    return cohens_kappa(labeled, "pred", "gold")
+
+
+def _q180_oracle() -> str:
+    return """
+        -- Zipf OLS over the top-200 token frequencies: ln(rank)/ln(cnt)
+        -- rounded at creation, DECIMAL-exact OLS sums, IEEE-only
+        -- slope/intercept/r2 (never re-rounded).
+        WITH cnt AS (
+          SELECT tok, count(*) AS cnt
+          FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                       AS tok FROM documents)
+          GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 200
+        ), pts AS (
+          SELECT CAST(round(ln(CAST(row_number()
+                       OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE)), 4)
+                      AS DECIMAL(18,4)) AS x,
+                 CAST(round(ln(CAST(cnt AS DOUBLE)), 4)
+                      AS DECIMAL(18,4)) AS y
+          FROM cnt
+        ), s AS (
+          SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+               ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+        FROM s
+    """
+
+
+@_register(
+    "q180_zipf_slope",
+    survey="net-new Zipf's-law slope fit (OLS of log-frequency vs log-rank over top tokens — corpus-health diagnostic for boilerplate/OCR pathologies)",
+    oracle=_q180_oracle(),
+)
+def q180_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health check (:func:`text.zipf_slope`): natural language
+    sits near slope −1; templated corpora flatten, noise steepens. One
+    token-count agg + a global top-200 (TakeOrderedAndProject) — the
+    regression's single-partition window is 200 rows BY CONSTRUCTION at
+    any corpus size."""
+    cat = Catalog(spark, sf_dir)
+    return T.zipf_slope(cat.documents, top_n=200)
+
+
+def _q181_oracle() -> str:
+    h = sampling._perm_rank_sql("doc_id", 42)
+    return f"""
+        -- Per-doc 3-gram novelty of the held-out pool vs the 80%
+        -- train split (permutation-hash split, q152 convention):
+        -- distinct-shingle LEFT JOIN against the train universe, one
+        -- doc-keyed miss count, one IEEE divide.
+        WITH d AS (
+          SELECT doc_id, ({h}) % 10 AS hs,
+                 string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, hs,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                   AS shingles
+          FROM d
+        ), train_ng AS (
+          SELECT DISTINCT unnest(shingles) AS ng FROM sh WHERE hs < 8
+        ), pool AS (
+          SELECT doc_id, unnest(shingles) AS ng FROM sh WHERE hs >= 8
+        )
+        SELECT p.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN t.ng IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN t.ng IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        FROM pool p LEFT JOIN train_ng t ON p.ng = t.ng
+        GROUP BY p.doc_id
+        ORDER BY novelty ASC, doc_id ASC
+        LIMIT 25
+    """
+
+
+@_register(
+    "q181_ngram_novelty",
+    survey="net-new per-doc n-gram novelty scoring vs a reference corpus (memorization-risk / freshness ranking for continual-pretraining selection; scores where q98-class decontamination reports)",
+    oracle=_q181_oracle(),
+)
+def q181_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 25 LEAST-novel held-out documents vs the 80% train split —
+    near-zero novelty = verbatim recall risk
+    (:func:`dedup.ngram_novelty`; the split rides the q152
+    permutation-hash convention). Two linear shingle shuffles, no
+    self-join anywhere — hot boilerplate shingles match early and carry
+    no pair fan-out."""
+    cat = Catalog(spark, sf_dir)
+    hs = F.pmod(sampling._perm_rank("doc_id", 42), F.lit(10))
+    docs = cat.documents.withColumn("_hs", hs)
+    return (dedup.ngram_novelty(docs.filter(F.col("_hs") < 8),
+                                docs.filter(F.col("_hs") >= 8), n=3)
+            .orderBy(F.asc("novelty"), F.asc("doc_id")).limit(25))
+
+
+def _q182_oracle() -> str:
+    return """
+        -- CCNet head/middle/tail: the q146 bigram-NLL model per doc,
+        -- then VALUE-GROUP terciles per lang over the (lang, mean_nll)
+        -- histogram — whole value-groups bucket together (exact integer
+        -- rule 3·cum_before vs n_lang), so no arbitrary tie split and
+        -- the per-lang window runs over histogram rows, not docs.
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), bi AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM toks)
+        ), c2 AS (
+          SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+        ), v AS (
+          SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(w) AS t FROM toks)
+        ), sc AS (
+          SELECT b.doc_id,
+                 CAST(round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 4)
+                      AS DECIMAL(18,4)) AS lp
+          FROM bi b
+          JOIN c2 USING (w1, w2)
+          JOIN c1 USING (w1)
+          CROSS JOIN v
+        ), doc AS (
+          -- v is the UNROUNDED per-doc mean: one IEEE divide of the
+          -- exact DECIMAL sum by the exact count — bit-identical
+          -- cross-engine, no round-half boundary (the q157 class).
+          SELECT doc_id, count(*) AS nbg, -sum(lp) AS snll,
+                 CAST(-sum(lp) AS DOUBLE) / count(*) AS v
+          FROM sc GROUP BY doc_id
+        ), scored AS (
+          SELECT dd.lang, d.v, d.nbg, d.snll
+          FROM doc d JOIN documents dd ON d.doc_id = dd.doc_id
+        ), hist AS (
+          SELECT lang, v, count(*) AS c, sum(nbg) AS nbg,
+                 sum(snll) AS snll
+          FROM scored GROUP BY lang, v
+        ), h2 AS (
+          SELECT lang, v, c, nbg, snll,
+                 sum(c) OVER (PARTITION BY lang ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) - c AS cum
+          FROM hist
+        ), tot AS (
+          SELECT lang, sum(c) AS n_lang FROM hist GROUP BY lang
+        ), lab AS (
+          SELECT h2.lang, c, nbg, snll,
+                 CASE WHEN 3 * cum < n_lang THEN 'head'
+                      WHEN 3 * cum < 2 * n_lang THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM h2 JOIN tot ON h2.lang = tot.lang
+        )
+        SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(snll) AS DOUBLE)
+                 / CAST(sum(nbg) AS DOUBLE) AS avg_nll
+        FROM lab GROUP BY lang, bucket ORDER BY lang, bucket
+    """
+
+
+@_register(
+    "q182_ccnet_buckets",
+    survey="net-new CCNet-style perplexity bucketing (per-lang head/middle/tail terciles of the corpus-LM NLL — the CCNet pipeline's quality stratification)",
+    oracle=_q182_oracle(),
+)
+def q182_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality stratification: per language, split documents
+    into head/middle/tail terciles of bigram-LM mean NLL (the q146
+    scorer). The tercile boundaries come from a per-lang cumulative
+    window over the (lang, mean_nll) HISTOGRAM — value-distinct rows,
+    not documents — so the low-cardinality lang partitions never drag
+    the corpus through 3 reducers (the q158 count-join discipline), and
+    whole value-groups bucket together (deterministic ties, exact
+    integer rule)."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        nll = T.bigram_lm_nll(cat.documents, caches=caches)
+        # v = UNROUNDED per-doc mean NLL: exact decimal sum / exact
+        # count in ONE IEEE divide (never the rounded mean_nll — its
+        # round-half boundary drifts cross-engine, the q157 class).
+        scored = (nll.join(cat.documents.select("doc_id", "lang"),
+                           "doc_id")
+                  .withColumn("v", F.col("sum_nll").cast("double")
+                              / F.col("n_bigrams")))
+        hist = scored.groupBy("lang", "v").agg(
+            F.count("*").alias("c"),
+            F.sum("n_bigrams").alias("nbg"),
+            F.sum("sum_nll").alias("snll"))
+        w = (Window.partitionBy("lang").orderBy(F.asc("v"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        h2 = hist.withColumn("cum", F.sum("c").over(w) - F.col("c"))
+        tot = hist.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+        lab = (h2.join(tot, "lang")
+               .withColumn(
+                   "bucket",
+                   F.when(3 * F.col("cum") < F.col("n_lang"), "head")
+                    .when(3 * F.col("cum") < 2 * F.col("n_lang"),
+                          "middle")
+                    .otherwise("tail")))
+        out = (lab.groupBy("lang", "bucket")
+               .agg(F.sum("c").cast("long").alias("n_docs"),
+                    (F.sum("snll").cast("double")
+                     / F.sum("nbg").cast("double")).alias("avg_nll"))
+               .orderBy("lang", "bucket"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -361,6 +361,51 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     triangle_participation(tri_edges, src="u", dst="v") \
         .orderBy(F.desc("n_triangles"), "node").show(5)
 
+    print("-- 14a. DSIR importance weights (target = src0) --")
+    caches14 = []
+    TX.dsir_importance(docs.withColumn("_t", F.col("source") == "src0"),
+                       "_t", caches=caches14) \
+        .orderBy(F.desc("weight"), "doc_id").show(4)
+    for c in caches14:
+        c.unpersist()
+
+    print("-- 14b. priority sample (exact-quota, size-weighted) --")
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        priority_sample)
+
+    priority_sample(docs, "doc_id", "n_chars", 5, salt=7) \
+        .select("doc_id", "n_chars", "_priority").show(5)
+
+    print("-- 14c. scorer calibration + labeler agreement (kappa) --")
+    from ds_ga1004_bigdata_project_spark.ml.metrics import (
+        calibration_table, cohens_kappa)
+
+    toks14 = TX.ws_tokens(F.col("text"))
+    scored14 = docs.select(TX.stopword_ratio(toks14).alias("score"),
+                           (F.col("lang") == "en").alias("label"))
+    calibration_table(scored14, "score", "label").show(10)
+    labeled14 = docs.select(TX.lang_id(toks14).alias("pred"),
+                            F.col("lang").alias("gold"))
+    cohens_kappa(labeled14, "pred", "gold").show()
+
+    print("-- 14d. Zipf slope (corpus-health diagnostic) --")
+    TX.zipf_slope(docs, top_n=100).show()
+
+    print("-- 14e. n-gram novelty of held-out docs vs train --")
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        _perm_rank)
+
+    hs = F.pmod(_perm_rank("doc_id", 42), F.lit(10))
+    d14 = docs.withColumn("_hs", hs)
+    dedup.ngram_novelty(d14.filter(F.col("_hs") < 8),
+                        d14.filter(F.col("_hs") >= 8), n=3) \
+        .orderBy("novelty", "doc_id").show(4)
+
+    print("-- 14f. CCNet head/middle/tail perplexity buckets --")
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+
+    REGISTRY["q182_ccnet_buckets"].build(spark, sf_dir).show(15)
+
     spark.stop()
 
 

@@ -156,6 +156,24 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "triangles": ((
         "q138_copurchase_pairs", "q167_triangle_participation"),
         "triangle participation", None),
+    "dsir-selection": ((
+        "q176_dsir_importance",),
+        "DSIR importance weights", None),
+    "priority-sampling": ((
+        "q177_priority_sample",),
+        "priority sample", None),
+    "scorer-qa": ((
+        "q178_calibration_ece", "q179_cohens_kappa"),
+        "scorer calibration + labeler agreement", None),
+    "corpus-health": ((
+        "q180_zipf_slope",),
+        "Zipf slope", None),
+    "novelty": ((
+        "q181_ngram_novelty",),
+        "n-gram novelty", None),
+    "ccnet-buckets": ((
+        "q182_ccnet_buckets",),
+        "CCNet head/middle/tail", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

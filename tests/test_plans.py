@@ -252,3 +252,66 @@ def test_triangles_use_edge_iterator_not_wedge_join(spark):
     plan = physical_plan(df)
     assert "array_intersect" in plan
     assert_no_cartesian(df)
+
+
+def test_priority_sample_is_top_n_not_sort(spark):
+    """q177's claim: priority sampling is per-row arithmetic + a global
+    top-n — TakeOrderedAndProject (per-task heaps), never a full sort
+    or any exchange of the input."""
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        priority_sample)
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    plan = physical_plan(priority_sample(docs, "doc_id", "n_chars", 50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, f"expected shuffle-free top-n:\n{plan}"
+
+
+def test_zipf_regression_window_is_topn_sized(spark):
+    """q180's claim: the single-partition rank window runs AFTER the
+    global top-N — the plan's TakeOrderedAndProject caps the window
+    input at top_n rows at any corpus size."""
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    plan = physical_plan(T.zipf_slope(docs, top_n=200))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window (printed above its inputs) must consume the top-N —
+    # TakeOrderedAndProject sits in its subtree, so the
+    # SinglePartition exchange moves <= top_n rows by construction
+    idx_win = plan.index("Window")
+    assert "TakeOrderedAndProject" in plan[idx_win:], plan
+
+
+def test_ccnet_buckets_window_runs_on_histogram(spark):
+    """q182's claim: the per-lang cumulative window consumes the
+    (lang, v) HISTOGRAM — a HashAggregate must feed the Window's
+    SinglePartition-per-lang exchange, so lang partitions carry
+    value-distinct rows, not documents (the q158 discipline). Composed
+    exactly as the q182 builder composes it (checkpointing in the
+    registered query hides its lineage from EXPLAIN)."""
+    from pyspark.sql import Window
+    from ds_ga1004_bigdata_project_spark.functions import text as T
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    from .conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    nll = T.bigram_lm_nll(docs)
+    scored = (nll.join(docs.select("doc_id", "lang"), "doc_id")
+              .withColumn("v", F.col("sum_nll").cast("double")
+                          / F.col("n_bigrams")))
+    hist = scored.groupBy("lang", "v").agg(F.count("*").alias("c"))
+    w = (Window.partitionBy("lang").orderBy(F.asc("v"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    plan = physical_plan(hist.withColumn("cum", F.sum("c").over(w)))
+    iw = plan.index("Window")
+    assert "HashAggregate" in plan[iw:], (
+        "window must consume the aggregated histogram, not raw docs:\n"
+        + plan)

@@ -1,0 +1,218 @@
+"""Round-9 selection/eval-metric operators: the semantic invariants a
+cross-engine oracle can NOT certify (hash degeneracy, estimator
+properties, boundary rules) — the learning-15 discipline.
+
+Covers: sampling.priority_sample, text.dsir_importance,
+text.zipf_slope, metrics.calibration_table, metrics.cohens_kappa,
+dedup.ngram_novelty, and the q182 tercile boundary rule.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from ds_ga1004_bigdata_project_spark.functions import text as T
+from ds_ga1004_bigdata_project_spark.ml.metrics import (
+    calibration_table, cohens_kappa)
+from ds_ga1004_bigdata_project_spark.operators import dedup
+from ds_ga1004_bigdata_project_spark.operators import sampling as S
+
+
+# ------------------------------------------------------------------ #
+# priority_sample
+# ------------------------------------------------------------------ #
+
+def test_priority_sample_exact_quota_and_determinism(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w"))
+    a = S.priority_sample(df, "k", "w", 50, salt=1)
+    b = S.priority_sample(df, "k", "w", 50, salt=1)
+    assert a.count() == 50
+    assert sorted(r.k for r in a.collect()) == \
+        sorted(r.k for r in b.collect())
+
+
+def test_priority_sample_salt_sensitivity(spark):
+    # Two salts must draw genuinely different samples — the degenerate-
+    # hash trap (learning 15) an oracle can't see because both engines
+    # would agree on the broken arithmetic.
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("w"))
+    a = {r.k for r in S.priority_sample(df, "k", "w", 100, salt=1).collect()}
+    b = {r.k for r in S.priority_sample(df, "k", "w", 100, salt=2).collect()}
+    assert len(a & b) < 60  # ~10 expected under independence
+
+
+def test_priority_sample_weight_monotonicity(spark):
+    # Inclusion probability must RISE with weight: give half the rows
+    # weight 10 and half weight 1; the heavy half should dominate.
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 10).otherwise(1).alias("w"))
+    got = S.priority_sample(df, "k", "w", 200, salt=3).collect()
+    heavy = sum(1 for r in got if r.k % 2 == 0)
+    assert heavy > 150  # E[heavy] ≈ 181 under w=10 vs 1
+
+
+# ------------------------------------------------------------------ #
+# dsir_importance
+# ------------------------------------------------------------------ #
+
+def test_dsir_importance_separates_domains(spark):
+    # Target docs speak "alpha"; pool has alpha-speakers and
+    # beta-speakers. Alpha-like pool docs must outrank beta-like ones.
+    rows = (
+        [(i, True, "alpha alpha gamma") for i in range(10)]
+        + [(100 + i, False, "alpha gamma alpha") for i in range(5)]
+        + [(200 + i, False, "beta beta delta") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, tgt boolean, text string")
+    out = {r.doc_id: r.weight
+           for r in T.dsir_importance(df, "tgt").collect()}
+    assert set(out) == {100 + i for i in range(5)} | \
+        {200 + i for i in range(5)}
+    assert min(out[100 + i] for i in range(5)) > \
+        max(out[200 + i] for i in range(5))
+
+
+def test_dsir_importance_weight_is_summed_log_ratio(spark):
+    # Hand-check one doc against the closed form.
+    df = spark.createDataFrame(
+        [(1, True, "a a b"), (2, False, "a b")],
+        "doc_id long, tgt boolean, text string")
+    out = T.dsir_importance(df, "tgt").collect()
+    assert len(out) == 1 and out[0].doc_id == 2 and out[0].n_tokens == 2
+    # model: a: ct=2 cr=3, b: ct=1 cr=2; nt=3 nr=5 v=2
+    lam_a = round(math.log(3 / 5) - math.log(4 / 7), 4)
+    lam_b = round(math.log(2 / 5) - math.log(3 / 7), 4)
+    assert out[0].weight == pytest.approx(lam_a + lam_b, abs=1e-9)
+
+
+# ------------------------------------------------------------------ #
+# zipf_slope
+# ------------------------------------------------------------------ #
+
+def test_zipf_slope_recovers_planted_power_law(spark):
+    # counts ∝ rank^-1 exactly: token t_r appears round(1200/r) times.
+    words = []
+    for r in range(1, 41):
+        words += [f"t{r:02d}"] * round(1200 / r)
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    row = T.zipf_slope(df, top_n=40).collect()[0]
+    assert row.n_points == 40
+    assert row.slope == pytest.approx(-1.0, abs=0.02)
+    assert row.r2 > 0.999
+
+
+# ------------------------------------------------------------------ #
+# calibration_table / cohens_kappa
+# ------------------------------------------------------------------ #
+
+def test_calibration_perfectly_calibrated_bins(spark):
+    # Score 0.25 with 1-in-4 positives and 0.75 with 3-in-4: gaps 0.
+    rows = ([(0.25, 1)] + [(0.25, 0)] * 3) * 10 \
+        + ([(0.75, 1)] * 3 + [(0.75, 0)]) * 10
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bin: r for r in calibration_table(df, "score", "label").collect()}
+    assert set(out) == {2, 7}
+    for r in out.values():
+        assert r.n == 40
+        assert r.abs_gap == pytest.approx(0.0, abs=1e-12)
+
+
+def test_calibration_score_one_lands_in_top_bin(spark):
+    df = spark.createDataFrame([(1.0, 1), (0.0, 0)],
+                               "score double, label int")
+    bins = {r.bin for r in calibration_table(df, "score", "label").collect()}
+    assert bins == {0, 9}  # 1.0 capped into bin 9, never bin 10
+
+
+def test_cohens_kappa_known_value(spark):
+    # Classic 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10 → κ=0.4
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n == 50 and r.n_agree == 35
+    assert r.po == pytest.approx(0.7)
+    assert r.pe == pytest.approx(0.5)
+    assert r.kappa == pytest.approx(0.4)
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 3, "a string, b string")
+    assert cohens_kappa(perfect, "a", "b").collect()[0].kappa == \
+        pytest.approx(1.0)
+    # Independent marginals at 50/50 → κ ≈ 0 by construction.
+    chance = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")],
+        "a string, b string")
+    assert cohens_kappa(chance, "a", "b").collect()[0].kappa == \
+        pytest.approx(0.0, abs=1e-12)
+
+
+# ------------------------------------------------------------------ #
+# ngram_novelty
+# ------------------------------------------------------------------ #
+
+def test_ngram_novelty_extremes_and_partial(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string")
+    pool = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"),   # verbatim → novelty 0
+         (11, "purple elephants dance wildly tonight"),  # all new → 1
+         (12, "the quick brown cat sleeps")],  # 1 of 3 shingles seen
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.ngram_novelty(train, pool, n=3).collect()}
+    assert out[10].novelty == 0.0
+    assert out[11].novelty == 1.0
+    assert out[12].n_shingles == 3 and out[12].n_novel == 2
+    assert out[12].novelty == pytest.approx(2 / 3)
+
+
+def test_ngram_novelty_short_docs_absent(spark):
+    train = spark.createDataFrame([(1, "a b c d")],
+                                  "doc_id long, text string")
+    pool = spark.createDataFrame([(2, "a b")],  # < n tokens
+                                 "doc_id long, text string")
+    assert dedup.ngram_novelty(train, pool, n=3).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# q182 tercile boundary rule
+# ------------------------------------------------------------------ #
+
+def test_ccnet_value_group_terciles_keep_groups_whole(spark):
+    # 9 docs in one lang, 3 distinct values x3 → exactly one value per
+    # bucket; and a 6-doc lang where one value-group of 4 straddles the
+    # 1/3 boundary must land ENTIRELY in the bucket of its first slot.
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY  # noqa: F401
+    from pyspark.sql import Window
+    hist = spark.createDataFrame(
+        [("a", 1.0, 3), ("a", 2.0, 3), ("a", 3.0, 3),
+         ("b", 1.0, 4), ("b", 2.0, 2)],
+        "lang string, v double, c long")
+    w = (Window.partitionBy("lang").orderBy(F.asc("v"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h2 = hist.withColumn("cum", F.sum("c").over(w) - F.col("c"))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    lab = (h2.join(tot, "lang").withColumn(
+        "bucket",
+        F.when(3 * F.col("cum") < F.col("n"), "head")
+         .when(3 * F.col("cum") < 2 * F.col("n"), "middle")
+         .otherwise("tail")))
+    got = {(r.lang, r.v): r.bucket for r in lab.collect()}
+    assert got[("a", 1.0)] == "head"
+    assert got[("a", 2.0)] == "middle"
+    assert got[("a", 3.0)] == "tail"
+    # lang b: group of 4 starts at cum=0 → head (whole group), the
+    # 2-group starts at cum=4, 3*4 >= 2*6 → tail; middle legitimately
+    # empty — value-group atomicity wins over equal thirds.
+    assert got[("b", 1.0)] == "head"
+    assert got[("b", 2.0)] == "tail"
