@@ -976,3 +976,52 @@ def zipf_slope(df, text_col: str = "text", top_n: int = 200,
           / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
     return s.select(F.col("n").alias("n_points"), slope.alias("slope"),
                     intercept.alias("intercept"), r2.alias("r2"))
+
+
+def vocab_growth(df, text_col: str = "text", id_col: str = "doc_id",
+                 salt: int = 77):
+    """Heaps'-law vocabulary-growth curve by NESTED hash subsamples:
+    distinct-token counts at 1/8, 1/4, 1/2 and all of the corpus — the
+    diagnostic that says whether more data keeps buying new vocabulary
+    (natural corpora grow ≈ n^β, β ≈ 0.5; a flattening curve means the
+    crawl is recycling itself). Nested prefixes of the permutation-hash
+    space replace "the first n documents": membership is one exact
+    integer compare (rank < 2³¹·f, dyadic f → exact thresholds), each
+    level CONTAINS the previous (true growth curve, not four
+    independent samples), and no global sort or prefix-sum ever runs —
+    the classic formulation's "order the corpus" becomes a free
+    per-row predicate.
+
+    Plan: one token explode → per-token MIN level (the first nested
+    sample containing it — map-side-combined) → level-sized rollups +
+    a 4-row cumulative window. The corpus contributes one pass.
+
+    Returns one row per level: (fraction, n_docs, n_tokens, vocab),
+    all cumulative, fraction ascending (0.125, 0.25, 0.5, 1.0)."""
+    from ..operators.sampling import _perm_rank
+
+    rank = _perm_rank(id_col, salt)
+    lvl = (F.when(rank < F.lit(1 << 28), 0)
+           .when(rank < F.lit(1 << 29), 1)
+           .when(rank < F.lit(1 << 30), 2).otherwise(3))
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    base = df.select(lvl.alias("lvl"), toks.alias("toks"))
+    doc_stats = base.groupBy("lvl").agg(
+        F.count("*").alias("d"),
+        F.sum(F.size("toks")).cast("long").alias("t"))
+    first_seen = (base.select("lvl", F.explode("toks").alias("tok"))
+                  .groupBy("tok").agg(F.min("lvl").alias("lvl"))
+                  .groupBy("lvl").agg(F.count("*").alias("v")))
+    from pyspark.sql import Window
+    w = (Window.orderBy("lvl")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    frac = (F.lit(1.0) / F.pow(F.lit(2.0), (F.lit(3) - F.col("lvl"))
+                               .cast("double")))
+    return (doc_stats.join(first_seen, "lvl", "left")
+            .select("lvl", "d", "t",
+                    F.coalesce(F.col("v"), F.lit(0)).alias("v"))
+            .select(frac.alias("fraction"),
+                    F.sum("d").over(w).alias("n_docs"),
+                    F.sum("t").over(w).alias("n_tokens"),
+                    F.sum("v").over(w).alias("vocab"))
+            .orderBy("fraction"))

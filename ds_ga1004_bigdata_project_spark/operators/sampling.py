@@ -440,3 +440,73 @@ def priority_sample_sql(key_col: str, weight_col: str, n: int,
     h = _perm_rank_sql(key_col, salt)
     return (f"(CAST({weight_col} AS DOUBLE) * 2147483648.0"
             f" / CAST(({h}) + 1 AS DOUBLE))")
+
+
+#: floor(CDF_Poisson(1)(k) · 2³¹) for k = 0..9 — integer cutoffs for a
+#: hash-derived Poisson(1) draw: k = #cutoffs ≤ rank. Exact int64
+#: comparisons, so any engine draws the identical weights.
+_POISSON1_CUTOFFS = (
+    790015084, 1580030168, 1975037710, 2106706891, 2139624186,
+    2146207645, 2147304888, 2147461638, 2147481231, 2147483408)
+
+
+def poisson_bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
+                         b: int = 50, salt: int = 1000,
+                         alpha: float = 0.05,
+                         scale: int = 4) -> DataFrame:
+    """Percentile confidence interval for the corpus mean of
+    ``value_col`` by POISSON bootstrap — the resampling scheme that
+    distributes (Chamandy et al. 2012, "Estimating Uncertainty for
+    Massive Data Streams"): the multinomial bootstrap needs the global
+    N per draw, but Poisson(1) per-row weights are independent, so each
+    row computes its ``b`` replicate weights locally from a hash and
+    the per-replicate means reduce in one aggregation. This is the
+    error bar a curation dashboard should put on every corpus-mean
+    metric before acting on a shift.
+
+    Determinism: weight k for (row, replicate) counts the
+    :data:`_POISSON1_CUTOFFS` at or below the replicate-salted
+    ``_perm_rank`` — exact integer arithmetic, identical draws on any
+    engine. The value rounds once to ``scale`` and weighted sums
+    accumulate as exact DECIMAL; each replicate mean is ONE IEEE
+    divide; the CI picks order statistics (rank ⌊α/2·b⌋+1 and
+    ⌈(1−α/2)·b⌉, replicate id as tiebreak) — no float summation
+    anywhere.
+
+    Plan: one in-row ``explode(sequence(0, b−1))`` (narrow (key, value)
+    rows only — the ×b blow-up never carries the corpus payload), one
+    map-side-combined b-group aggregation, then the b-row order
+    statistics. Returns one row: (n_rows, n_replicates, mean,
+    ci_lo, ci_hi)."""
+    import math as _math
+
+    from pyspark.sql import Window
+
+    val = F.round(F.col(value_col), scale).cast(f"decimal(18,{scale})")
+    base = df.select(F.col(key_col).alias("_k"), val.alias("_v"))
+    rep = base.select(
+        "_k", "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_b"))
+    k0 = F.pmod(F.col("_k") + F.lit(salt) + F.col("_b"), F.lit(1 << 31))
+    rank = F.pmod(k0 * F.lit(_KNUTH_C), F.lit(1 << 31))
+    w = sum((rank >= F.lit(c)).cast("int") for c in _POISSON1_CUTOFFS)
+    means = (rep.select("_b", "_v", w.alias("_w"))
+             .groupBy("_b")
+             .agg((F.sum(F.col("_w") * F.col("_v")).cast("double")
+                   / F.sum("_w").cast("double")).alias("_mean")))
+    lo_rank = int(_math.floor(alpha / 2 * b)) + 1
+    hi_rank = int(_math.ceil((1 - alpha / 2) * b))
+    ordered = means.withColumn(
+        "_r", F.row_number().over(
+            Window.orderBy(F.asc("_mean"), F.asc("_b"))))
+    ci = (ordered.agg(
+        F.max(F.when(F.col("_r") == lo_rank, F.col("_mean")))
+         .alias("ci_lo"),
+        F.max(F.when(F.col("_r") == hi_rank, F.col("_mean")))
+         .alias("ci_hi")))
+    full = base.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum("_v").cast("double") / F.count("*")).alias("mean"))
+    return (full.crossJoin(F.broadcast(ci))
+            .select("n_rows", F.lit(b).alias("n_replicates"),
+                    "mean", "ci_lo", "ci_hi"))

@@ -6952,6 +6952,210 @@ def q182_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+
+def _q183_oracle() -> str:
+    return """
+        -- The q32/q152 inverted-index pair relation ONCE at the lowest
+        -- threshold, then two tiny rollups: pairs per threshold and
+        -- max-pair-Jaccard docs per threshold (LEFT joins keep honest
+        -- zero rows).
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                FROM documents)
+        ), sizes AS (
+          SELECT id, len(shingles) AS set_size FROM sh
+        ), posting AS (
+          SELECT id, unnest(shingles) AS shingle FROM sh
+        ), cand AS (
+          SELECT p1.id AS a, p2.id AS b, count(*) AS inter_cnt
+          FROM posting p1 JOIN posting p2
+            ON p1.shingle = p2.shingle AND p1.id < p2.id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b,
+                 round(inter_cnt /
+                       CAST(sa.set_size + sb.set_size - inter_cnt
+                            AS DOUBLE), 6) AS jaccard
+          FROM cand
+          JOIN sizes sa ON cand.a = sa.id
+          JOIN sizes sb ON cand.b = sb.id
+          WHERE round(inter_cnt /
+                      CAST(sa.set_size + sb.set_size - inter_cnt
+                           AS DOUBLE), 6) >= 0.5
+        ), thr AS (
+          SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+        ), np AS (
+          SELECT t.threshold, count(p.a) AS n_pairs
+          FROM thr t LEFT JOIN pairs p ON p.jaccard >= t.threshold
+          GROUP BY 1
+        ), docmax AS (
+          SELECT id, max(jaccard) AS maxj
+          FROM (SELECT a AS id, jaccard FROM pairs
+                UNION ALL SELECT b AS id, jaccard FROM pairs)
+          GROUP BY id
+        ), nd AS (
+          SELECT t.threshold, count(d.id) AS n_docs
+          FROM thr t LEFT JOIN docmax d ON d.maxj >= t.threshold
+          GROUP BY 1
+        )
+        SELECT np.threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM np JOIN nd USING (threshold)
+        ORDER BY threshold
+    """
+
+
+@_register(
+    "q183_dedup_threshold_curve",
+    survey="net-new dedup-rate threshold sweep (pairs + flagged docs per Jaccard cutoff from ONE candidate pass — the Lee-et-al.-2022 knob-tuning curve)",
+    oracle=_q183_oracle(),
+)
+def q183_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep for near-dup dedup
+    (:func:`dedup.jaccard_threshold_curve`): surviving pair and
+    flagged-doc counts at Jaccard ≥ 0.5…0.9, all from ONE inverted-
+    index candidate pass — the sweep that picks the cutoff without
+    re-running the dominant join per candidate value."""
+    cat = Catalog(spark, sf_dir)
+    caches: list[DataFrame] = []
+    try:
+        out = dedup.jaccard_threshold_curve(cat.documents, caches=caches)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def _q184_oracle() -> str:
+    from .operators.sampling import _KNUTH_C, _POISSON1_CUTOFFS
+    w = " + ".join(
+        f"(CASE WHEN r >= {c} THEN 1 ELSE 0 END)"
+        for c in _POISSON1_CUTOFFS)
+    return f"""
+        -- Poisson bootstrap: hash-derived Poisson(1) weights from the
+        -- integer CDF cutoffs, DECIMAL-exact weighted sums, one IEEE
+        -- divide per replicate, order-statistic CI (ranks 2 and 49 of
+        -- 50, replicate id as tiebreak).
+        WITH base AS (
+          SELECT doc_id AS k,
+                 CAST(round(len(list_distinct(string_split_regex(
+                        text, '\\s+')))
+                      / CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE), 4) AS DECIMAL(18,4)) AS v
+          FROM documents
+        ), rep AS (
+          SELECT k, v, b
+          FROM base CROSS JOIN
+               (SELECT unnest(generate_series(0, 49)) AS b)
+        ), wts AS (
+          SELECT b, v, {w} AS w
+          FROM (SELECT b, v,
+                       ((k + 1000 + b) % 2147483648 + 2147483648)
+                        % 2147483648 * {_KNUTH_C} % 2147483648 AS r
+                FROM rep)
+        ), means AS (
+          SELECT b, CAST(sum(w * v) AS DOUBLE)
+                      / CAST(sum(w) AS DOUBLE) AS m
+          FROM wts GROUP BY b
+        ), ordered AS (
+          SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS r
+          FROM means
+        ), ci AS (
+          SELECT max(CASE WHEN r = 2 THEN m END) AS ci_lo,
+                 max(CASE WHEN r = 49 THEN m END) AS ci_hi
+          FROM ordered
+        ), tot AS (
+          SELECT count(*) AS n_rows,
+                 CAST(sum(v) AS DOUBLE) / count(*) AS mean
+          FROM base
+        )
+        SELECT CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(50 AS BIGINT) AS n_replicates, mean, ci_lo, ci_hi
+        FROM tot CROSS JOIN ci
+    """
+
+
+@_register(
+    "q184_poisson_bootstrap_ci",
+    survey="net-new Poisson-bootstrap confidence interval for a corpus-mean metric (Chamandy et al. 2012 — the distributable bootstrap; hash-derived Poisson(1) weights, order-statistic CI)",
+    oracle=_q184_oracle(),
+)
+def q184_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for the corpus-mean lexical-diversity score by Poisson
+    bootstrap (:func:`sampling.poisson_bootstrap_ci`, 50 replicates):
+    per-row hash-derived Poisson(1) weights make every replicate a
+    local computation — no global N per draw, so the bootstrap reduces
+    in ONE map-side-combined aggregation. The error bar a curation
+    dashboard needs before treating a corpus-mean shift as real."""
+    from .operators.sampling import poisson_bootstrap_ci
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    scored = cat.documents.select(
+        "doc_id", T.distinct_token_ratio(toks, scale=None).alias("score"))
+    return poisson_bootstrap_ci(scored, "score", "doc_id", b=50,
+                                salt=1000)
+
+
+def _q185_oracle() -> str:
+    h = sampling._perm_rank_sql("doc_id", 77)
+    return f"""
+        -- Heaps'-law growth by NESTED hash subsamples: per-token MIN
+        -- level (first nested sample containing it), level rollups,
+        -- 4-row cumulative window. Exact dyadic thresholds.
+        WITH d AS (
+          SELECT ({h}) AS rank,
+                 string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents
+        ), lv AS (
+          SELECT CASE WHEN rank < 268435456 THEN 0
+                      WHEN rank < 536870912 THEN 1
+                      WHEN rank < 1073741824 THEN 2
+                      ELSE 3 END AS lvl, toks
+          FROM d
+        ), ds AS (
+          SELECT lvl, count(*) AS d, sum(len(toks)) AS t
+          FROM lv GROUP BY lvl
+        ), fs AS (
+          SELECT lvl, count(*) AS v
+          FROM (SELECT min(lvl) AS lvl
+                FROM (SELECT lvl, unnest(toks) AS tok FROM lv)
+                GROUP BY tok)
+          GROUP BY lvl
+        ), j AS (
+          SELECT ds.lvl, d, t, coalesce(v, 0) AS v
+          FROM ds LEFT JOIN fs ON ds.lvl = fs.lvl
+        )
+        SELECT 1.0 / pow(2.0, CAST(3 - lvl AS DOUBLE)) AS fraction,
+               CAST(sum(d) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_docs,
+               CAST(sum(t) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_tokens,
+               CAST(sum(v) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS vocab
+        FROM j ORDER BY fraction
+    """
+
+
+@_register(
+    "q185_vocab_growth",
+    survey="net-new Heaps'-law vocabulary-growth curve (nested hash subsamples at 1/8..1 — is more data still buying new vocabulary, or is the crawl recycling itself?)",
+    oracle=_q185_oracle(),
+)
+def q185_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth diagnostic (:func:`text.vocab_growth`):
+    distinct tokens at nested 1/8, 1/4, 1/2 and full hash subsamples —
+    the "first n documents" of the classic formulation without any
+    global sort or prefix sum (membership is one integer compare). One
+    corpus pass; the cumulative window runs over 4 rows."""
+    cat = Catalog(spark, sf_dir)
+    return T.vocab_growth(cat.documents)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -406,6 +406,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     REGISTRY["q182_ccnet_buckets"].build(spark, sf_dir).show(15)
 
+    print("-- 14g. dedup threshold curve (one candidate pass) --")
+    caches14g = []
+    dedup.jaccard_threshold_curve(docs, caches=caches14g).show()
+    for c in caches14g:
+        c.unpersist()
+
+    print("-- 14h. Poisson-bootstrap CI for a corpus-mean metric --")
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        poisson_bootstrap_ci)
+
+    scored14h = docs.select(
+        "doc_id", TX.distinct_token_ratio(
+            TX.ws_tokens(F.col("text")), scale=None).alias("score"))
+    poisson_bootstrap_ci(scored14h, "score", "doc_id", b=50).show()
+
+    print("-- 14i. Heaps'-law vocabulary growth (nested subsamples) --")
+    TX.vocab_growth(docs).show()
+
     spark.stop()
 
 

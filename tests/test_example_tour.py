@@ -174,6 +174,15 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "ccnet-buckets": ((
         "q182_ccnet_buckets",),
         "CCNet head/middle/tail", None),
+    "threshold-curve": ((
+        "q183_dedup_threshold_curve",),
+        "dedup threshold curve", None),
+    "bootstrap-ci": ((
+        "q184_poisson_bootstrap_ci",),
+        "Poisson-bootstrap CI", None),
+    "vocab-growth": ((
+        "q185_vocab_growth",),
+        "vocabulary growth", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

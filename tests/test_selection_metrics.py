@@ -216,3 +216,71 @@ def test_ccnet_value_group_terciles_keep_groups_whole(spark):
     # empty — value-group atomicity wins over equal thirds.
     assert got[("b", 1.0)] == "head"
     assert got[("b", 2.0)] == "tail"
+
+
+# ------------------------------------------------------------------ #
+# jaccard_threshold_curve / poisson_bootstrap_ci / vocab_growth
+# ------------------------------------------------------------------ #
+
+def test_threshold_curve_monotone_and_exact(spark):
+    # Two identical docs (J=1.0), one 2/4-overlap pair (J=0.5 on
+    # distinct 1-gram sets? use 3-gram shingles): craft doc pair with
+    # known shingle overlap instead: A=B verbatim, C shares half of
+    # D's shingles... keep it simple: verify monotonicity + the J=1
+    # clique is counted at every threshold.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta iota"), (4, "one two three four")],
+        "doc_id long, text string")
+    out = {r.threshold: r for r in
+           dedup.jaccard_threshold_curve(docs).collect()}
+    assert sorted(out) == [0.5, 0.6, 0.7, 0.8, 0.9]
+    prev_p, prev_d = float("inf"), float("inf")
+    for t in sorted(out):
+        assert out[t].n_pairs <= prev_p and out[t].n_docs <= prev_d
+        prev_p, prev_d = out[t].n_pairs, out[t].n_docs
+    assert out[0.9].n_pairs == 1 and out[0.9].n_docs == 2  # the clique
+    assert out[0.5].n_pairs == 1  # nothing else reaches 0.5
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_varies(spark):
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        poisson_bootstrap_ci)
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("double").alias("x"))
+    r = poisson_bootstrap_ci(df, "x", "k", b=50, salt=5).collect()[0]
+    assert r.n_rows == 400 and r.n_replicates == 50
+    assert r.ci_lo < r.mean < r.ci_hi
+    assert r.ci_lo < r.ci_hi  # genuine spread, not a degenerate draw
+    # CI width for mean of U{0..9} over 400 rows: sd≈2.87/20≈0.14 —
+    # the 95% band must be same order, not collapsed or exploded
+    assert 0.1 < (r.ci_hi - r.ci_lo) < 1.5
+
+
+def test_poisson_weights_average_one(spark):
+    # The hash-derived Poisson(1) draw must average ~1 across rows —
+    # the estimator-unbiasedness precondition an oracle can't check.
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        _KNUTH_C, _POISSON1_CUTOFFS)
+    df = spark.range(20000)
+    k0 = F.pmod(F.col("id") + F.lit(123), F.lit(1 << 31))
+    rank = F.pmod(k0 * F.lit(_KNUTH_C), F.lit(1 << 31))
+    w = sum((rank >= F.lit(c)).cast("int") for c in _POISSON1_CUTOFFS)
+    mean_w = df.select(F.avg(w).alias("m")).collect()[0].m
+    assert 0.97 < mean_w < 1.03
+
+
+def test_vocab_growth_nested_and_exact_total(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 50} common filler") for i in range(200)],
+        "doc_id long, text string")
+    rows = T.vocab_growth(docs).collect()
+    fr = [r.fraction for r in rows]
+    assert fr == [0.125, 0.25, 0.5, 1.0]
+    for a, b in zip(rows, rows[1:]):  # nested => monotone everywhere
+        assert a.n_docs <= b.n_docs and a.vocab <= b.vocab \
+            and a.n_tokens <= b.n_tokens
+    assert rows[-1].n_docs == 200
+    assert rows[-1].n_tokens == 600
+    assert rows[-1].vocab == 52  # 50 tok* + common + filler
