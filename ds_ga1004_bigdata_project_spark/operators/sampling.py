@@ -510,3 +510,64 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
     return (full.crossJoin(F.broadcast(ci))
             .select("n_rows", F.lit(b).alias("n_replicates"),
                     "mean", "ci_lo", "ci_hi"))
+
+
+def unimax_allocation(df: DataFrame, group_col: str, tokens_col: str,
+                      budget: int, epoch_cap: float = 1.0) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): split a total token ``budget``
+    across groups AS UNIFORMLY AS POSSIBLE subject to no group repeating
+    more than ``epoch_cap`` epochs (alloc_g ≤ ⌊epoch_cap·n_g⌋) — the
+    principled alternative to temperature mixing
+    (:func:`temperature_mixture_plan`) when over-exposure of small
+    sources is the binding constraint.
+
+    Closed form instead of the paper's iterative loop: sort groups by
+    cap ascending; a group is SATURATED iff giving every not-yet-placed
+    group its cap-or-more would still fit —
+    ``cap_i·(K−i+1) + prefix_{i−1} ≤ B`` (monotone in i, exact int64
+    arithmetic) — and every unsaturated group gets the same fair share
+    ``(B − Σ_sat caps) / (K − #sat)``: ONE IEEE divide of exact
+    integers, so any engine reproduces the allocation bit-for-bit.
+
+    Plan: one map-side-combined agg to group-level token sums; the
+    sort/window/rollup all run on the K-row group relation (groups =
+    languages/sources — K is small by definition; the corpus
+    contributes one pass). Returns one row per group: (group_col,
+    n_tokens, cap, saturated, alloc, epochs), group ascending."""
+    from pyspark.sql import Window
+
+    per = (df.groupBy(group_col)
+           .agg(F.sum(tokens_col).cast("long").alias("n_tokens"))
+           .withColumn("cap",
+                       F.floor(F.lit(float(epoch_cap))
+                               * F.col("n_tokens")).cast("long")))
+    w = Window.orderBy(F.asc("cap"), F.asc(group_col))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (per
+              .withColumn("_i", F.row_number().over(w))
+              .withColumn("_pre", F.sum("cap").over(wcum) - F.col("cap")))
+    tot = ranked.agg(F.count("*").alias("_k"))
+    flagged = (ranked.crossJoin(F.broadcast(tot))
+               .withColumn(
+                   "_sat",
+                   (F.col("cap") * (F.col("_k") - F.col("_i") + 1)
+                    + F.col("_pre")) <= F.lit(budget)))
+    sat_tot = flagged.agg(
+        F.coalesce(F.sum(F.col("_sat").cast("long")), F.lit(0))
+         .alias("_j"),
+        F.coalesce(F.sum(F.when(F.col("_sat"), F.col("cap"))), F.lit(0))
+         .alias("_p"))
+    fair = F.when(
+        F.col("_k") > F.col("_j"),
+        (F.lit(budget) - F.col("_p")).cast("double")
+        / (F.col("_k") - F.col("_j")).cast("double")).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("_sat"), F.col("cap").cast("double")) \
+             .otherwise(fair)
+    return (flagged.crossJoin(F.broadcast(sat_tot))
+            .select(group_col, "n_tokens", "cap",
+                    F.col("_sat").cast("int").alias("saturated"),
+                    alloc.alias("alloc"),
+                    (alloc / F.col("n_tokens").cast("double"))
+                     .alias("epochs"))
+            .orderBy(group_col))

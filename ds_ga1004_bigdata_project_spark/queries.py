@@ -7156,6 +7156,153 @@ def q185_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.vocab_growth(cat.documents)
 
 
+
+def _q186_oracle() -> str:
+    return """
+        -- UniMax closed form: caps ascending, exact-integer saturation
+        -- prefix, ONE IEEE divide for the fair share.
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len(string_split_regex(text, '\\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), capd AS (
+          SELECT source, n_tokens,
+                 CAST(floor(1.0 * n_tokens) AS BIGINT) AS cap
+          FROM per
+        ), ranked AS (
+          SELECT source, n_tokens, cap,
+                 row_number() OVER (ORDER BY cap, source) AS i,
+                 sum(cap) OVER (ORDER BY cap, source
+                                ROWS UNBOUNDED PRECEDING) - cap AS pre
+          FROM capd
+        ), tot AS (
+          SELECT count(*) AS k FROM ranked
+        ), flagged AS (
+          SELECT r.*, t.k,
+                 (cap * (t.k - i + 1) + pre) <= 25000 AS sat
+          FROM ranked r CROSS JOIN tot t
+        ), sat_tot AS (
+          SELECT coalesce(sum(CASE WHEN sat THEN 1 ELSE 0 END), 0) AS j,
+                 coalesce(sum(CASE WHEN sat THEN cap END), 0) AS p
+          FROM flagged
+        )
+        SELECT source, n_tokens, cap,
+               CAST(sat AS INT) AS saturated,
+               CASE WHEN sat THEN CAST(cap AS DOUBLE)
+                    WHEN k > j THEN CAST(25000 - p AS DOUBLE)
+                                    / CAST(k - j AS DOUBLE)
+                    ELSE 0.0 END AS alloc,
+               CASE WHEN sat THEN CAST(cap AS DOUBLE)
+                    WHEN k > j THEN CAST(25000 - p AS DOUBLE)
+                                    / CAST(k - j AS DOUBLE)
+                    ELSE 0.0 END / CAST(n_tokens AS DOUBLE) AS epochs
+        FROM flagged CROSS JOIN sat_tot
+        ORDER BY source
+    """
+
+
+@_register(
+    "q186_unimax_budget",
+    survey="net-new UniMax budget allocation (Chung et al. 2023 — most-uniform token split under a per-source epoch cap; the principled alternative to temperature mixing, in closed form)",
+    oracle=_q186_oracle(),
+)
+def q186_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget split across sources
+    (:func:`sampling.unimax_allocation`, budget 25k, 1-epoch cap): small
+    sources saturate at their cap, everyone else gets the identical
+    fair share — exact-integer saturation test, one IEEE divide. The
+    sort/window/rollup all run on the K-row source relation; the corpus
+    contributes one token-count pass. At the three driver SFs the
+    fixture exercises all three regimes (all-saturated / mixed /
+    none-saturated)."""
+    from .operators.sampling import unimax_allocation
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "source", F.size(T.ws_tokens(F.col("text"))).alias("n_tok"))
+    return unimax_allocation(toks, "source", "n_tok", budget=25_000,
+                             epoch_cap=1.0)
+
+
+def _q187_oracle() -> str:
+    return """
+        -- Borda fusion: three global desc ranks (doc_id tiebreak),
+        -- integer rank sum, top-25. The builder's ranks come from the
+        -- range-partitioned machinery; the twin's windows certify the
+        -- same total orders.
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS w
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+                   AS s1,
+                 round(list_sum(list_transform(w, x -> len(x)))
+                       / CAST(len(w) AS DOUBLE), 4) AS s2,
+                 round(len(list_filter(w, x -> list_contains(
+                         ['the','a','an','of','and','or','in','on','is',
+                          'are','to'], lower(x))))
+                       / CAST(len(w) AS DOUBLE), 4) AS s3
+          FROM t
+        ), ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY s1 DESC, doc_id) AS r1,
+                 row_number() OVER (ORDER BY s2 DESC, doc_id) AS r2,
+                 row_number() OVER (ORDER BY s3 DESC, doc_id) AS r3
+          FROM sig
+        )
+        SELECT doc_id, CAST(r1 AS BIGINT) AS r1,
+               CAST(r2 AS BIGINT) AS r2, CAST(r3 AS BIGINT) AS r3,
+               CAST(r1 + r2 + r3 AS BIGINT) AS borda
+        FROM ranked
+        ORDER BY borda ASC, doc_id ASC
+        LIMIT 25
+    """
+
+
+@_register(
+    "q187_borda_fusion",
+    survey="net-new quality-signal ensemble by Borda rank fusion (scale-free combination of heterogeneous scorers — rank sums dodge the calibration problem score-averaging has)",
+    oracle=_q187_oracle(),
+)
+def q187_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble document ranking: three quality signals (lexical
+    diversity, mean token length, en-stopword ratio) fuse by GLOBAL
+    rank sum — Borda count, the standard scale-free way to combine
+    scorers whose raw scales don't compare. Each global rank rides
+    :func:`ranks.global_row_numbers` (range-partitioned sort — the
+    single-partition row_number the SQL twin writes never executes at
+    corpus scale, the q101/q112 machinery); integer rank sums, exact
+    top-25."""
+    from .operators import ranks
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    sig = cat.documents.select(
+        "doc_id",
+        T.distinct_token_ratio(toks).alias("s1"),
+        T.mean_token_len(toks).alias("s2"),
+        T.stopword_ratio(toks).alias("s3"))
+    caches: list[DataFrame] = []
+    try:
+        out = sig
+        for i, s in enumerate(("s1", "s2", "s3"), start=1):
+            out = ranks.global_row_numbers(
+                out, [F.desc(s), F.asc("doc_id")], out_col=f"r{i}",
+                caches=caches)
+        out = (out.select(
+                   "doc_id",
+                   F.col("r1").cast("long").alias("r1"),
+                   F.col("r2").cast("long").alias("r2"),
+                   F.col("r3").cast("long").alias("r3"),
+                   (F.col("r1") + F.col("r2") + F.col("r3"))
+                    .cast("long").alias("borda"))
+               .orderBy(F.asc("borda"), F.asc("doc_id")).limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================

@@ -424,6 +424,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14i. Heaps'-law vocabulary growth (nested subsamples) --")
     TX.vocab_growth(docs).show()
 
+    print("-- 14j. UniMax budget split (1-epoch cap) --")
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        unimax_allocation)
+
+    toks14j = docs.select(
+        "source", F.size(TX.ws_tokens(F.col("text"))).alias("n_tok"))
+    unimax_allocation(toks14j, "source", "n_tok", budget=2500).show(5)
+
+    print("-- 14k. Borda rank fusion of quality signals --")
+    REGISTRY["q187_borda_fusion"].build(spark, sf_dir).show(5)
+
     spark.stop()
 
 

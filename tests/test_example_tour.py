@@ -183,6 +183,12 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "vocab-growth": ((
         "q185_vocab_growth",),
         "vocabulary growth", None),
+    "unimax": ((
+        "q186_unimax_budget",),
+        "UniMax budget split", None),
+    "borda-fusion": ((
+        "q187_borda_fusion",),
+        "Borda rank fusion", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

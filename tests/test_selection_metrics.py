@@ -284,3 +284,63 @@ def test_vocab_growth_nested_and_exact_total(spark):
     assert rows[-1].n_docs == 200
     assert rows[-1].n_tokens == 600
     assert rows[-1].vocab == 52  # 50 tok* + common + filler
+
+
+# ------------------------------------------------------------------ #
+# unimax_allocation / borda fusion regimes
+# ------------------------------------------------------------------ #
+
+def test_unimax_mixed_regime_exact(spark):
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        unimax_allocation)
+    # caps 100/200/700; budget 600: group a saturates (100*3+0<=600),
+    # b saturates (200*2+100<=600)? 500<=600 yes; c: 700*1+300=1000>600
+    # -> fair = (600-300)/1 = 300.
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("c", 700)], "g string, n long")
+    out = {r.g: r for r in
+           unimax_allocation(df, "g", "n", budget=600).collect()}
+    assert out["a"].saturated == 1 and out["a"].alloc == 100.0
+    assert out["b"].saturated == 1 and out["b"].alloc == 200.0
+    assert out["c"].saturated == 0 and out["c"].alloc == 300.0
+    assert out["c"].epochs == pytest.approx(300 / 700)
+
+
+def test_unimax_uniform_and_exhausted_regimes(spark):
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        unimax_allocation)
+    df = spark.createDataFrame(
+        [("a", 500), ("b", 600)], "g string, n long")
+    # budget far below every cap -> perfectly uniform split
+    uni = {r.g: r.alloc for r in
+           unimax_allocation(df, "g", "n", budget=400).collect()}
+    assert uni == {"a": 200.0, "b": 200.0}
+    # budget above the total corpus at the cap -> everyone saturated
+    ex = {r.g: r for r in
+          unimax_allocation(df, "g", "n", budget=5000).collect()}
+    assert all(r.saturated == 1 for r in ex.values())
+    assert ex["a"].alloc == 500.0 and ex["b"].alloc == 600.0
+
+
+def test_unimax_epoch_cap_scales_caps(spark):
+    from ds_ga1004_bigdata_project_spark.operators.sampling import (
+        unimax_allocation)
+    df = spark.createDataFrame([("a", 100), ("b", 1000)],
+                               "g string, n long")
+    out = {r.g: r for r in
+           unimax_allocation(df, "g", "n", budget=500,
+                             epoch_cap=2.0).collect()}
+    assert out["a"].cap == 200  # floor(2.0 * 100)
+    assert out["a"].saturated == 1 and out["a"].alloc == 200.0
+    assert out["a"].epochs == pytest.approx(2.0)
+    assert out["b"].alloc == 300.0  # remainder
+
+
+def test_borda_fusion_prefers_consensus_winner(spark):
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+    # smoke the registered query's invariant on the fixture: the
+    # winner's borda equals r1+r2+r3 and ordering is borda asc
+    rows = REGISTRY["q187_borda_fusion"].build(
+        spark, "/root/testdata/sf0.001").collect()
+    assert all(r.borda == r.r1 + r.r2 + r.r3 for r in rows)
+    assert [r.borda for r in rows] == sorted(r.borda for r in rows)
