@@ -1025,3 +1025,51 @@ def vocab_growth(df, text_col: str = "text", id_col: str = "doc_id",
                     F.sum("t").over(w).alias("n_tokens"),
                     F.sum("v").over(w).alias("vocab"))
             .orderBy("fraction"))
+
+
+def padding_waste(df, boundaries: tuple[int, ...] = (16, 32, 64, 128),
+                  text_col: str = "text"):
+    """Padding-efficiency audit for bucketed batching (the batch-shape
+    planning number for fixed-context training: how many of the tokens
+    a batch ships are real vs. pad).
+
+    Per length bucket — the smallest boundary >= the document's token
+    count, overlong documents truncated to the last boundary — the
+    audit reports rows, real tokens, padded capacity (rows x boundary)
+    and the padding fraction, plus one ``global`` row showing the waste
+    if every sequence padded to the longest boundary (the single
+    max-length collate strategy bucketed batching replaces).
+
+    Scale: the corpus pass computes ONLY a token count per row (no
+    explode, no shuffle of text), and ONE map-side-combined ROLLUP
+    aggregate produces the per-bucket rows and the ``global`` row
+    together — a union of two consumers would re-execute the corpus
+    aggregate (no exchange sits at the union point to reuse; the q167
+    lesson), so the grouping-set form is what keeps the corpus scanned
+    once. The one IEEE divide runs on exact integer operands, so the
+    fraction is bit-identical on any engine.
+    """
+    bmax = boundaries[-1]
+    n = F.least(F.size(ws_tokens(F.col(text_col))), F.lit(bmax))
+    expr = None
+    for b in boundaries:
+        expr = (F.when(n <= b, b) if expr is None
+                else expr.when(n <= b, b))
+    bucket = expr.otherwise(F.lit(bmax))
+    rolled = (df.select(bucket.alias("bucket"), n.alias("n_tok"))
+              .rollup("bucket")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("n_tok").cast("long").alias("sum_tokens")))
+    strategy = (F.when(F.col("bucket").isNull(), F.lit("global"))
+                .otherwise(F.lit("bucketed")))
+    bucket_out = F.coalesce(F.col("bucket"), F.lit(bmax)).cast("int")
+    capacity = bucket_out.cast("long") * F.col("n_docs")
+    pad = capacity - F.col("sum_tokens")
+    return (rolled.select(strategy.alias("strategy"),
+                          bucket_out.alias("bucket"),
+                          "n_docs", "sum_tokens",
+                          capacity.alias("capacity"),
+                          pad.alias("padding"),
+                          (pad.cast("double") / capacity.cast("double"))
+                          .alias("waste_frac"))
+            .orderBy("strategy", "bucket"))

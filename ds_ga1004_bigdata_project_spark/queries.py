@@ -7303,6 +7303,59 @@ def q187_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+def _q191_oracle() -> str:
+    return """
+        -- Padding-waste audit: exact integer bucket aggregates + one
+        -- IEEE divide; the 'global' row is a rollup of the K-row bucket
+        -- relation.
+        WITH lens AS (
+          SELECT least(len(string_split_regex(text, '\\s+')), 128) AS n
+          FROM documents
+        ), b AS (
+          SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                      WHEN n <= 64 THEN 64 ELSE 128 END AS bucket, n
+          FROM lens
+        ), per AS (
+          SELECT bucket, count(*) AS n_docs, sum(n) AS sum_tokens
+          FROM b GROUP BY bucket
+        ), strat AS (
+          SELECT 'bucketed' AS strategy, bucket, n_docs, sum_tokens,
+                 bucket * n_docs AS capacity
+          FROM per
+          UNION ALL
+          SELECT 'global', 128, sum(n_docs), sum(sum_tokens),
+                 128 * sum(n_docs)
+          FROM per
+        )
+        SELECT strategy, CAST(bucket AS INT) AS bucket,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(sum_tokens AS BIGINT) AS sum_tokens,
+               CAST(capacity AS BIGINT) AS capacity,
+               CAST(capacity - sum_tokens AS BIGINT) AS padding,
+               CAST(capacity - sum_tokens AS DOUBLE)
+                 / CAST(capacity AS DOUBLE) AS waste_frac
+        FROM strat
+        ORDER BY strategy, bucket
+    """
+
+
+@_register(
+    "q191_padding_waste",
+    survey="net-new padding-efficiency audit for bucketed batching (length-bucket capacity vs real tokens, plus the single-max-length strawman — the batch-shape planning number for fixed-context training)",
+    oracle=_q191_oracle(),
+)
+def q191_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-batching padding audit (:func:`text.padding_waste`,
+    boundaries 16/32/64/128): per length bucket, rows / real tokens /
+    padded capacity / waste fraction, plus the ``global`` pad-to-max
+    row the bucketing replaces. One corpus pass computing only a token
+    count per row; everything wider runs on the K-row bucket relation,
+    and the shared partial-aggregate exchange is reused across the
+    union (corpus scanned once — plan-checked in PLANS.md)."""
+    cat = Catalog(spark, sf_dir)
+    return T.padding_waste(cat.documents)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7404,6 +7457,40 @@ _CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
 #: Cross-round sanity anchor: one never-changed query certified every round.
 _ANCHOR = "q01_top_parts"
 
+#: Window full? Defer, don't evict (the r6 discipline, reintroduced for
+#: round 9): the 50-slot window is exactly consumed by the 12 round-9
+#: additions + the changed tier + the anchor + the 31 r5-vintage
+#: refreshes VERDICT r8 #2 ordered, so queries added AFTER that
+#: composition ship OUTSIDE the window this round — at the very end of
+#: the registry, never displacing a scheduled refresh — and auto-lead
+#: the next round's window through the never-certified tier the moment
+#: this round's artifact lands. Until then their evidence is the same
+#: gate the driver applies, run locally: tri-SF DuckDB oracle parity
+#: (tests/test_oracle_parity.py) + the strict driver replica
+#: (tools/driver_replica.py).
+_DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
+    "q191_padding_waste",
+)
+
+#: The deferral self-expires: it only applies while the newest
+#: CORRECTNESS artifact is from this round's predecessor (the window
+#: these queries must not disturb). The moment this round's artifact
+#: lands, maxRound advances past this constant, the deferral dissolves,
+#: and the never-certified tier pulls the deferred queries to the front
+#: of the NEXT window — no manual recomposition step to forget.
+_DEFERRED_AS_OF_ROUND = 8
+
+
+def _active_deferrals(latest: dict[str, int]) -> set[str]:
+    """Deferred queries that must still sit OUTSIDE the window: the
+    deferral holds only while the newest artifact is from round
+    ``_DEFERRED_AS_OF_ROUND`` (the window composition being protected)
+    and the query itself is still uncertified. A newer artifact — or a
+    row certifying the query — dissolves it."""
+    if not latest or max(latest.values()) > _DEFERRED_AS_OF_ROUND:
+        return set()
+    return set(_DEFERRED_TO_NEXT_WINDOW) - set(latest)
+
 
 def _rotation_staleness_bound(n_front: int, n_queries: int,
                               window: int = 50) -> int:
@@ -7466,14 +7553,21 @@ def _reorder_for_certification_window() -> None:
     global REGISTRY, _NEVER_CERTIFIED
     latest = _latest_certification_rounds()
     _NEVER_CERTIFIED = _derive_never_certified(latest)
-    front = [n for n in _NEVER_CERTIFIED if n in REGISTRY]
+    deferred = _active_deferrals(latest)
+    front = [n for n in _NEVER_CERTIFIED
+             if n in REGISTRY and n not in deferred]
     front += [n for n in _CHANGED_SINCE_CERTIFIED
               if n in REGISTRY and n not in front]
     front.append(_ANCHOR)
     seen = set(front)
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    # Still-uncertified deferred queries sort to the very end: they must
+    # never displace a scheduled staleness refresh. Once an artifact
+    # certifies them (or the next round's import finds them uncertified
+    # with window room), the never-certified tier pulls them forward.
     rest = sorted((n for n in REGISTRY if n not in seen),
-                  key=lambda n: (latest.get(n, 2), reg_pos[n]))
+                  key=lambda n: (n in deferred, latest.get(n, 2),
+                                 reg_pos[n]))
     ordered = front + rest
     assert sorted(ordered) == sorted(REGISTRY), "registry reorder lost entries"
     REGISTRY = {n: REGISTRY[n] for n in ordered}

@@ -435,6 +435,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14k. Borda rank fusion of quality signals --")
     REGISTRY["q187_borda_fusion"].build(spark, sf_dir).show(5)
 
+    print("-- 14l. padding-waste audit for bucketed batching --")
+    TX.padding_waste(docs).show()
+
     spark.stop()
 
 

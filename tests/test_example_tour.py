@@ -189,6 +189,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "borda-fusion": ((
         "q187_borda_fusion",),
         "Borda rank fusion", None),
+    "padding-waste": ((
+        "q191_padding_waste",),
+        "padding-waste audit", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

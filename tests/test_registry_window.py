@@ -13,14 +13,21 @@ so a later refactor can't silently ship changed code outside certification.
 from __future__ import annotations
 
 from ds_ga1004_bigdata_project_spark.queries import (
-    _ANCHOR, _CHANGED_SINCE_CERTIFIED, _NEVER_CERTIFIED, _R02_CERTIFIED,
-    REGISTRY)
+    _ANCHOR, _CHANGED_SINCE_CERTIFIED, _DEFERRED_TO_NEXT_WINDOW,
+    _NEVER_CERTIFIED, _R02_CERTIFIED, REGISTRY)
+
+
+def _deferred_now() -> set[str]:
+    from ds_ga1004_bigdata_project_spark.queries import (
+        _active_deferrals, _latest_certification_rounds)
+    return _active_deferrals(_latest_certification_rounds())
 
 
 def test_never_certified_then_changed_lead_the_window():
     names = list(REGISTRY)
     window = names[:50]
-    front = list(_NEVER_CERTIFIED) + [
+    deferred = _deferred_now()
+    front = [n for n in _NEVER_CERTIFIED if n not in deferred] + [
         n for n in _CHANGED_SINCE_CERTIFIED if n not in _NEVER_CERTIFIED]
     n = len(front)
     assert front == window[:n], \
@@ -117,9 +124,34 @@ def test_every_query_has_a_certification_round():
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         with open(path) as fh:
             ever_certified |= set(json.load(fh))
+    deferred = _deferred_now()
     for name in names:
-        assert name in ever_certified or name in window, \
+        assert (name in ever_certified or name in window
+                or name in deferred), \
             f"{name} has no past certification and is outside the window"
+
+
+def test_deferred_tier_sits_last_and_carries_evidence():
+    # Window-full discipline (r6 learning #8, reintroduced r9): deferred
+    # queries must never displace a scheduled refresh — they sit at the
+    # very END of the registry, carry a DuckDB oracle or a snapshot pin
+    # (their local evidence gate: tri-SF parity + driver replica), and
+    # the deferral dissolves the moment a newer artifact lands so they
+    # auto-lead the next window.
+    from ds_ga1004_bigdata_project_spark.queries import _active_deferrals
+    deferred = _deferred_now()
+    names = list(REGISTRY)
+    if deferred:
+        tail = names[-len(deferred):]
+        assert set(tail) == deferred, \
+            f"deferred queries must close the registry order, got {tail}"
+    from .test_snapshot_pins import _PINS
+    for name in _DEFERRED_TO_NEXT_WINDOW:
+        assert REGISTRY[name].oracle is not None or name in _PINS, (
+            f"{name} is deferred past the driver window — it needs an "
+            f"oracle or a snapshot pin as local evidence")
+    # Expiry: a future-round artifact dissolves the deferral entirely.
+    assert _active_deferrals({"q01_top_parts": 99}) == set()
 
 
 def test_rotation_slo_no_stale_certificates():
@@ -180,11 +212,16 @@ def test_rotation_slo_survives_post_close_artifact(tmp_path):
 
     latest = _latest_certification_rounds(str(tmp_path))
     assert max(latest.values()) == nxt
-    # Post-landing, every current never-certified query was in the window,
-    # so the derived tier empties instead of going stale.
-    assert _derive_never_certified(latest) == ()
-    # Recompose set-level: steady front (changed + anchor), then stalest.
-    front = [n for n in _CHANGED_SINCE_CERTIFIED if n in REGISTRY]
+    # Post-landing, every current in-window never-certified query gets a
+    # row; only the deferred tier (outside the window by design) stays
+    # uncertified — and it leads the NEXT window, not the stale set.
+    assert set(_derive_never_certified(latest)) <= set(
+        _DEFERRED_TO_NEXT_WINDOW)
+    # Recompose set-level: never-certified (the expired deferrals), then
+    # changed + anchor, then stalest.
+    front = list(_derive_never_certified(latest))
+    front += [n for n in _CHANGED_SINCE_CERTIFIED
+              if n in REGISTRY and n not in front]
     front.append(_ANCHOR)
     rest = sorted((n for n in REGISTRY if n not in set(front)),
                   key=lambda n: latest.get(n, 2))
@@ -210,7 +247,7 @@ def test_refresh_slots_go_to_stalest_certificates():
     names = list(REGISTRY)
     front = set(_NEVER_CERTIFIED) | set(_CHANGED_SINCE_CERTIFIED) | {_ANCHOR}
     mid = [n for n in names[:50] if n not in front]
-    out = [n for n in names[50:] if n not in front]
+    out = [n for n in names[50:] if n not in front and n not in _deferred_now()]
     if mid and out:
         assert max(latest.get(n, 2) for n in mid) <= \
             min(latest.get(n, 2) for n in out), \
