@@ -1073,3 +1073,68 @@ def padding_waste(df, boundaries: tuple[int, ...] = (16, 32, 64, 128),
                           (pad.cast("double") / capacity.cast("double"))
                           .alias("waste_frac"))
             .orderBy("strategy", "bucket"))
+
+
+def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id",
+                      top_n: int = 40):
+    """Gopher-style intra-document n-gram repetition signals (Rae et
+    al. 2021, Table A1 — the duplicated-n-gram character fractions that
+    gate machine-generated and boilerplate text, adapted token-level
+    for single-line corpora).
+
+    Per document: ``dup_2gram_frac`` / ``dup_3gram_frac`` — the share
+    of n-gram characters (token chars + joining spaces) sitting in
+    n-grams that occur at least twice in the document — and
+    ``top_2gram_frac`` — the character share of the single most
+    frequent 2-gram (tie-break: count desc, gram desc, matching the
+    struct-max ordering on any engine). All three are exact-integer
+    character sums with one divide, rounded to 4 dp at creation (the
+    q146 discipline). Returns the ``top_n`` most repetitive documents
+    (dup_2gram_frac desc, id asc) with the winning 2-gram inline.
+
+    Scale: one explode of per-document 2-/3-gram arrays (zipped
+    shifted views — O(len) per doc, see :func:`word_shingles`), one
+    (doc, n, gram) count, one (doc, n) rollup, one doc-level pivot.
+    Everything shuffles on document keys — no corpus-wide vocabulary
+    relation, no pair fan-out — so the plan is two linear passes
+    regardless of corpus size; the global top-N is a
+    TakeOrderedAndProject."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+
+    def _tag(n: int) -> Column:
+        # NB: a default-arg lambda (``lambda g, n=n``) would have TWO
+        # parameters, which PySpark reads as the (element, index) form
+        # of transform — the index would silently overwrite the tag.
+        return F.transform(
+            word_shingles(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    tagged = F.concat(_tag(2), _tag(3))
+    grams = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tagged).alias("t"))
+             .select("doc_id", F.col("t.n").alias("n"),
+                     F.col("t.g").alias("g")))
+    chars = (F.col("c") * F.length("g")).cast("long")
+    per = (grams.groupBy("doc_id", "n", "g")
+           .agg(F.count("*").alias("c"))
+           .groupBy("doc_id", "n")
+           .agg(F.sum(chars).alias("denom"),
+                F.sum(F.when(F.col("c") >= 2, chars).otherwise(F.lit(0)))
+                .alias("dup_chars"),
+                F.max(F.struct(F.col("c").alias("c"), F.col("g").alias("g")))
+                .alias("top")))
+    is2 = F.col("n") == 2
+    is3 = F.col("n") == 3
+    d2 = F.sum(F.when(is2, F.col("denom"))).cast("double")
+    wide = per.groupBy("doc_id").agg(
+        F.round(F.sum(F.when(is2, F.col("dup_chars"))) / d2, 4)
+        .alias("dup_2gram_frac"),
+        F.round(F.sum(F.when(is3, F.col("dup_chars")))
+                / F.sum(F.when(is3, F.col("denom"))).cast("double"), 4)
+        .alias("dup_3gram_frac"),
+        F.round(F.max(F.when(is2, (F.col("top.c") * F.length("top.g"))
+                             .cast("long"))) / d2, 4)
+        .alias("top_2gram_frac"),
+        F.max(F.when(is2, F.col("top.g"))).alias("top_2gram"))
+    return (wide.orderBy(F.desc("dup_2gram_frac"), F.asc("doc_id"))
+            .limit(top_n))

@@ -7303,6 +7303,75 @@ def q187_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.unpersist()
 
 
+def _q188_oracle() -> str:
+    return """
+        -- Gopher repetition twin: same (doc, n, gram) count relation,
+        -- integer character sums, struct-max tie-break (count desc,
+        -- gram desc) as a row_number window.
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), gr AS (
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 1), ' ')))
+                 AS g
+          FROM t
+          UNION ALL
+          SELECT doc_id, 3,
+                 unnest(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+          FROM t
+        ), cnt AS (
+          SELECT doc_id, n, g, count(*) AS c,
+                 count(*) * length(g) AS chars
+          FROM gr GROUP BY 1, 2, 3
+        ), per AS (
+          SELECT doc_id, n, sum(chars) AS denom,
+                 sum(CASE WHEN c >= 2 THEN chars ELSE 0 END) AS dup_chars
+          FROM cnt GROUP BY 1, 2
+        ), top2 AS (
+          SELECT doc_id, c * length(g) AS top_chars, g
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+                FROM cnt WHERE n = 2)
+          WHERE rn = 1
+        )
+        SELECT p2.doc_id,
+               round(p2.dup_chars / CAST(p2.denom AS DOUBLE), 4)
+                 AS dup_2gram_frac,
+               round(p3.dup_chars / CAST(p3.denom AS DOUBLE), 4)
+                 AS dup_3gram_frac,
+               round(t2.top_chars / CAST(p2.denom AS DOUBLE), 4)
+                 AS top_2gram_frac,
+               t2.g AS top_2gram
+        FROM per p2
+        JOIN per p3 ON p2.doc_id = p3.doc_id AND p3.n = 3
+        JOIN top2 t2 ON p2.doc_id = t2.doc_id
+        WHERE p2.n = 2
+        ORDER BY dup_2gram_frac DESC, p2.doc_id ASC
+        LIMIT 40
+    """
+
+
+@_register(
+    "q188_gopher_repetition",
+    survey="net-new Gopher duplicated-n-gram repetition signals (Rae et al. 2021 Table A1 — dup-2/3-gram and top-2-gram character fractions, the gate for machine-generated/boilerplate text)",
+    oracle=_q188_oracle(),
+)
+def q188_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (:func:`text.gopher_repetition`):
+    per-document duplicated-2/3-gram and top-2-gram character
+    fractions, top-40 most repetitive documents. Two linear passes —
+    explode of O(len) shingle arrays, (doc, n, gram) count, (doc, n)
+    rollup — all shuffles on document keys, no corpus-wide vocabulary,
+    no pair relation; the final top-N is a TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    return T.gopher_repetition(cat.documents)
+
+
 def _q191_oracle() -> str:
     return """
         -- Padding-waste audit: exact integer bucket aggregates + one
@@ -7469,6 +7538,7 @@ _ANCHOR = "q01_top_parts"
 #: (tests/test_oracle_parity.py) + the strict driver replica
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
+    "q188_gopher_repetition",
     "q191_padding_waste",
 )
 

@@ -438,6 +438,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14l. padding-waste audit for bucketed batching --")
     TX.padding_waste(docs).show()
 
+    print("-- 14m. Gopher repetition gate (dup n-gram char fractions) --")
+    TX.gopher_repetition(docs, top_n=5).show(5, truncate=False)
+
     spark.stop()
 
 

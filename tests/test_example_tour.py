@@ -192,6 +192,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "padding-waste": ((
         "q191_padding_waste",),
         "padding-waste audit", None),
+    "gopher-repetition": ((
+        "q188_gopher_repetition",),
+        "Gopher repetition gate", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
