@@ -7372,6 +7372,59 @@ def q188_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gopher_repetition(cat.documents)
 
 
+def _q190_oracle() -> str:
+    d = ("list_sum(list_transform(range(1, len({x}) + 1), "
+         "i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))")
+    cos = (f"round({d.format(x='va', y='vb')} / "
+           f"nullif(sqrt({d.format(x='va', y='va')}) * "
+           f"sqrt({d.format(x='vb', y='vb')}), 0.0), 4)")
+    return f"""
+        -- Margin-mining twin: 4-dp cosines, DECIMAL k-neighbor sums
+        -- (order-proof), one cast + two IEEE ops for the margin.
+        WITH a AS (SELECT vec_id AS src, embedding AS va FROM embeddings
+                   WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id AS dst, embedding AS vb FROM embeddings
+              WHERE vec_id % 2 = 1),
+        p AS (SELECT src, dst, {cos} AS cos4 FROM a, b),
+        fwd AS (
+          SELECT src, sum(CAST(cos4 AS DECIMAL(10,4))) AS fwd_sum
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY src ORDER BY cos4 DESC, dst ASC) AS rn
+                FROM p)
+          WHERE rn <= 4 GROUP BY src),
+        bwd AS (
+          SELECT dst, sum(CAST(cos4 AS DECIMAL(10,4))) AS bwd_sum
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY dst ORDER BY cos4 DESC, src ASC) AS rn
+                FROM p)
+          WHERE rn <= 4 GROUP BY dst)
+        SELECT p.src, p.dst, p.cos4 AS cosine_sim,
+               p.cos4 / (CAST(fwd_sum + bwd_sum AS DOUBLE) / 8.0)
+                 AS margin
+        FROM p JOIN fwd USING (src) JOIN bwd USING (dst)
+        ORDER BY margin DESC, src ASC, dst ASC
+        LIMIT 25
+    """
+
+
+@_register(
+    "q190_margin_mining",
+    survey="net-new margin-based pair mining (Artetxe & Schwenk 2019 ratio margin — the bitext/pair-mining criterion that suppresses hub vectors; post-pass over any ANN candidate tier)",
+    oracle=_q190_oracle(),
+)
+def q190_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion pair mining (:func:`similarity.margin_topk`,
+    k=4, top-25): ratio margin over both endpoints' k-NN neighborhood
+    density, even/odd embedding halves as the two sides. The margin
+    post-pass (two windowed top-k passes + two endpoint-keyed joins)
+    is candidate-relation-agnostic — here it scores the exact
+    all-pairs tier; at corpus scale it consumes q58/q59-style ANN
+    candidates unchanged."""
+    cat = Catalog(spark, sf_dir)
+    from .operators.similarity import margin_topk
+    return margin_topk(cat.embeddings)
+
+
 def _q191_oracle() -> str:
     return """
         -- Padding-waste audit: exact integer bucket aggregates + one
@@ -7539,6 +7592,7 @@ _ANCHOR = "q01_top_parts"
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q188_gopher_repetition",
+    "q190_margin_mining",
     "q191_padding_waste",
 )
 

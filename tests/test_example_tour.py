@@ -195,6 +195,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "gopher-repetition": ((
         "q188_gopher_repetition",),
         "Gopher repetition gate", None),
+    "margin-mining": ((
+        "q190_margin_mining",),
+        "margin-criterion pair mining", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
