@@ -27,7 +27,7 @@ def _chars(col):
     return F.split(col, "(?!^)(?!$)")
 
 
-def _merge_fold(syms, left: str, right: str):
+def _merge_fold(syms, left: str, right: str, fused_sym: str | None = None):
     """One left-to-right non-overlapping merge pass over a symbol array.
 
     A fold that either fuses the current symbol with the accumulator's
@@ -35,8 +35,12 @@ def _merge_fold(syms, left: str, right: str):
     appends it. A freshly fused token can't chain-merge (the tail becomes
     ``left+right`` ≠ ``left``), which is exactly BPE's single-pass rule.
     O(len²) per word from accumulator copies — words are short, and this
-    runs on the vocabulary relation, not the corpus."""
-    fused = F.lit(left + right)
+    runs on the vocabulary relation, not the corpus.
+
+    ``fused_sym`` overrides the merged symbol's spelling (WordPiece
+    strips the continuation prefix off ``right``); default is plain
+    concatenation (BPE)."""
+    fused = F.lit(left + right if fused_sym is None else fused_sym)
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
@@ -241,3 +245,153 @@ def bpe_fertility_sql(n_merges: int = 24, min_pair_count: int = 2,
     FROM words w JOIN state{n_merges} s USING (word)
     WHERE w.word <> ''
     GROUP BY grp ORDER BY {group_col}""")
+
+
+def wordpiece_learn(df: DataFrame, n_merges: int = 16,
+                    text_col: str = "text", min_pair_count: int = 2):
+    """Learn a WordPiece merge list (Schuster & Nakajima 2012 / Wu et
+    al. 2016 — the BERT-family tokenizer) from a document corpus.
+
+    Same distributed shape as :func:`bpe_learn` — ONE corpus word-count
+    pass, then every iteration runs on the weighted word-VOCABULARY
+    relation with one-row driver state — with the two WordPiece
+    deviations:
+
+    * symbols carry the ``##`` continuation prefix (first character
+      bare, the rest ``##c``; a merged symbol keeps its left prefix and
+      strips the right's), and
+    * the winning pair maximizes the LIKELIHOOD score
+      ``count(l,r) / (count(l) * count(r))`` — the pair whose merge
+      most increases a unigram LM's corpus likelihood — instead of raw
+      frequency, which costs one extra vocab-relation aggregate (the
+      weighted per-symbol counts) and two joins of the pair relation
+      against that K-row side per iteration.
+
+    Determinism contract: all counts are exact integers; the score is
+    one IEEE divide of one IEEE product of those integers — identical
+    on any engine — and ties break (left, right) lexicographic. The
+    fixture vocabulary contains no ``#``, so the ``##`` prefix is
+    unambiguous (asserted nowhere — a real deployment would escape it).
+
+    Returns (merge_rank, left, right, merged, pair_count, left_count,
+    right_count, score), score rounded 6 dp for display AFTER the
+    argmax runs on the raw double."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+
+    wp_syms = F.transform(
+        _chars(F.col("word")),
+        lambda c, i: F.when(i == F.lit(0), c)
+        .otherwise(F.concat(F.lit("##"), c)))
+    vocab = (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+                        .alias("word"))
+               .filter(F.col("word") != "")
+               .groupBy("word").agg(F.count("*").alias("cnt"))
+               .withColumn("syms", wp_syms)
+               .localCheckpoint())
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        sym_counts = (vocab.select("cnt", F.explode("syms").alias("sym"))
+                      .groupBy("sym").agg(F.sum("cnt").alias("sc")))
+        body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+        tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+        pairs = (vocab.filter(F.size("syms") >= 2)
+                 .select("cnt",
+                         F.explode(F.zip_with(
+                             body, tail,
+                             lambda a, b: F.struct(a.alias("l"),
+                                                   b.alias("r"))))
+                          .alias("p"))
+                 .groupBy("p.l", "p.r")
+                 .agg(F.sum("cnt").alias("pc"))
+                 .filter(F.col("pc") >= min_pair_count))
+        scored = (pairs
+                  .join(F.broadcast(sym_counts.withColumnRenamed("sym", "l")
+                                    .withColumnRenamed("sc", "lc")), "l")
+                  .join(F.broadcast(sym_counts.withColumnRenamed("sym", "r")
+                                    .withColumnRenamed("sc", "rc")), "r")
+                  .withColumn("score",
+                              F.col("pc").cast("double")
+                              / (F.col("lc").cast("double")
+                                 * F.col("rc").cast("double")))
+                  .orderBy(F.desc("score"), "l", "r")
+                  .limit(1)
+                  .collect())
+        if not scored:
+            break
+        row = scored[0]
+        left, right = row["l"], row["r"]
+        merged = left + (right[2:] if right.startswith("##") else right)
+        merges.append((rank, left, right, merged, int(row["pc"]),
+                       int(row["lc"]), int(row["rc"]),
+                       round(row["score"], 6)))
+        vocab = (vocab.withColumn(
+                    "syms", _merge_fold(F.col("syms"), left, right,
+                                        fused_sym=merged))
+                 .localCheckpoint())
+
+    schema = ("merge_rank int, left string, right string, merged string, "
+              "pair_count bigint, left_count bigint, right_count bigint, "
+              "score double")
+    return spark.createDataFrame(merges, schema)
+
+
+def wordpiece_learn_sql(n_merges: int = 16, min_pair_count: int = 2,
+                        table: str = "documents",
+                        text_col: str = "text") -> str:
+    """DuckDB-SQL twin of :func:`wordpiece_learn` — the same static
+    unrolled CTE chain as :func:`bpe_learn_sql` plus, per iteration, a
+    weighted symbol-count CTE and the likelihood-score argmax. The
+    score is the identical IEEE divide-of-product, so the winner (and
+    every downstream state) matches exactly; the merged symbol strips
+    the right side's ``##`` via ``replace`` (the prefix is the only
+    place ``##`` can occur — see :func:`wordpiece_learn`)."""
+    merged_expr = "w.l || replace(w.r, '##', '')"
+    ctes = [f"""state0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+             list_transform(range(1, len(cs) + 1),
+               i -> CASE WHEN i = 1 THEN cs[i]
+                         ELSE '##' || cs[i] END) AS syms
+      FROM (SELECT word, string_split(word, '') AS cs FROM
+              (SELECT unnest(string_split_regex(lower({text_col}),
+                                                '\\s+')) AS word
+               FROM {table})
+            WHERE word <> '')
+      GROUP BY word, cs)"""]
+    winners = []
+    for k in range(1, n_merges + 1):
+        sy, p, s_in, s_out, w = (f"syms{k}", f"pairs{k}", f"state{k-1}",
+                                 f"state{k}", f"win{k}")
+        ctes.append(f"""{sy} AS MATERIALIZED (
+      SELECT t.s AS sym, CAST(sum(cnt) AS BIGINT) AS sc
+      FROM {s_in}, unnest(syms) AS t(s) GROUP BY 1)""")
+        ctes.append(f"""{p} AS MATERIALIZED (
+      SELECT syms[t.i] AS l, syms[t.i+1] AS r,
+             CAST(sum(cnt) AS BIGINT) AS pc
+      FROM {s_in}, unnest(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2 HAVING sum(cnt) >= {min_pair_count})""")
+        ctes.append(f"""{w} AS MATERIALIZED (
+      SELECT l, r, pc, sl.sc AS lc, sr.sc AS rc,
+             CAST(pc AS DOUBLE) / (CAST(sl.sc AS DOUBLE)
+                                   * CAST(sr.sc AS DOUBLE)) AS score
+      FROM {p} JOIN {sy} sl ON l = sl.sym JOIN {sy} sr ON r = sr.sym
+      ORDER BY score DESC, l, r LIMIT 1)""")
+        ctes.append(f"""{s_out} AS MATERIALIZED (
+      SELECT s.word, s.cnt,
+             CASE WHEN w.l IS NULL OR len(s.syms) < 2 THEN s.syms
+                  ELSE string_split(trim(replace(
+                         array_to_string(list_transform(
+                           s.syms, x -> ' ' || x || ' '), ''),
+                         ' ' || w.l || '  ' || w.r || ' ',
+                         ' ' || {merged_expr} || ' ')), '  ')
+             END AS syms
+      FROM {s_in} s LEFT JOIN {w} w ON TRUE)""")
+        winners.append(
+            f'SELECT {k} AS merge_rank, l AS "left", r AS "right", '
+            f"{merged_expr.replace('w.', '')} AS merged, "
+            f"pc AS pair_count, lc AS left_count, rc AS right_count, "
+            f"round(score, 6) AS score FROM {w} w")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(winners) + " ORDER BY merge_rank")

@@ -7372,6 +7372,28 @@ def q188_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gopher_repetition(cat.documents)
 
 
+@_register(
+    "q189_wordpiece_merges",
+    survey="net-new distributed WordPiece merge learning (Schuster & Nakajima 2012 / Wu et al. 2016 — likelihood-score argmax count(l,r)/(count(l)count(r)), ## continuation prefixes; the BERT-family sibling of q154's BPE)",
+    # Same oracle-upgrade class as q154 (VERDICT r8 #6): deterministic
+    # integer counts + one IEEE divide-of-product per candidate, so the
+    # merge loop unrolls as a static MATERIALIZED CTE chain (with one
+    # extra symbol-count CTE per iteration for the likelihood score).
+    oracle=subword.wordpiece_learn_sql(n_merges=16),
+)
+def q189_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (:func:`subword.wordpiece_learn`,
+    16 merges): q154's distributed shape — one corpus word-count pass,
+    iterations on the Heaps-law vocabulary relation, one-row driver
+    state — plus the WordPiece likelihood argmax (two joins of the
+    pair relation against the per-iteration weighted symbol counts)
+    and ``##`` continuation prefixes. The score's argmax runs on the
+    raw IEEE divide-of-product of exact integers, so the winner chain
+    is engine-exact; ties break lexicographic."""
+    cat = Catalog(spark, sf_dir)
+    return subword.wordpiece_learn(cat.documents, n_merges=16)
+
+
 def _q190_oracle() -> str:
     d = ("list_sum(list_transform(range(1, len({x}) + 1), "
          "i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))")
@@ -7592,6 +7614,7 @@ _ANCHOR = "q01_top_parts"
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q188_gopher_repetition",
+    "q189_wordpiece_merges",
     "q190_margin_mining",
     "q191_padding_waste",
 )

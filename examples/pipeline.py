@@ -441,6 +441,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14m. Gopher repetition gate (dup n-gram char fractions) --")
     TX.gopher_repetition(docs, top_n=5).show(5, truncate=False)
 
+    print("-- 14o. WordPiece merges (likelihood-score argmax) --")
+    from ds_ga1004_bigdata_project_spark.functions.subword import (
+        wordpiece_learn)
+
+    wordpiece_learn(docs, n_merges=4).show()
+
     print("-- 14n. margin-criterion pair mining (ratio margin, k-NN) --")
     from ds_ga1004_bigdata_project_spark.operators.similarity import (
         margin_topk)

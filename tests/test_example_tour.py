@@ -198,6 +198,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "margin-mining": ((
         "q190_margin_mining",),
         "margin-criterion pair mining", None),
+    "wordpiece": ((
+        "q189_wordpiece_merges",),
+        "WordPiece merges", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
