@@ -694,3 +694,102 @@ def margin_topk(df: DataFrame, k: int = 4, top_n: int = 25,
                     (F.col("cos4") / denom).alias("margin"))
             .orderBy(F.desc("margin"), F.asc("src"), F.asc("dst"))
             .limit(top_n))
+
+
+def mmr_select(df: DataFrame, k: int = 10, lam: float = 0.7,
+               query_id: int = 0, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) — the greedy diversity-aware top-k that data-selection and
+    RAG pipelines use to avoid returning k near-copies:
+
+        pick_t = argmax_x  lam * rel(x) - (1 - lam) * max_{s in S} sim(x, s)
+
+    with rel(x) = cosine to the ``query_id`` vector and ``sim`` the
+    candidate-candidate cosine, both rounded to 4 dp at creation.
+
+    Distributed shape: the greedy loop is k passes over the candidate
+    relation, and each pass is SHUFFLE-FREE — the argmax is a global
+    top-1 (TakeOrderedAndProject), and the diversity penalty updates
+    incrementally (``maxsim' = greatest(maxsim, cos(x, picked))``, one
+    fused elementwise projection against the one picked vector as a
+    literal) instead of re-scanning the selected set. Driver state is
+    one row per iteration; candidate state localCheckpoints so lineage
+    stays one iteration deep. At 100 TB: k scans, zero shuffles.
+
+    Determinism: 4-dp cosines, the MMR score is two IEEE multiplies
+    and a subtract of identical operands on any engine, ties break
+    (score desc, id asc). max over the selected set starts at 0.0 (the
+    empty-set convention — the first pick is the relevance argmax for
+    any vector with nonnegative best-cosine)."""
+    qv = (df.filter(F.col(id_col) == query_id)
+          .select(vec_col).collect())[0][0]
+    lit_q = F.array(*[F.lit(float(x)) for x in qv])
+    state = (df.filter(F.col(id_col) != query_id)
+             .select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("v"),
+                     cosine(lit_q, F.col(vec_col), 4).alias("rel"))
+             .withColumn("maxsim", F.lit(0.0))
+             .localCheckpoint())
+    mmr = (F.lit(lam) * F.col("rel")
+           - F.lit(1.0 - lam) * F.col("maxsim"))
+    picks: list[tuple] = []
+    for rank in range(1, k + 1):
+        top = (state.withColumn("mmr", mmr)
+               .orderBy(F.desc("mmr"), F.asc("vec_id"))
+               .limit(1).collect())
+        if not top:
+            break
+        row = top[0]
+        picks.append((rank, int(row["vec_id"]), float(row["rel"]),
+                      float(row["mmr"])))
+        lit_p = F.array(*[F.lit(float(x)) for x in row["v"]])
+        state = (state.filter(F.col("vec_id") != int(row["vec_id"]))
+                 .withColumn("maxsim",
+                             F.greatest(F.col("maxsim"),
+                                        cosine(F.col("v"), lit_p, 4)))
+                 .localCheckpoint())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picks,
+        "pick_rank int, vec_id bigint, relevance double, mmr_score double")
+
+
+def mmr_select_sql(k: int = 10, lam: float = 0.7, query_id: int = 0,
+                   table: str = "embeddings") -> str:
+    """DuckDB-SQL twin of :func:`mmr_select` — the greedy loop unrolled
+    as a static chain of (pick, state) MATERIALIZED CTE pairs, the same
+    oracle-upgrade pattern as the BPE/WordPiece merge chains. Identical
+    4-dp cosines and IEEE score arithmetic, so every pick matches
+    exactly."""
+    d = ("list_sum(list_transform(range(1, len({x}) + 1), "
+         "i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))")
+
+    def cos4(x: str, y: str) -> str:
+        return (f"round({d.format(x=x, y=y)} / "
+                f"nullif(sqrt({d.format(x=x, y=x)}) * "
+                f"sqrt({d.format(x=y, y=y)}), 0.0), 4)")
+
+    one_minus = 1.0 - lam
+    ctes = [f"""qv AS MATERIALIZED (
+      SELECT embedding AS q FROM {table} WHERE vec_id = {query_id}),
+    st0 AS MATERIALIZED (
+      SELECT vec_id, embedding AS v, {cos4('q', 'embedding')} AS rel,
+             CAST(0.0 AS DOUBLE) AS maxsim
+      FROM {table}, qv WHERE vec_id <> {query_id})"""]
+    picks = []
+    for t in range(1, k + 1):
+        s_in, s_out, p = f"st{t-1}", f"st{t}", f"pick{t}"
+        ctes.append(f"""{p} AS MATERIALIZED (
+      SELECT vec_id, v, rel,
+             {lam} * rel - {one_minus} * maxsim AS mmr
+      FROM {s_in} ORDER BY mmr DESC, vec_id ASC LIMIT 1)""")
+        if t < k:
+            ctes.append(f"""{s_out} AS MATERIALIZED (
+      SELECT s.vec_id, s.v, s.rel,
+             greatest(s.maxsim, {cos4('s.v', 'p.v')}) AS maxsim
+      FROM {s_in} s, {p} p WHERE s.vec_id <> p.vec_id)""")
+        picks.append(f"SELECT {t} AS pick_rank, vec_id, rel AS relevance, "
+                     f"mmr AS mmr_score FROM pick{t}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(picks) + " ORDER BY pick_rank")

@@ -7500,6 +7500,25 @@ def q191_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.padding_waste(cat.documents)
 
 
+@_register(
+    "q192_mmr_selection",
+    survey="net-new Maximal Marginal Relevance greedy selection (Carbonell & Goldstein 1998 — diversity-aware top-k for data selection / RAG; k shuffle-free passes, global top-1 argmax each)",
+    # Greedy-loop oracle upgrade (the q154/q189 pattern): every pick is
+    # deterministic 4-dp-cosine + IEEE arithmetic, so the loop unrolls
+    # as a static (pick, state) MATERIALIZED CTE chain.
+    oracle=sim.mmr_select_sql(k=10),
+)
+def q192_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity selection (:func:`similarity.mmr_select`, k=10,
+    lambda=0.7, query = vec 0): greedy picks maximize relevance minus
+    the best similarity to anything already selected. Each of the k
+    passes is SHUFFLE-FREE (global top-1 argmax; incremental maxsim
+    update against the one picked vector as a literal) — at corpus
+    scale this is k scans and nothing else."""
+    cat = Catalog(spark, sf_dir)
+    return sim.mmr_select(cat.embeddings, k=10)
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7617,6 +7636,7 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q189_wordpiece_merges",
     "q190_margin_mining",
     "q191_padding_waste",
+    "q192_mmr_selection",
 )
 
 #: The deferral self-expires: it only applies while the newest

@@ -449,10 +449,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     print("-- 14n. margin-criterion pair mining (ratio margin, k-NN) --")
     from ds_ga1004_bigdata_project_spark.operators.similarity import (
-        margin_topk)
+        margin_topk, mmr_select)
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     margin_topk(embs, top_n=5).show(5)
+
+    print("-- 14p. MMR diversity selection (greedy, shuffle-free) --")
+    mmr_select(embs, k=5).show()
 
     spark.stop()
 

@@ -201,6 +201,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "wordpiece": ((
         "q189_wordpiece_merges",),
         "WordPiece merges", None),
+    "mmr-selection": ((
+        "q192_mmr_selection",),
+        "MMR diversity selection", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
