@@ -7519,6 +7519,92 @@ def q192_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mmr_select(cat.embeddings, k=10)
 
 
+def _q193_oracle() -> str:
+    d = ("list_sum(list_transform(range(1, len({x}) + 1), "
+         "i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))")
+    cos = (f"round({d.format(x='qv', y='nv')} / "
+           f"nullif(sqrt({d.format(x='qv', y='qv')}) * "
+           f"sqrt({d.format(x='nv', y='nv')}), 0.0), 6)")
+    return f"""
+        -- kNN label-consistency twin: q40's 6-dp cosine top-5, then a
+        -- (count desc, label asc) majority vote and per-label rollup.
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          label AS true_label
+                   FROM embeddings WHERE vec_id < 50),
+        c AS (SELECT vec_id AS n_id, embedding AS nv, label AS n_label
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, true_label, n_id, n_label, {cos} AS sim
+          FROM q, c WHERE n_id <> query_id),
+        top5 AS (
+          SELECT query_id, true_label, n_label
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, n_id ASC) AS rn
+                FROM scored) WHERE rn <= 5),
+        votes AS (
+          SELECT query_id, true_label, n_label, count(*) AS c
+          FROM top5 GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT query_id, true_label, n_label AS pred_label
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY c DESC, n_label ASC) AS rn
+                FROM votes) WHERE rn = 1)
+        SELECT true_label AS label,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS accuracy
+        FROM pred GROUP BY true_label
+        ORDER BY label
+    """
+
+
+@_register(
+    "q193_knn_label_eval",
+    survey="net-new kNN label-consistency probe (leave-one-out 5-NN majority vote vs own label — the embedding-space quality eval run before trusting semantic dedup / clustering tiers)",
+    oracle=_q193_oracle(),
+)
+def q193_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality probe: each query vector (vec_id < 50)
+    is classified by the majority label of its 5 nearest neighbors
+    (cosine, self excluded — :func:`similarity.cosine_topk`, the q40
+    broadcast tier) and compared to its own label; per-label accuracy
+    reported. Vote tie-break: count desc, label asc — a total order on
+    exact integers. The broadcast-queries x corpus scan is the q40
+    cost model: |Q|·|corpus| fused JVM work, one per-query top-k
+    window, zero corpus shuffle."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    queries = emb.filter(F.col("vec_id") < 50)
+    top5 = sim.cosine_topk(emb, queries, k=5)
+    labels = emb.select(F.col("vec_id").alias("n_id"),
+                        F.col("label").alias("n_label"))
+    votes = (top5.withColumnRenamed("neighbor_id", "n_id")
+             .join(F.broadcast(labels), "n_id")
+             .groupBy("query_id", "n_label")
+             .agg(F.count("*").alias("c")))
+    pred = (votes
+            .groupBy("query_id")
+            .agg(F.max(F.struct(F.col("c"),
+                                (-F.col("n_label")).alias("neg"),
+                                F.col("n_label").alias("lab")))
+                 .alias("m"))
+            .select("query_id", F.col("m.lab").alias("pred_label")))
+    truth = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("label").alias("true_label"))
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1) \
+           .otherwise(0)
+    return (pred.join(F.broadcast(truth), "query_id")
+            .groupBy(F.col("true_label").alias("label"))
+            .agg(F.count("*").alias("n_queries"),
+                 F.sum(hit).cast("long").alias("n_correct"),
+                 (F.sum(hit).cast("double")
+                  / F.count("*").cast("double")).alias("accuracy"))
+            .orderBy("label"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7637,6 +7723,7 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q190_margin_mining",
     "q191_padding_waste",
     "q192_mmr_selection",
+    "q193_knn_label_eval",
 )
 
 #: The deferral self-expires: it only applies while the newest

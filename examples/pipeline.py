@@ -457,6 +457,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14p. MMR diversity selection (greedy, shuffle-free) --")
     mmr_select(embs, k=5).show()
 
+    print("-- 14q. kNN label-consistency probe of the embedding space --")
+    REGISTRY["q193_knn_label_eval"].build(spark, sf_dir).show()
+
     spark.stop()
 
 

@@ -204,6 +204,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "mmr-selection": ((
         "q192_mmr_selection",),
         "MMR diversity selection", None),
+    "knn-label-eval": ((
+        "q193_knn_label_eval",),
+        "kNN label-consistency probe", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
