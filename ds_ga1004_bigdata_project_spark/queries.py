@@ -7605,6 +7605,102 @@ def q193_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("label"))
 
 
+@_register(
+    "q194_self_retrieval_eval",
+    survey="net-new retrieval-quality eval: self-retrieval reciprocal ranks (query = each probe doc's 8-token prefix, relevant = the doc itself — the zero-labels eval that gates a retrieval stack before real relevance data exists)",
+    oracle="""
+        -- q150's BM25 twin with query-by-prefix probes, then the
+        -- reciprocal rank of each probe's own document (0 on miss).
+        WITH probes AS (
+          SELECT doc_id AS query_id,
+                 array_to_string(list_slice(
+                   string_split_regex(lower(text), '\\s+'), 1, 8), ' ')
+                   AS qtext
+          FROM documents WHERE doc_id < 20
+        ), toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, t, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+          GROUP BY doc_id, t
+        ), dl AS (
+          SELECT doc_id, len(w) AS dl FROM toks
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl
+        ), dfreq AS (
+          SELECT t, count(*) AS df FROM tf GROUP BY t
+        ), qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(string_split_regex(qtext, '\\s+')) AS t
+          FROM probes
+        ), qt AS (
+          SELECT query_id, qterms.t,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (n - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE))) AS idf,
+                 n, sum_dl
+          FROM qterms JOIN dfreq ON qterms.t = dfreq.t CROSS JOIN stats
+        ), scored AS (
+          SELECT query_id, tf.doc_id,
+                 CAST(sum(CAST(round(
+                     idf * tf * CAST(2.2 AS DOUBLE)
+                     / (tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * dl * n / sum_dl)),
+                     4) AS DECIMAL(18,4))) AS DOUBLE) AS score_4dp
+          FROM tf
+          JOIN qt ON tf.t = qt.t
+          JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY query_id, tf.doc_id
+        ), ranked AS (
+          SELECT query_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_4dp DESC, doc_id ASC)
+                   AS rank,
+                 doc_id
+          FROM scored
+        )
+        SELECT p.query_id,
+               CAST(coalesce(r.rank, 0) AS INT) AS found_rank,
+               round(CASE WHEN r.rank IS NULL THEN CAST(0.0 AS DOUBLE)
+                          ELSE CAST(1.0 AS DOUBLE) / r.rank END, 4) AS rr
+        FROM probes p LEFT JOIN ranked r
+          ON p.query_id = r.query_id AND r.doc_id = p.query_id
+             AND r.rank <= 10
+        ORDER BY p.query_id
+    """,
+)
+def q194_self_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-stack quality eval without labels: each probe document
+    (doc 0..19) queries the corpus with its own 8-token prefix through
+    the q150 BM25 tier; the reciprocal rank of the probe itself in the
+    top-10 (0 on miss) is the self-retrieval signal, and its mean is
+    the MRR the stack is tuned on before any human relevance data
+    exists. Cost model is q150's: only probe-term postings survive the
+    broadcast filter, so the eval follows the probe set, not the
+    corpus."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    prefix = F.concat_ws(
+        " ", F.slice(T.ws_tokens(F.lower(F.col("text"))), 1, 8))
+    probes = (docs.filter(F.col("doc_id") < 20)
+              .select(F.col("doc_id").alias("query_id"),
+                      prefix.alias("qtext")))
+    top = T.bm25_topk(docs, probes, k=10)
+    hits = (top.filter(F.col("doc_id") == F.col("query_id"))
+            .select("query_id", "rank"))
+    return (probes.select("query_id")
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("rank"), F.lit(0)).cast("int")
+                    .alias("found_rank"),
+                    F.round(F.when(F.col("rank").isNotNull(),
+                                   F.lit(1.0) / F.col("rank"))
+                            .otherwise(F.lit(0.0)), 4).alias("rr"))
+            .orderBy("query_id"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7724,6 +7820,7 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q191_padding_waste",
     "q192_mmr_selection",
     "q193_knn_label_eval",
+    "q194_self_retrieval_eval",
 )
 
 #: The deferral self-expires: it only applies while the newest

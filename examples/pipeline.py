@@ -460,6 +460,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14q. kNN label-consistency probe of the embedding space --")
     REGISTRY["q193_knn_label_eval"].build(spark, sf_dir).show()
 
+    print("-- 14r. self-retrieval MRR of the BM25 stack (no labels) --")
+    rr = REGISTRY["q194_self_retrieval_eval"].build(spark, sf_dir)
+    rr.agg(F.round(F.avg("rr"), 4).alias("mrr"),
+           F.sum(F.when(F.col("found_rank") > 0, 1).otherwise(0))
+           .alias("n_found")).show()
+
     spark.stop()
 
 

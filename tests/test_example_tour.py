@@ -207,6 +207,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "knn-label-eval": ((
         "q193_knn_label_eval",),
         "kNN label-consistency probe", None),
+    "self-retrieval-eval": ((
+        "q194_self_retrieval_eval",),
+        "self-retrieval MRR", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
