@@ -7764,7 +7764,16 @@ _R02_CERTIFIED: tuple[str, ...] = (
 #: only the fallback for when the artifacts are unreadable, and lists the
 #: queries added this round (which by construction have no driver row
 #: yet); ``_derive_never_certified`` is the source of truth.
-_NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = ()
+_NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
+    "q176_dsir_importance", "q177_priority_sample",
+    "q178_calibration_ece", "q179_cohens_kappa", "q180_zipf_slope",
+    "q181_ngram_novelty", "q182_ccnet_buckets",
+    "q183_dedup_threshold_curve", "q184_poisson_bootstrap_ci",
+    "q185_vocab_growth", "q186_unimax_budget", "q187_borda_fusion",
+    "q188_gopher_repetition", "q189_wordpiece_merges",
+    "q190_margin_mining", "q191_padding_waste", "q192_mmr_selection",
+    "q193_knn_label_eval", "q194_self_retrieval_eval",
+)
 
 
 def _derive_never_certified(latest: dict[str, int]) -> tuple[str, ...]:
