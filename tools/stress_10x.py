@@ -117,7 +117,8 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from ds_ga1004_bigdata_project_spark.functions.text import bigram_lm_nll
+    from ds_ga1004_bigdata_project_spark.functions.text import (
+        bigram_lm_nll, gopher_repetition)
     from ds_ga1004_bigdata_project_spark.operators.dedup import (
         cdc_duplicate_chunks, cdc_overlap_clusters)
     from ds_ga1004_bigdata_project_spark.session import get_local_session
@@ -151,6 +152,7 @@ def main() -> None:
         "q146 bigram_lm_nll": lambda d: bigram_lm_nll(d),
         "q147 cdc_duplicate_chunks": lambda d: cdc_duplicate_chunks(d),
         "q149 cdc_overlap_clusters": lambda d: cdc_overlap_clusters(d),
+        "q188 gopher_repetition": lambda d: gopher_repetition(d),
     }
 
     def t(build, d):
