@@ -7701,6 +7701,114 @@ def q194_self_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+@_register(
+    "q195_orc_roundtrip",
+    survey="ORC source/sink roundtrip (S-family widening: columnar-format portability — write the corpus to ORC, read it back, aggregate; the format-conversion job a migration pipeline runs)",
+    oracle="""
+        -- The aggregate is FORMAT-INDEPENDENT, so the twin runs on the
+        -- parquet view: equality certifies the ORC write+read preserved
+        -- every row and value the aggregate touches.
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(len(string_split_regex(text, '\\s+')))
+                    AS BIGINT) AS sum_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q195_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format portability (S-family): write ``documents`` to
+    ORC (:func:`catalog.write_orc`), read it back, and aggregate per
+    source. The oracle runs the identical aggregate on the parquet
+    original — equality certifies the roundtrip preserved every row
+    and value. At 100 TB this is the format-conversion job shape: one
+    read, one columnar write, both embarrassingly parallel; the
+    temp-dir here stands in for the destination lake path."""
+    import tempfile
+
+    from .sources.catalog import read_orc, write_orc
+
+    cat = Catalog(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="q195_orc_") + "/docs"
+    write_orc(cat.documents, out)
+    back = read_orc(spark, out)
+    return (back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.sum(F.size(T.ws_tokens(F.col("text")))).cast("long")
+                 .alias("sum_tokens"),
+                 F.countDistinct("lang").alias("n_langs"))
+            .orderBy("source"))
+
+
+def _q196_oracle() -> str:
+    return """
+        -- Bigram-entropy twin: H = log2(T) - S/T with S the DECIMAL
+        -- sum of per-distinct-bigram round(c*log2(c), 4) terms and T
+        -- the exact bigram count — the subtract and divide are IEEE
+        -- ops on identical operands.
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        ), bg AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(w, i, i + 1), ' ') AS g
+          FROM (SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+                FROM t)
+        ), cnt AS (
+          SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+        ), per AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS total,
+                 CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)), 4)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS s
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id, total AS n_bigrams,
+               log2(CAST(total AS DOUBLE)) - s / CAST(total AS DOUBLE)
+                 AS entropy_bits
+        FROM per
+        ORDER BY entropy_bits ASC, doc_id ASC
+        LIMIT 30
+    """
+
+
+@_register(
+    "q196_bigram_entropy",
+    survey="net-new per-document bigram Shannon entropy (the information-theoretic repetition signal — low entropy flags template/generated text that token-ratio heuristics miss)",
+    oracle=_q196_oracle(),
+)
+def q196_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram entropy, lowest-30 (most template-like):
+    H = log2(T) − (Σ c·log2 c)/T over the doc's bigram counts — the
+    algebraic form that needs no per-bigram probability divide, so the
+    per-term values round once at creation (q146 discipline), sum as
+    exact DECIMAL, and the final subtract/divide are IEEE ops on
+    identical operands. One bigram explode + one (doc, gram) count +
+    one doc rollup — document-keyed shuffles only, global bottom-30
+    via TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    bg = (cat.documents
+          .select("doc_id", F.explode(T.word_shingles(toks, 2)).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count("*").alias("c")))
+    term = F.round(F.col("c").cast("double")
+                   * F.log2(F.col("c").cast("double")), 4) \
+            .cast("decimal(18,4)")
+    per = bg.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(term).cast("double").alias("s"))
+    return (per.select(
+                "doc_id", "n_bigrams",
+                (F.log2(F.col("n_bigrams").cast("double"))
+                 - F.col("s") / F.col("n_bigrams").cast("double"))
+                .alias("entropy_bits"))
+            .orderBy(F.asc("entropy_bits"), F.asc("doc_id"))
+            .limit(30))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7773,6 +7881,7 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q188_gopher_repetition", "q189_wordpiece_merges",
     "q190_margin_mining", "q191_padding_waste", "q192_mmr_selection",
     "q193_knn_label_eval", "q194_self_retrieval_eval",
+    "q195_orc_roundtrip", "q196_bigram_entropy",
 )
 
 
@@ -7830,6 +7939,8 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q192_mmr_selection",
     "q193_knn_label_eval",
     "q194_self_retrieval_eval",
+    "q195_orc_roundtrip",
+    "q196_bigram_entropy",
 )
 
 #: The deferral self-expires: it only applies while the newest

@@ -466,6 +466,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
            F.sum(F.when(F.col("found_rank") > 0, 1).otherwise(0))
            .alias("n_found")).show()
 
+    print("-- 14s. ORC roundtrip (columnar-format portability) --")
+    REGISTRY["q195_orc_roundtrip"].build(spark, sf_dir).show(5)
+
+    print("-- 14t. bigram entropy (lowest = most template-like) --")
+    REGISTRY["q196_bigram_entropy"].build(spark, sf_dir).show(5)
+
     spark.stop()
 
 

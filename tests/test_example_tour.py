@@ -210,6 +210,12 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "self-retrieval-eval": ((
         "q194_self_retrieval_eval",),
         "self-retrieval MRR", None),
+    "orc-roundtrip": ((
+        "q195_orc_roundtrip",),
+        "ORC roundtrip", None),
+    "bigram-entropy": ((
+        "q196_bigram_entropy",),
+        "bigram entropy", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
