@@ -207,3 +207,72 @@ def test_knn_label_eval_recovers_separable_clusters(spark):
     wrong = (pred.join(truth, "query_id")
              .filter(F.col("pred") != F.col("label")).count())
     assert wrong == 0
+
+
+# ------------------------------------------------- randomized references
+
+def _random_corpus(seed: int, n_docs: int = 30, n_words: int = 12):
+    import random
+    rng = random.Random(seed)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(2, 5)))
+             for _ in range(n_words)]
+    return [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+            for _ in range(n_docs)]
+
+
+def test_wordpiece_matches_reference_on_random_corpora(spark):
+    # The likelihood argmax + ##-prefix fold against the pure-Python
+    # reference on seeded random corpora — the determinism fuzz the
+    # fixed corpus can't provide (tie-breaks, early stops, chain
+    # merges all get exercised somewhere in the seeds).
+    for seed in (7, 21, 99):
+        texts = _random_corpus(seed)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got = [tuple(r) for r in wordpiece_learn(df, n_merges=6).collect()]
+        assert got == _ref_wordpiece(texts, 6), f"seed {seed} diverged"
+
+
+def _ref_mmr(vecs: dict, query_id: int, k: int, lam: float = 0.7):
+    import math
+
+    def cos4(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * \
+            math.sqrt(sum(y * y for y in b))
+        return round(num / den, 4)
+
+    q = vecs[query_id]
+    state = {i: [cos4(q, v), 0.0] for i, v in vecs.items()
+             if i != query_id}
+    picks = []
+    for rank in range(1, k + 1):
+        best = max(state.items(),
+                   key=lambda kv: (lam * kv[1][0] - (1 - lam) * kv[1][1],
+                                   -kv[0]))
+        i, (rel, maxsim) = best
+        picks.append((rank, i, rel, lam * rel - (1 - lam) * maxsim))
+        pv = vecs[i]
+        del state[i]
+        for j, st in state.items():
+            st[1] = max(st[1], cos4(vecs[j], pv))
+    return picks
+
+
+def test_mmr_matches_reference_on_random_vectors(spark):
+    import random
+    rng = random.Random(123)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(25)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int")
+    got = [(r["pick_rank"], r["vec_id"]) for r in
+           mmr_select(df, k=8).collect()]
+    # float32 storage: replay the reference on the float32-rounded
+    # vectors the operator actually sees.
+    import struct
+    f32 = {i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+           for i, v in vecs.items()}
+    ref = [(rank, i) for rank, i, _, _ in _ref_mmr(f32, 0, 8)]
+    assert got == ref
