@@ -7809,6 +7809,61 @@ def q196_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(30))
 
 
+@_register(
+    "q197_streaming_dedup",
+    survey="streaming exact dedup (real Structured Streaming run: readStream → md5 content hash → dropDuplicates state → availableNow drain; the watermarked dropDuplicatesWithinWatermark horizon variant is pytest-covered in test_streaming_dedup)",
+    oracle="""
+        -- Batch twin over distinct normalized texts. WHICH duplicate
+        -- copy survives the stream is micro-batch-order dependent, so
+        -- the certified output aggregates only winner-invariant values
+        -- (the normalized text is identical across copies of a dup
+        -- group by construction of the dedup key).
+        WITH uniq AS (
+          SELECT DISTINCT lower(trim(text)) AS t FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(length(t)) AS BIGINT) AS sum_norm_chars,
+               CAST(sum(len(string_split_regex(t, '\\s+')))
+                    AS BIGINT) AS sum_norm_tokens
+        FROM uniq
+    """,
+)
+def q197_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup end-to-end on the real engine: documents
+    flow through readStream → content hash → ``dropDuplicates`` state →
+    an availableNow drain into a memory sink, and the drained survivor
+    set must carry exactly one row per distinct normalized text. The
+    certified aggregate uses only winner-invariant values (normalized
+    text), because which copy of a duplicate group survives is
+    micro-batch-order dependent — the correct thing to certify about
+    a streaming dedup is the SET of content it keeps, not the row
+    identities. The unbounded-state caveat is the module's documented
+    contract: finite backfills use this shape, infinite streams use
+    ``dropDuplicatesWithinWatermark`` (pytest-covered)."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q197_dedup_{next(_STREAM_SEQ)}"
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    # File stream sources require a DIRECTORY; glob-filter the parent
+    # so only the documents file matches (read_event_stream_auto's
+    # pattern).
+    directory, fname = os.path.split(docs_path.rstrip("/"))
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("pathGlobFilter", fname).load(directory))
+    deduped = SE.stream_dedup_exact(stream)
+    SE.run_available_now(deduped, name, output_mode="append")
+    norm = F.lower(F.trim(F.col("text")))
+    return (spark.table(name)
+            .select(norm.alias("t"))
+            .agg(F.count("*").alias("n_unique"),
+                 F.sum(F.length("t")).cast("long").alias("sum_norm_chars"),
+                 F.sum(F.size(T.ws_tokens(F.col("t")))).cast("long")
+                 .alias("sum_norm_tokens")))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7882,6 +7937,7 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q190_margin_mining", "q191_padding_waste", "q192_mmr_selection",
     "q193_knn_label_eval", "q194_self_retrieval_eval",
     "q195_orc_roundtrip", "q196_bigram_entropy",
+    "q197_streaming_dedup",
 )
 
 
@@ -7941,6 +7997,7 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q194_self_retrieval_eval",
     "q195_orc_roundtrip",
     "q196_bigram_entropy",
+    "q197_streaming_dedup",
 )
 
 #: The deferral self-expires: it only applies while the newest

@@ -472,6 +472,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14t. bigram entropy (lowest = most template-like) --")
     REGISTRY["q196_bigram_entropy"].build(spark, sf_dir).show(5)
 
+    print("-- 14u. streaming exact dedup (dropDuplicates state drain) --")
+    REGISTRY["q197_streaming_dedup"].build(spark, sf_dir).show()
+
     spark.stop()
 
 

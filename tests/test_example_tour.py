@@ -216,6 +216,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "bigram-entropy": ((
         "q196_bigram_entropy",),
         "bigram entropy", None),
+    "streaming-dedup": ((
+        "q197_streaming_dedup",),
+        "streaming exact dedup", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
