@@ -7864,6 +7864,77 @@ def q197_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sum_norm_tokens")))
 
 
+@_register(
+    "q198_length_quality_corr",
+    survey="net-new length-vs-quality Pearson correlation per source (the selection-bias diagnostic: a quality gate correlated with length quietly reshapes the length distribution)",
+    oracle="""
+        -- Pearson r from exact DECIMAL moment sums (x = token count,
+        -- y = 4-dp distinct-token ratio): the quotient's operands are
+        -- exact, so r is one IEEE expression on identical inputs.
+        WITH sig AS (
+          SELECT source,
+                 len(string_split_regex(text, '\\s+')) AS x,
+                 CAST(round(len(list_distinct(
+                          string_split_regex(lower(text), '\\s+')))
+                        / CAST(len(string_split_regex(text, '\\s+'))
+                               AS DOUBLE), 4) AS DECIMAL(10,4)) AS y
+          FROM documents
+        ), m AS (
+          SELECT source, count(*) AS n,
+                 sum(CAST(x AS BIGINT)) AS sx,
+                 sum(y) AS sy,
+                 sum(x * y) AS sxy,
+                 sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx,
+                 sum(y * y) AS syy
+          FROM sig GROUP BY source
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                                          * CAST(sy AS DOUBLE))
+               / nullif(sqrt(n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                        0.0) AS corr_r
+        FROM m ORDER BY source
+    """,
+)
+def q198_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias diagnostic: per-source Pearson correlation between
+    document length (token count) and the distinct-token-ratio quality
+    signal. A gate that correlates with length reshapes the corpus
+    length distribution as a side effect — this is the number that
+    catches it before training does. One map-side-combined aggregate
+    over exact DECIMAL moment sums (x integer, y rounded once at 4 dp);
+    the r formula is a fixed IEEE expression over exact operands, so it
+    is bit-identical on any engine."""
+    cat = Catalog(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    x = F.size(toks)
+    y = T.distinct_token_ratio(T.ws_tokens(F.lower(F.col("text"))), 4) \
+         .cast("decimal(10,4)")
+    sig = cat.documents.select("source", x.alias("x"), y.alias("y"))
+    m = sig.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("long")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("long") * F.col("x").cast("long"))
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n")
+    num = (n * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    den = (F.sqrt(n * F.col("sxx").cast("double")
+                  - F.col("sx").cast("double") * F.col("sx").cast("double"))
+           * F.sqrt(n * F.col("syy").cast("double")
+                    - F.col("sy").cast("double")
+                    * F.col("sy").cast("double")))
+    return (m.select("source", n.cast("long").alias("n_docs"),
+                     (num / F.nullif(den, F.lit(0.0))).alias("corr_r"))
+            .orderBy("source"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -7938,6 +8009,7 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q193_knn_label_eval", "q194_self_retrieval_eval",
     "q195_orc_roundtrip", "q196_bigram_entropy",
     "q197_streaming_dedup",
+    "q198_length_quality_corr",
 )
 
 
@@ -7998,6 +8070,7 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q195_orc_roundtrip",
     "q196_bigram_entropy",
     "q197_streaming_dedup",
+    "q198_length_quality_corr",
 )
 
 #: The deferral self-expires: it only applies while the newest

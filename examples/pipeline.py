@@ -475,6 +475,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14u. streaming exact dedup (dropDuplicates state drain) --")
     REGISTRY["q197_streaming_dedup"].build(spark, sf_dir).show()
 
+    print("-- 14v. length-vs-quality correlation (selection-bias check) --")
+    REGISTRY["q198_length_quality_corr"].build(spark, sf_dir).show()
+
     spark.stop()
 
 

@@ -219,6 +219,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "streaming-dedup": ((
         "q197_streaming_dedup",),
         "streaming exact dedup", None),
+    "length-quality-corr": ((
+        "q198_length_quality_corr",),
+        "length-vs-quality correlation", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
