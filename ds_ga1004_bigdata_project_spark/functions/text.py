@@ -1049,6 +1049,9 @@ def padding_waste(df, boundaries: tuple[int, ...] = (16, 32, 64, 128),
     once. The one IEEE divide runs on exact integer operands, so the
     fraction is bit-identical on any engine.
     """
+    if list(boundaries) != sorted(set(boundaries)) or not boundaries:
+        raise ValueError(
+            f"boundaries must be strictly ascending, got {boundaries}")
     bmax = boundaries[-1]
     n = F.least(F.size(ws_tokens(F.col(text_col))), F.lit(bmax))
     expr = None
@@ -1092,6 +1095,11 @@ def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id",
     q146 discipline). Returns the ``top_n`` most repetitive documents
     (dup_2gram_frac desc, id asc) with the winning 2-gram inline.
 
+    Documents shorter than 3 tokens are EXCLUDED (they have no 3-gram
+    relation, so their dup_3gram_frac is undefined — emitting a null
+    row here while a SQL twin's inner join drops the doc is exactly
+    the silent cross-engine divergence this filter forecloses).
+
     Scale: one explode of per-document 2-/3-gram arrays (zipped
     shifted views — O(len) per doc, see :func:`word_shingles`), one
     (doc, n, gram) count, one (doc, n) rollup, one doc-level pivot.
@@ -1110,8 +1118,9 @@ def gopher_repetition(df, text_col: str = "text", id_col: str = "doc_id",
             lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
 
     tagged = F.concat(_tag(2), _tag(3))
-    grams = (df.select(F.col(id_col).alias("doc_id"),
-                       F.explode(tagged).alias("t"))
+    grams = (df.filter(F.size(ws_tokens(F.col(text_col))) >= 3)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(tagged).alias("t"))
              .select("doc_id", F.col("t.n").alias("n"),
                      F.col("t.g").alias("g")))
     chars = (F.col("c") * F.length("g")).cast("long")

@@ -651,7 +651,10 @@ def margin_topk(df: DataFrame, k: int = 4, top_n: int = 25,
     which suppresses hub vectors that are near everything. Sides A / B
     are the even / odd ``id_col`` halves (the two-corpus shape without
     a second fixture table); k = ``k`` nearest neighbors per direction;
-    output is the global top ``top_n`` pairs by margin.
+    output is the global top ``top_n`` pairs by margin. The denominator
+    always divides by 2k — with fewer than k candidates on a side the
+    neighborhood sum just has fewer terms (a fixed normalizer, not a
+    true mean; both engines and the SQL twin share the convention).
 
     Exact-parity arithmetic: per-pair cosine rounds to 4 dp at
     creation (numpy in the blocked generator — same empirical parity
@@ -669,6 +672,14 @@ def margin_topk(df: DataFrame, k: int = 4, top_n: int = 25,
     whatever pair relation is supplied, all keyed by the pair
     endpoints — nothing here is quadratic except the candidate tier
     you choose."""
+    # Guard the even/odd split's arithmetic: % on a non-integral id
+    # silently casts to null and EMPTIES both sides (the silent-wrong-
+    # output class ADVICE r8 flagged on keep-best's unary minus).
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"margin_topk id_col {id_col!r} must be integral for the "
+            f"even/odd side split, got {id_type}")
     a = (df.filter(F.col(id_col) % 2 == 0)
          .select(F.col(id_col).alias("src"), F.col(vec_col).alias("va")))
     b = (df.filter(F.col(id_col) % 2 == 1)

@@ -7725,21 +7725,31 @@ def q195_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and value. At 100 TB this is the format-conversion job shape: one
     read, one columnar write, both embarrassingly parallel; the
     temp-dir here stands in for the destination lake path."""
+    import shutil
     import tempfile
 
     from .sources.catalog import read_orc, write_orc
 
     cat = Catalog(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="q195_orc_") + "/docs"
-    write_orc(cat.documents, out)
-    back = read_orc(spark, out)
-    return (back.groupBy("source")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").cast("long").alias("sum_chars"),
-                 F.sum(F.size(T.ws_tokens(F.col("text")))).cast("long")
-                 .alias("sum_tokens"),
-                 F.countDistinct("lang").alias("n_langs"))
-            .orderBy("source"))
+    tmp = tempfile.mkdtemp(prefix="q195_orc_")
+    try:
+        out = tmp + "/docs"
+        write_orc(cat.documents, out)
+        back = read_orc(spark, out)
+        agg = (back.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_chars").cast("long").alias("sum_chars"),
+                    F.sum(F.size(T.ws_tokens(F.col("text")))).cast("long")
+                    .alias("sum_tokens"),
+                    F.countDistinct("lang").alias("n_langs"))
+               .orderBy("source"))
+        # Eager checkpoint detaches the K-row result from the temp ORC
+        # files so the dir can be removed before returning (a lazy
+        # return would leak one temp dir per invocation — bench runs
+        # this repeatedly).
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q196_oracle() -> str:

@@ -276,3 +276,28 @@ def test_mmr_matches_reference_on_random_vectors(spark):
            for i, v in vecs.items()}
     ref = [(rank, i) for rank, i, _, _ in _ref_mmr(f32, 0, 8)]
     assert got == ref
+
+
+# ------------------------------------------------------- guard rails
+
+def test_gopher_excludes_sub3token_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "x y x y x y")], "doc_id long, text string")
+    out = gopher_repetition(df).collect()
+    assert [r["doc_id"] for r in out] == [1]  # 2-token doc has no 3-grams
+
+
+def test_margin_rejects_non_integral_ids(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<float>")
+    with pytest.raises(TypeError, match="integral"):
+        margin_topk(df)
+
+
+def test_padding_waste_rejects_unsorted_boundaries(spark):
+    import pytest
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="ascending"):
+        padding_waste(df, boundaries=(64, 32))
