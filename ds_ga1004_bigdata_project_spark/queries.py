@@ -8034,26 +8034,36 @@ def _derive_never_certified(latest: dict[str, int]) -> tuple[str, ...]:
     ever = set(latest) | set(_R02_CERTIFIED)
     return tuple(n for n in REGISTRY if n not in ever)
 
-#: Queries whose code path changed since their last driver certification.
-#: Round 9: q173 rides the exact-prefix-length fix (ADVICE r8 — the
-#: PPJoin prefix ceil now nudges the IEEE product down before F.ceil so
-#: non-dyadic thresholds can't shorten the prefix below the completeness
-#: lemma); q174 rides the keep-best tie-break rewrite (string-id-safe
-#: struct ordering instead of unary-minus on the id column, ADVICE r8);
-#: q154/q164 gained full DuckDB oracles (VERDICT r8 #6 — the unrolled
-#: merge-chain twin upgrades both from rows-only to hash-compared, so
-#: the driver must re-run them under the new gate).
-#: q56/q64 ride the LSH expansion-cap retune (256 → 512, the r9 sweep's
-#: knee — same candidate SET, different split point, so the pinned
-#: rows-only checks re-run in-window).
-_CHANGED_SINCE_CERTIFIED: tuple[str, ...] = (
-    "q173_prefix_filtered_join",
-    "q174_keep_best_dedup",
-    "q154_bpe_merges",
-    "q164_bpe_fertility",
-    "q56_minhash_pairs",
-    "q64_neardup_corpus",
-)
+#: Queries whose code path changed since their last driver certification,
+#: mapped to the round in which the change SHIPPED. Round 10 (VERDICT r9
+#: #4): the tier is SELF-EXPIRING — an entry is active only while the
+#: query's newest driver row predates its change round (see
+#: ``_active_changed``), so a landed certification vacates the slot at
+#: the next import instead of burning a window slot every round until
+#: someone remembers to delete it. The r9 wave below (PPJoin ceil fix,
+#: keep-best tie-break, BPE oracle upgrade, LSH cap retune) all carry r9
+#: rows in CORRECTNESS_r09.json and are therefore inactive; they stay
+#: listed as the provenance record and as live proof the expiry works.
+_CHANGED_SINCE_CERTIFIED: dict[str, int] = {
+    "q173_prefix_filtered_join": 9,
+    "q174_keep_best_dedup": 9,
+    "q154_bpe_merges": 9,
+    "q164_bpe_fertility": 9,
+    "q56_minhash_pairs": 9,
+    "q64_neardup_corpus": 9,
+}
+
+
+def _active_changed(latest: dict[str, int]) -> tuple[str, ...]:
+    """Changed-tier entries whose shipped change has NOT yet been
+    driver-certified: active iff the newest certification row predates
+    the round the change shipped in. An empty/unreadable ``latest``
+    keeps every entry active — when the artifacts can't be read, the
+    safe direction is to re-certify, never to silently expire."""
+    if not latest:
+        return tuple(_CHANGED_SINCE_CERTIFIED)
+    return tuple(n for n, rnd in _CHANGED_SINCE_CERTIFIED.items()
+                 if latest.get(n, 0) < rnd)
 
 #: Cross-round sanity anchor: one never-changed query certified every round.
 _ANCHOR = "q01_top_parts"
@@ -8167,7 +8177,7 @@ def _reorder_for_certification_window() -> None:
     deferred = _active_deferrals(latest)
     front = [n for n in _NEVER_CERTIFIED
              if n in REGISTRY and n not in deferred]
-    front += [n for n in _CHANGED_SINCE_CERTIFIED
+    front += [n for n in _active_changed(latest)
               if n in REGISTRY and n not in front]
     front.append(_ANCHOR)
     seen = set(front)

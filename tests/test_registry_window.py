@@ -23,12 +23,18 @@ def _deferred_now() -> set[str]:
     return _active_deferrals(_latest_certification_rounds())
 
 
+def _changed_now() -> tuple[str, ...]:
+    from ds_ga1004_bigdata_project_spark.queries import (
+        _active_changed, _latest_certification_rounds)
+    return _active_changed(_latest_certification_rounds())
+
+
 def test_never_certified_then_changed_lead_the_window():
     names = list(REGISTRY)
     window = names[:50]
     deferred = _deferred_now()
     front = [n for n in _NEVER_CERTIFIED if n not in deferred] + [
-        n for n in _CHANGED_SINCE_CERTIFIED if n not in _NEVER_CERTIFIED]
+        n for n in _changed_now() if n not in _NEVER_CERTIFIED]
     n = len(front)
     assert front == window[:n], \
         "never-certified + changed queries must occupy the front of the window"
@@ -173,7 +179,7 @@ def test_rotation_slo_no_stale_certificates():
         return
     max_round = max(latest.values())
     names = list(REGISTRY)
-    steady_front = len(set(_CHANGED_SINCE_CERTIFIED)) + 1  # + anchor
+    steady_front = len(set(_changed_now())) + 1  # + anchor
     bound = _rotation_staleness_bound(steady_front, len(names))
     stale = {n: latest.get(n, 2) for n in names[50:]
              if latest.get(n, 2) < max_round - bound}
@@ -219,8 +225,9 @@ def test_rotation_slo_survives_post_close_artifact(tmp_path):
         _DEFERRED_TO_NEXT_WINDOW)
     # Recompose set-level: never-certified (the expired deferrals), then
     # changed + anchor, then stalest.
+    from ds_ga1004_bigdata_project_spark.queries import _active_changed
     front = list(_derive_never_certified(latest))
-    front += [n for n in _CHANGED_SINCE_CERTIFIED
+    front += [n for n in _active_changed(latest)
               if n in REGISTRY and n not in front]
     front.append(_ANCHOR)
     rest = sorted((n for n in REGISTRY if n not in set(front)),
@@ -245,10 +252,42 @@ def test_refresh_slots_go_to_stalest_certificates():
     if not latest:  # artifacts unavailable — static fallback, nothing to pin
         return
     names = list(REGISTRY)
-    front = set(_NEVER_CERTIFIED) | set(_CHANGED_SINCE_CERTIFIED) | {_ANCHOR}
+    front = set(_NEVER_CERTIFIED) | set(_changed_now()) | {_ANCHOR}
     mid = [n for n in names[:50] if n not in front]
     out = [n for n in names[50:] if n not in front and n not in _deferred_now()]
     if mid and out:
         assert max(latest.get(n, 2) for n in mid) <= \
             min(latest.get(n, 2) for n in out), \
             "a staler certificate sits outside the window than inside it"
+
+
+def test_changed_tier_self_expires_against_artifacts():
+    # VERDICT r9 #4: a changed-tier entry whose certification row is as
+    # new as its change round must NOT occupy a window slot — the tier
+    # cross-checks itself against _latest_certification_rounds() at
+    # import, so a landed driver row vacates the slot with no manual
+    # bookkeeping step to forget. The r9 wave (all six certified in r09)
+    # is the live fixture: every entry must be expired on this tree.
+    from ds_ga1004_bigdata_project_spark.queries import (
+        _active_changed, _latest_certification_rounds)
+
+    latest = _latest_certification_rounds()
+    if not latest:  # artifacts unavailable — expiry has nothing to read
+        return
+    active = set(_active_changed(latest))
+    for name, changed_round in _CHANGED_SINCE_CERTIFIED.items():
+        certified = latest.get(name, 0)
+        if certified >= changed_round:
+            assert name not in active, (
+                f"{name} was certified in r{certified} (change shipped "
+                f"r{changed_round}) yet still burns a window slot")
+        else:
+            assert name in active, (
+                f"{name} changed in r{changed_round} but newest row is "
+                f"r{certified} — it must lead the window until re-certified")
+    # Unreadable artifacts keep everything active (re-certify, never
+    # silently expire).
+    assert set(_active_changed({})) == set(_CHANGED_SINCE_CERTIFIED)
+    # And a future landing expires an entry without code edits.
+    assert "q173_prefix_filtered_join" not in _active_changed(
+        {"q173_prefix_filtered_join": 99})
