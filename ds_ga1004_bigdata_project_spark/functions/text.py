@@ -539,7 +539,20 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     # its cost wildly variable (observed 3.5→60 s swings in-suite).
     # The frame itself is query-term-sized, so caching it is cheap at
     # any corpus scale.
-    tf = tf.persist()
+    #
+    # Width pin (round 10, the q150 in-suite-inflation diagnosis): the
+    # post-shuffle tf relation is small, so AQE coalesces it to ONE
+    # partition at fixture scale — and that single task then pays the
+    # cache build + df(t) partials + the qt pipeline serially. Compiled,
+    # that's ~40% of the query; when the chunk JVM's JIT queue is
+    # backlogged the same stage runs interpreted at ~10× (the rotating
+    # 3.4→18 s swings, SCALE.md §in-suite-inflation). An explicit
+    # repartition is AQE-exempt: defaultParallelism tasks build the
+    # cache, keyed on t so df(t) needs no further exchange. The relation
+    # is query-term-bounded by construction, so a parallelism-sized
+    # width is safe at any corpus scale.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    tf = tf.repartition(width, "t").persist()
     # df(t) is exact from the surviving postings — every posting of a
     # query term survived the filter above.
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))

@@ -295,6 +295,58 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, out_path: str,
     handle.awaitTermination()
 
 
+def stream_upsert_latest(stream_df: DataFrame, state_dir: str,
+                         key_col: str = "user_id",
+                         order_cols: tuple[str, ...] = ("ts", "event_id"),
+                         ) -> str:
+    """Streaming MERGE keep-latest: drain the stream via ``foreachBatch``,
+    each batch upserting its per-key winners into a versioned parquet
+    state table, and return the final state's path.
+
+    The batch body is the q48 merge shape applied incrementally: winners
+    within the micro-batch (row_number over ``order_cols`` desc — a
+    TOTAL order, ``event_id`` is unique, so ties cannot exist) merge
+    against the previous state version, and the combined winner set
+    writes to ``state_dir/v{epoch}`` — never overwriting the version it
+    is reading (the read-your-own-overwrite corruption a naive in-place
+    merge hits). Keep-latest under a total order is associative and
+    commutative, so the final state is independent of how the source
+    batched the input — one file or fifty, the same argmax-per-key comes
+    out, which is what makes this certifiable against a batch SQL twin
+    (and what exactly-once replays rely on: a re-run batch re-derives
+    the same winners against the same prior version).
+
+    At scale: per-batch work is one window shuffle keyed on ``key_col``
+    over batch ∪ state; pair with a partitioned/bucketed state table so
+    only touched partitions rewrite (the q48 note)."""
+    import os
+
+    from pyspark.sql import Window
+
+    spark = stream_df.sparkSession
+    state: dict[str, str | None] = {"path": None}
+    order = [F.col(c).desc() for c in order_cols]
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy(key_col).orderBy(*order)
+        merged = batch_df
+        if state["path"] is not None:
+            merged = spark.read.parquet(state["path"]) \
+                .unionByName(batch_df)
+        winners = (merged.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+        out = os.path.join(state_dir, f"v{epoch_id}")
+        winners.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    handle = (stream_df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+              .trigger(availableNow=True).start())
+    handle.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return state["path"]
+
+
 def stream_dedup_neardup(stream_df: DataFrame, text_col: str = "text",
                          ts_col: str | None = None,
                          watermark: str = "1 hour") -> DataFrame:

@@ -478,6 +478,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 14v. length-vs-quality correlation (selection-bias check) --")
     REGISTRY["q198_length_quality_corr"].build(spark, sf_dir).show()
 
+    print("== 15. round-10 wave: mixture update, filter QA, "
+          "streaming state, reservoirs ==")
+
+    print("-- 15a. DoReMi reweight (one multiplicative-weights step) --")
+    REGISTRY["q199_doremi_reweight"].build(spark, sf_dir) \
+        .select("source", "src_loss", "base_share", "new_weight").show(5)
+
+    print("-- 15b. quality-filter agreement matrix (keep-set Jaccard) --")
+    REGISTRY["q200_filter_agreement"].build(spark, sf_dir).show()
+
+    print("-- 15c. streaming session windows (native gap merge, drained) --")
+    REGISTRY["q201_stream_session_windows"].build(spark, sf_dir).show(5)
+
+    print("-- 15d. streaming MERGE keep-latest (foreachBatch upsert) --")
+    REGISTRY["q202_stream_upsert_latest"].build(spark, sf_dir).show()
+
+    print("-- 15e. deterministic k-per-source reservoir --")
+    REGISTRY["q203_group_reservoir"].build(spark, sf_dir) \
+        .groupBy("source").count().orderBy("source").show(5)
+
     spark.stop()
 
 

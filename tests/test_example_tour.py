@@ -222,6 +222,21 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "length-quality-corr": ((
         "q198_length_quality_corr",),
         "length-vs-quality correlation", None),
+    "doremi-reweight": ((
+        "q199_doremi_reweight",),
+        "DoReMi reweight", None),
+    "filter-agreement": ((
+        "q200_filter_agreement",),
+        "quality-filter agreement matrix", None),
+    "stream-sessions": ((
+        "q201_stream_session_windows",),
+        "streaming session windows", None),
+    "stream-upsert": ((
+        "q202_stream_upsert_latest",),
+        "streaming MERGE keep-latest", None),
+    "group-reservoir": ((
+        "q203_group_reservoir",),
+        "deterministic k-per-source reservoir", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

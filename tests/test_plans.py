@@ -342,3 +342,32 @@ def test_threshold_curve_streams_pairs_builds_literals(spark):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
     assert "BroadcastNestedLoopJoin BuildLeft" not in plan, (
         f"pair side broadcast:\n{plan}")
+
+
+def test_filter_agreement_single_scan(spark):
+    """q200's claim: the 3x3 agreement matrix reduces in ONE
+    map-side-combined aggregate over ONE corpus scan — the 3-row output
+    is a projection of a single aggregate row, never a union of three
+    re-scans (learning-17 class)."""
+    plan = physical_plan(_build(spark, "q200_filter_agreement"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_sum" in plan, plan  # map-side combine
+
+
+def test_group_reservoir_gets_group_limit_pushdown(spark):
+    """q203's claim: rank<=k over the per-source window compiles to
+    partial+final WindowGroupLimit, so each map task forwards at most k
+    rows per stratum and low-cardinality sources never drag the corpus
+    through a handful of reducers."""
+    plan = physical_plan(_build(spark, "q203_group_reservoir"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bm25_postings_width_is_pinned(spark):
+    """The q150 in-suite-inflation fix (SCALE.md round 10): the persisted
+    postings relation repartitions to defaultParallelism on t BEFORE the
+    cache, AQE-exempt — the cache build must never collapse to a single
+    AQE-coalesced task. The explicit round-robin-free hash repartition
+    shows as REPARTITION_BY_NUM in the plan."""
+    plan = physical_plan(_build(spark, "q150_bm25_retrieval"))
+    assert "REPARTITION_BY_NUM" in plan, plan

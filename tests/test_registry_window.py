@@ -181,8 +181,13 @@ def test_rotation_slo_no_stale_certificates():
     names = list(REGISTRY)
     steady_front = len(set(_changed_now())) + 1  # + anchor
     bound = _rotation_staleness_bound(steady_front, len(names))
-    stale = {n: latest.get(n, 2) for n in names[50:]
-             if latest.get(n, 2) < max_round - bound}
+    # Staleness is a property of certificates that EXIST: never-certified
+    # queries outside the window are the deferred tier, whose scheduling
+    # guarantee (in-window or deferred-with-evidence, auto-leading the
+    # next window) is pinned by test_every_query_has_a_certification_round
+    # and test_deferred_tier_sits_last_and_carries_evidence.
+    stale = {n: latest[n] for n in names[50:]
+             if n in latest and latest[n] < max_round - bound}
     assert not stale, (
         f"queries outside the window with certificates older than "
         f"r{max_round - bound} (bound={bound}): {stale}")
@@ -291,3 +296,19 @@ def test_changed_tier_self_expires_against_artifacts():
     # And a future landing expires an entry without code edits.
     assert "q173_prefix_filtered_join" not in _active_changed(
         {"q173_prefix_filtered_join": 99})
+
+
+def test_rows_only_proof_table_is_exact():
+    # VERDICT r9 #8: the rows-only tier is a documented CLOSED set — every
+    # oracle-less registry query carries a one-line proof that no
+    # SQL-expressible invariant exists, and no proof line goes stale
+    # (names an oracle-backed or removed query). A new rows-only query
+    # cannot ship without either an oracle or its proof entry.
+    from ds_ga1004_bigdata_project_spark.queries import _ROWS_ONLY_PROOFS
+
+    oracle_less = {n for n, e in REGISTRY.items() if e.oracle is None}
+    assert set(_ROWS_ONLY_PROOFS) == oracle_less, (
+        f"missing proofs: {oracle_less - set(_ROWS_ONLY_PROOFS)}; "
+        f"stale proofs: {set(_ROWS_ONLY_PROOFS) - oracle_less}")
+    for name, proof in _ROWS_ONLY_PROOFS.items():
+        assert len(proof) > 40, f"{name}'s proof line is not a proof"

@@ -287,3 +287,47 @@ def test_lag_enrich_state_survives_micro_batches(spark, tmp_path):
     got = {r.event_id: r.prev_value
            for r in spark.table("lag_enrich_test").collect()}
     assert got == {1: None, 2: 10.0, 3: 20.0, 4: 30.0}, got
+
+
+def test_stream_upsert_latest_is_batching_invariant(spark, tmp_path):
+    """q202's foundation: keep-latest under the (ts, event_id) total order
+    is associative+commutative, so the final upserted state must be
+    IDENTICAL whether the source delivers the input as one micro-batch or
+    many. Split the events into 4 files and drain with
+    maxFilesPerTrigger=1 (4 incremental merges) vs one file (1 merge);
+    both must equal the batch argmax-per-user."""
+    import pyspark.sql.functions as F
+
+    cat = Catalog(spark, SF_SMOKE)
+    events = cat.events
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    events.coalesce(1).write.parquet(one)
+    events.repartition(4).write.parquet(many)
+
+    def drain(src_dir, state_tag, **reader_opts):
+        raw = (spark.readStream.format("parquet")
+               .schema(SE.EVENTS_DDL))
+        for k, v in reader_opts.items():
+            raw = raw.option(k, v)
+        stream = raw.load(src_dir)
+        final = SE.stream_upsert_latest(
+            stream, str(tmp_path / state_tag))
+        return {(r.user_id, r.event_id)
+                for r in spark.read.parquet(final)
+                .select("user_id", "event_id").collect()}
+
+    single = drain(one, "state_one")
+    incremental = drain(many, "state_many", maxFilesPerTrigger="1")
+
+    from pyspark.sql.window import Window
+
+    w = (events.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())))
+        .filter("_rn = 1"))
+    batch = {(r.user_id, r.event_id)
+             for r in w.select("user_id", "event_id").collect()}
+    assert single == batch
+    assert incremental == batch
