@@ -349,8 +349,11 @@ def test_filter_agreement_single_scan(spark):
     map-side-combined aggregate over ONE corpus scan — the 3-row output
     is a projection of a single aggregate row, never a union of three
     re-scans (learning-17 class)."""
+    import re
+
     plan = physical_plan(_build(spark, "q200_filter_agreement"))
-    assert plan.count("Scan parquet") == 1, plan
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
     assert "partial_sum" in plan, plan  # map-side combine
 
 
