@@ -8284,6 +8284,125 @@ def q203_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("source", "doc_id").orderBy("source", "doc_id")
 
 
+@_register(
+    "q204_stream_quality_gate",
+    survey="quality-rule cascade under readStream (the q128 Gopher/C4 gate running on the streaming engine, drained and certified against the batch cascade — scan-speed filters are ingest-time filters)",
+    oracle="""
+        -- q128's exact cascade, rolled up per (source, first-fail
+        -- reason): the streaming drain must reproduce the batch gate
+        -- verdict for every document, proven through count + exact
+        -- token-sum aggregates.
+        WITH t AS (
+          SELECT source,
+                 string_split_regex(text, '\\s+') AS w,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens,
+                 len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / CAST(len(text) AS DOUBLE) AS punct_r,
+                 lang
+          FROM documents),
+        r AS (
+          SELECT source, n_tokens,
+                 n_tokens >= 15 AS ok_min_words,
+                 n_tokens <= 5000 AS ok_max_words,
+                 list_sum(list_transform(w, x -> len(x)))
+                   / CAST(n_tokens AS DOUBLE) BETWEEN 2 AND 12
+                   AS ok_mean_word_len,
+                 punct_r <= 0.30 AS ok_punct,
+                 len(list_distinct(w)) / CAST(n_tokens AS DOUBLE) >= 0.30
+                   AS ok_diversity,
+                 (lang <> 'en' OR
+                  len(list_filter(w, x -> list_contains(
+                      ['the','a','an','of','and','or','in','on','is',
+                       'are','to'], lower(x)))) / CAST(n_tokens AS DOUBLE)
+                      >= 0.02) AS ok_stopword
+          FROM t)
+        SELECT source,
+               CASE WHEN NOT ok_min_words THEN 'min_words'
+                    WHEN NOT ok_max_words THEN 'max_words'
+                    WHEN NOT ok_mean_word_len THEN 'mean_word_len'
+                    WHEN NOT ok_punct THEN 'punct'
+                    WHEN NOT ok_diversity THEN 'diversity'
+                    WHEN NOT ok_stopword THEN 'stopword'
+                    ELSE 'pass' END AS reason,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM r GROUP BY source, reason ORDER BY source, reason
+    """,
+)
+def q204_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q128 quality cascade running ON THE STREAMING ENGINE: the
+    documents file streams through readStream, the IDENTICAL
+    ``quality_gate_columns`` expressions evaluate per micro-batch (they
+    are stateless scan-speed expressions — that's the point: ingest-time
+    filtering needs no second batch pass), a per-(source, reason)
+    aggregate drains via availableNow, and the result must equal the
+    batch cascade's rollup. Turns the unit-level streaming-twin test
+    into a driver-certified row: quality gating composes with streaming
+    ingestion with zero semantic drift."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q204_gate_{next(_STREAM_SEQ)}"
+    directory, fname = os.path.split(
+        os.path.join(sf_dir, "documents.parquet").rstrip("/"))
+    raw = (spark.readStream.format("parquet")
+           .schema("doc_id bigint, text string, lang string, "
+                   "source string, n_chars bigint")
+           .option("pathGlobFilter", fname).load(directory))
+    gate = T.quality_gate_columns(F.col("text"), F.col("lang"))
+    agged = (raw.select("source", gate["n_tokens"].alias("n_tokens"),
+                        gate["reason"].alias("reason"))
+             .groupBy("source", "reason")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("n_tokens")))
+    SE.run_available_now(agged, name)
+    return spark.table(name).orderBy("source", "reason")
+
+
+@_register(
+    "q205_curriculum_interleave",
+    survey="curriculum ordering with source-balanced interleave (easy-first round-robin — difficulty rank within source, stratified global order; Bengio et al. 2009 curriculum applied to corpus scheduling)",
+    oracle="""
+        -- Round-robin curriculum head: rank docs easy-first (n_chars,
+        -- doc_id tiebreak) WITHIN each source, keep the first 2 rounds,
+        -- global position orders by (round, source) — position 1..20 is
+        -- every source's easiest doc, 21..40 the second-easiest.
+        WITH r AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS rn
+          FROM documents)
+        SELECT row_number() OVER (ORDER BY rn, source) AS position,
+               source, doc_id, n_chars
+        FROM r WHERE rn <= 2
+        ORDER BY position
+    """,
+)
+def q205_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling head: easy-first (shortest documents, the
+    standard length proxy for difficulty) with round-robin interleave
+    across sources, so no source front-loads the curriculum — rank
+    within source, then order globally by (round, source). Plan: the
+    rank ≤ 2 filter compiles to partial+final WindowGroupLimit (each map
+    task forwards ≤ 2 rows per source — the corpus never converges on
+    the 20 source reducers), and the global position window runs over
+    the 2·|sources| surviving rows, bounded by construction. The
+    full-corpus variant of this op is the q106-family epoch manifest;
+    this query certifies the interleave ORDER itself cross-engine."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", "doc_id", "n_chars")
+    kept = rel.topk_per_group(
+        docs, ["source"],
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        k=2, keep_rank=True, rank_col="rn")
+    pos = Window.orderBy(F.col("rn").asc(), F.col("source").asc())
+    return (kept.select(
+        F.row_number().over(pos).alias("position"),
+        "source", "doc_id", "n_chars")
+        .orderBy("position"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -8356,7 +8475,8 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q198_length_quality_corr",
     "q199_doremi_reweight", "q200_filter_agreement",
     "q201_stream_session_windows", "q202_stream_upsert_latest",
-    "q203_group_reservoir",
+    "q203_group_reservoir", "q204_stream_quality_gate",
+    "q205_curriculum_interleave",
 )
 
 
@@ -8495,6 +8615,8 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q201_stream_session_windows",
     "q202_stream_upsert_latest",
     "q203_group_reservoir",
+    "q204_stream_quality_gate",
+    "q205_curriculum_interleave",
 )
 
 #: The deferral self-expires: it only applies while the newest

@@ -498,6 +498,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     REGISTRY["q203_group_reservoir"].build(spark, sf_dir) \
         .groupBy("source").count().orderBy("source").show(5)
 
+    print("-- 15f. quality gate on the streaming engine (ingest-time) --")
+    REGISTRY["q204_stream_quality_gate"].build(spark, sf_dir).show(5)
+
+    print("-- 15g. curriculum interleave (easy-first, source-balanced) --")
+    REGISTRY["q205_curriculum_interleave"].build(spark, sf_dir).show(5)
+
     spark.stop()
 
 

@@ -237,6 +237,12 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "group-reservoir": ((
         "q203_group_reservoir",),
         "deterministic k-per-source reservoir", None),
+    "stream-gate": ((
+        "q204_stream_quality_gate",),
+        "quality gate on the streaming engine", None),
+    "curriculum": ((
+        "q205_curriculum_interleave",),
+        "curriculum interleave", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
