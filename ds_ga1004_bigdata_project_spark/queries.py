@@ -8403,6 +8403,200 @@ def q205_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("position"))
 
 
+@_register(
+    "q206_pareto_frontier",
+    survey="Pareto-frontier selection (2-D skyline: max quality, min length — the non-dominated quality/cost tradeoff set a selection budget walks)",
+    oracle="""
+        -- Canonical dominance twin (NOT EXISTS) certifying the engine's
+        -- scale-safe staircase construction: a doc is on the frontier
+        -- iff no other doc has (quality >=, n_tokens <=) with one
+        -- strict. Quality = distinct-token ratio, raw int/int-division
+        -- doubles — bit-identical cross-engine.
+        WITH s AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+                 len(list_distinct(string_split_regex(lower(text), '\\s+')))
+                   / CAST(len(string_split_regex(lower(text), '\\s+'))
+                          AS DOUBLE) AS q
+          FROM documents)
+        SELECT a.doc_id, a.source, a.n_tokens,
+               round(a.q, 4) AS quality
+        FROM s a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM s b
+          WHERE b.q >= a.q AND b.n_tokens <= a.n_tokens
+            AND (b.q > a.q OR b.n_tokens < a.n_tokens))
+        ORDER BY a.n_tokens, a.doc_id
+    """,
+)
+def q206_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-dominated (quality, length) documents — the Pareto set a
+    fixed-token selection budget actually chooses from (anything off the
+    frontier is beaten by a doc that is both better and cheaper). The
+    naive plan is the O(n²) dominance join the ORACLE runs; the engine
+    runs the scale-safe staircase: (1) per-n_tokens max quality — one
+    map-side-combined agg, (2) the frontier sweep as a running-max
+    window over the ≤|distinct lengths| aggregated rows (bounded by the
+    length domain, never the corpus), (3) one semi-join back picks every
+    doc sitting at a frontier coordinate (coordinate ties are all
+    frontier members, matching the dominance definition). Two linear
+    shuffles + a K-row window: the n² never materializes on either the
+    wire or a reducer."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    s = docs.select(
+        "doc_id", "source", F.size(toks).alias("n_tokens"),
+        T.distinct_token_ratio(toks, scale=None).alias("q"))
+    per_len = s.groupBy("n_tokens").agg(F.max("q").alias("qmax"))
+    sweep = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, -1)
+    frontier_len = (per_len
+                    .withColumn("qprev", F.max("qmax").over(sweep))
+                    .filter(F.col("qprev").isNull()
+                            | (F.col("qmax") > F.col("qprev")))
+                    .select(F.col("n_tokens").alias("_fn"),
+                            F.col("qmax").alias("_fq")))
+    return (s.join(F.broadcast(frontier_len),
+                   (F.col("n_tokens") == F.col("_fn"))
+                   & (F.col("q") == F.col("_fq")))
+            .select("doc_id", "source", "n_tokens",
+                    F.round("q", 4).alias("quality"))
+            .orderBy("n_tokens", "doc_id"))
+
+
+@_register(
+    "q207_quantile_normalize",
+    survey="per-source quantile normalization of quality scores (percent_rank within source — the calibration step before pooling heterogeneous scorers across crawls; scalable histogram construction certified against the canonical window function)",
+    oracle="""
+        -- Canonical percent_rank twin certifying the engine's
+        -- histogram construction (the q182/q101 discipline: the window
+        -- runs over VALUE-DISTINCT rows, never documents).
+        WITH s AS (
+          SELECT doc_id, source,
+                 len(list_distinct(string_split_regex(lower(text), '\\s+')))
+                   / CAST(len(string_split_regex(lower(text), '\\s+'))
+                          AS DOUBLE) AS q
+          FROM documents)
+        SELECT doc_id, source, round(q, 4) AS raw_score,
+               round(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY q), 6) AS pct_rank
+        FROM s
+        ORDER BY pct_rank DESC, doc_id ASC
+        LIMIT 25
+    """,
+)
+def q207_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize a quality score WITHIN each source so scores
+    pool across heterogeneous crawls (a 0.6 from a clean crawl and a
+    0.6 from a spammy one mean different things; their within-source
+    quantiles are comparable). Engine plan — the scalable percent_rank:
+    ``pr = |strictly smaller| / (n_src − 1)`` computed from the
+    per-(source, score) HISTOGRAM: one map-side-combined count agg, a
+    cumulative window over the value-distinct histogram rows (per-source
+    distinct score values — bounded by the value domain, never the
+    corpus; the q182 atomicity argument), one broadcast join back to
+    docs, global top-25 via TakeOrderedAndProject. Ties share a
+    quantile, exactly percent_rank's semantics — which is what the
+    canonical-window oracle certifies."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = T.ws_tokens(F.lower(F.col("text")))
+    s = docs.select("doc_id", "source",
+                    T.distinct_token_ratio(toks, scale=None).alias("q"))
+    hist = s.groupBy("source", "q").agg(F.count(F.lit(1)).alias("c"))
+    cum = Window.partitionBy("source").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, -1)
+    tot = Window.partitionBy("source")
+    ranked = hist.select(
+        "source", "q",
+        F.coalesce(F.sum("c").over(cum), F.lit(0)).alias("n_smaller"),
+        (F.sum("c").over(tot) - 1).alias("denom"))
+    return (s.join(F.broadcast(ranked), ["source", "q"])
+            .select("doc_id", "source", F.round("q", 4).alias("raw_score"),
+                    F.round(F.col("n_smaller").cast("double")
+                            / F.col("denom"), 6).alias("pct_rank"))
+            .orderBy(F.desc("pct_rank"), F.asc("doc_id")).limit(25))
+
+
+@_register(
+    "q208_source_overlap_matrix",
+    survey="cross-source duplicate-flow matrix (which crawls overlap: near-dup pair counts per unordered source pair — the dedup-planning read before merging corpora)",
+    oracle="""
+        -- q32's inverted-index exact-Jaccard pairs at >= 0.6, rolled up
+        -- per unordered source pair. Exact integers end to end.
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                FROM documents)
+        ), sizes AS (
+          SELECT id, len(shingles) AS n FROM sh
+        ), posting AS (
+          SELECT id, unnest(shingles) AS g FROM sh
+        ), cand AS (
+          SELECT p1.id AS a, p2.id AS b, count(*) AS inter
+          FROM posting p1 JOIN posting p2
+            ON p1.g = p2.g AND p1.id < p2.id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b FROM cand
+          JOIN sizes sa ON cand.a = sa.id
+          JOIN sizes sb ON cand.b = sb.id
+          WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6)
+                >= 0.6
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs,
+               count(DISTINCT CASE WHEN da.source <= db.source
+                                   THEN p.a ELSE p.b END) AS n_docs_a,
+               count(DISTINCT CASE WHEN da.source <= db.source
+                                   THEN p.b ELSE p.a END) AS n_docs_b
+        FROM pairs p
+        JOIN documents da ON p.a = da.doc_id
+        JOIN documents db ON p.b = db.doc_id
+        GROUP BY 1, 2 ORDER BY n_pairs DESC, source_a, source_b
+    """,
+)
+def q208_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawls duplicate which: near-dup pairs (q32's exact
+    inverted-index Jaccard at ≥ 0.6 — candidate-bounded, never
+    all-pairs) roll up per UNORDERED source pair with the distinct doc
+    counts on each side — the read that decides whether merging two
+    corpora needs cross-corpus dedup at all, and which pair to dedup
+    first. Source labels ride two broadcast-joined doc→source maps;
+    the matrix itself is ≤ |sources|² rows."""
+    docs = Catalog(spark, sf_dir).documents
+    caches: list[DataFrame] = []
+    try:
+        pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.6,
+                                          caches=caches).select("a", "b")
+        src = docs.select(F.col("doc_id"), F.col("source"))
+        lab = (pairs
+               .join(F.broadcast(src.withColumnRenamed("doc_id", "a")
+                                 .withColumnRenamed("source", "sa")), "a")
+               .join(F.broadcast(src.withColumnRenamed("doc_id", "b")
+                                 .withColumnRenamed("source", "sb")), "b"))
+        out = (lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("a"))
+             .otherwise(F.col("b")).alias("da"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("b"))
+             .otherwise(F.col("a")).alias("db"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("da").alias("n_docs_a"),
+                 F.countDistinct("db").alias("n_docs_b"))
+            .orderBy(F.desc("n_pairs"), "source_a", "source_b"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -8476,7 +8670,8 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q199_doremi_reweight", "q200_filter_agreement",
     "q201_stream_session_windows", "q202_stream_upsert_latest",
     "q203_group_reservoir", "q204_stream_quality_gate",
-    "q205_curriculum_interleave",
+    "q205_curriculum_interleave", "q206_pareto_frontier",
+    "q207_quantile_normalize", "q208_source_overlap_matrix",
 )
 
 
@@ -8617,6 +8812,9 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q203_group_reservoir",
     "q204_stream_quality_gate",
     "q205_curriculum_interleave",
+    "q206_pareto_frontier",
+    "q207_quantile_normalize",
+    "q208_source_overlap_matrix",
 )
 
 #: The deferral self-expires: it only applies while the newest

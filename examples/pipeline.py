@@ -504,6 +504,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 15g. curriculum interleave (easy-first, source-balanced) --")
     REGISTRY["q205_curriculum_interleave"].build(spark, sf_dir).show(5)
 
+    print("-- 15h. Pareto frontier (quality vs length skyline) --")
+    REGISTRY["q206_pareto_frontier"].build(spark, sf_dir).show(5)
+
+    print("-- 15i. per-source quantile normalization (scalable pct_rank) --")
+    REGISTRY["q207_quantile_normalize"].build(spark, sf_dir).show(5)
+
+    print("-- 15j. cross-source duplicate-flow matrix --")
+    REGISTRY["q208_source_overlap_matrix"].build(spark, sf_dir).show(5)
+
     spark.stop()
 
 

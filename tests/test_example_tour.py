@@ -243,6 +243,15 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "curriculum": ((
         "q205_curriculum_interleave",),
         "curriculum interleave", None),
+    "pareto": ((
+        "q206_pareto_frontier",),
+        "Pareto frontier", None),
+    "quantile-normalize": ((
+        "q207_quantile_normalize",),
+        "per-source quantile normalization", None),
+    "source-overlap": ((
+        "q208_source_overlap_matrix",),
+        "cross-source duplicate-flow matrix", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
