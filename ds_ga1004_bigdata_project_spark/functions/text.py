@@ -528,9 +528,25 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     # Broadcast the distinct query-term SET against the exploded token
     # stream: non-query tokens never leave the scan stage, and dl rides
     # the groupBy key, so the only postings shuffle is query-term-sized.
+    #
+    # Width pin (round 10, the in-suite-inflation diagnosis): the
+    # explicit repartition on EXACTLY the grouping keys is AQE-exempt
+    # and satisfies the aggregation's clustering requirement, so the
+    # whole tf aggregation + cache build runs at defaultParallelism
+    # instead of the single AQE-coalesced task the small post-shuffle
+    # volume otherwise earns (that one task's hash-agg over the full
+    # filtered explode was the 1.5 s → 14.6 s interpreted-codegen
+    # hotspot under chunk-JVM JIT churn, SCALE.md §in-suite-inflation;
+    # pinning only the post-agg width just moved the serial stage one
+    # node earlier — measured, round 10). Trade: the repartition ships
+    # raw postings instead of map-side-combined (doc, term) counts —
+    # both are query-term-bounded, a constant-factor difference; the
+    # serial stage it removes is unbounded in the interpreter regime.
+    width = df.sparkSession.sparkContext.defaultParallelism
     tf = (df.select(F.col(id_col), F.size(toks).alias("dl"),
                     F.explode(toks).alias("t"))
             .join(F.broadcast(qterms.select("t").distinct()), "t")
+            .repartition(width, id_col, "dl", "t")
             .groupBy(id_col, "dl", "t").agg(F.count("*").alias("tf")))
     # The postings frame feeds BOTH df(t) (inside the qt broadcast
     # subtree) and the scoring join. Unpersisted, the corpus-wide token
@@ -540,19 +556,12 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     # The frame itself is query-term-sized, so caching it is cheap at
     # any corpus scale.
     #
-    # Width pin (round 10, the q150 in-suite-inflation diagnosis): the
-    # post-shuffle tf relation is small, so AQE coalesces it to ONE
-    # partition at fixture scale — and that single task then pays the
-    # cache build + df(t) partials + the qt pipeline serially. Compiled,
-    # that's ~40% of the query; when the chunk JVM's JIT queue is
-    # backlogged the same stage runs interpreted at ~10× (the rotating
-    # 3.4→18 s swings, SCALE.md §in-suite-inflation). An explicit
-    # repartition is AQE-exempt: defaultParallelism tasks build the
-    # cache, keyed on t so df(t) needs no further exchange. The relation
-    # is query-term-bounded by construction, so a parallelism-sized
-    # width is safe at any corpus scale.
-    width = df.sparkSession.sparkContext.defaultParallelism
-    tf = tf.repartition(width, "t").persist()
+    # The cache stores the (id, dl, t)-partitioned relation from the
+    # width-pinned aggregation above; df(t)'s partial aggregate runs
+    # over those width partitions map-side and its final reduces a
+    # ≤ width × |query terms| relation — no serial stage anywhere in
+    # the postings pipeline.
+    tf = tf.persist()
     # df(t) is exact from the surviving postings — every posting of a
     # query term survived the filter above.
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
