@@ -510,6 +510,22 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     documents per query, rank 1 = best."""
     from pyspark.sql.window import Window
 
+    # Small-corpus fan-out (round 10 — the ACTUAL root of the q150
+    # in-suite inflation): a corpus living in one small parquet file is
+    # ONE input split, so the tokenize+explode+filter pipeline runs in a
+    # single task no matter how downstream exchanges are partitioned —
+    # and that serial stage is what the chunk-JVM interpreter penalty
+    # amplified 10×. When the scan has fewer splits than cores, fan the
+    # raw docs out first (0.3 MB shuffle at fixture scale); when the
+    # corpus is big the split count exceeds parallelism and this is a
+    # no-op — shuffling raw text at 100 TB would be the real mistake.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < width:
+            df = df.repartition(width)
+    except Exception:
+        pass  # exotic sources: keep the plan untouched
+
     toks = ws_tokens(F.lower(F.col(text_col)))
     stats = (df.select(F.size(toks).alias("dl"))
                .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl")))
@@ -529,20 +545,14 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     # stream: non-query tokens never leave the scan stage, and dl rides
     # the groupBy key, so the only postings shuffle is query-term-sized.
     #
-    # Width pin (round 10, the in-suite-inflation diagnosis): the
-    # explicit repartition on EXACTLY the grouping keys is AQE-exempt
-    # and satisfies the aggregation's clustering requirement, so the
-    # whole tf aggregation + cache build runs at defaultParallelism
-    # instead of the single AQE-coalesced task the small post-shuffle
-    # volume otherwise earns (that one task's hash-agg over the full
-    # filtered explode was the 1.5 s → 14.6 s interpreted-codegen
-    # hotspot under chunk-JVM JIT churn, SCALE.md §in-suite-inflation;
-    # pinning only the post-agg width just moved the serial stage one
-    # node earlier — measured, round 10). Trade: the repartition ships
-    # raw postings instead of map-side-combined (doc, term) counts —
-    # both are query-term-bounded, a constant-factor difference; the
-    # serial stage it removes is unbounded in the interpreter regime.
-    width = df.sparkSession.sparkContext.defaultParallelism
+    # Width pin (round 10): the explicit repartition on EXACTLY the
+    # grouping keys is AQE-exempt and satisfies the aggregation's
+    # clustering requirement, so the tf aggregation + cache build run
+    # at defaultParallelism instead of the single AQE-coalesced task
+    # the small post-shuffle volume otherwise earns. Trade: raw
+    # postings shuffle instead of map-side-combined counts — both
+    # query-term-bounded; the serial stage it removes is unbounded in
+    # the interpreter regime (SCALE.md §in-suite-inflation).
     tf = (df.select(F.col(id_col), F.size(toks).alias("dl"),
                     F.explode(toks).alias("t"))
             .join(F.broadcast(qterms.select("t").distinct()), "t")
