@@ -86,8 +86,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     NB: a pair sharing ONLY ultra-common shingles is still missed —
     that's the standard recall trade-off; size the cap ≫ expected
     dup-clique size."""
+    from .relational import fan_out_small_scan
+
     tokens = ws_tokens(F.col(text_col))
-    shingled = df.select(
+    # Single-small-file corpora serialize the shingle projection (one
+    # input split = one task for the HOF-heavy pipeline, SCALE.md
+    # §in-suite-inflation); fan out conditionally — a no-op at scale.
+    shingled = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens, n)).alias("shingles"),
     )
@@ -1275,8 +1280,12 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, threshold: float,
     jaccard ≥ threshold."""
     from pyspark import StorageLevel
 
+    from .relational import fan_out_small_scan
+
     tokens = ws_tokens(F.col(text_col))
-    shingled = df.select(
+    # Conditional fan-out before the HOF-heavy shingle projection (see
+    # ngram_jaccard_pairs — the single-split serial-scan class).
+    shingled = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens, n)).alias("shingles"))
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)

@@ -168,6 +168,30 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return untouched.unionByName(updates)
 
 
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a frame to defaultParallelism when its scan has fewer
+    input splits than cores — otherwise leave the plan untouched.
+
+    A corpus living in one small parquet file is ONE input split, so any
+    expression-heavy scan pipeline built on it (shingling, tokenizing,
+    HOF projections) runs in a single task no matter how downstream
+    exchanges are partitioned — the serial stage behind the rotating
+    in-suite inflation class (SCALE.md §in-suite-inflation: a chunk
+    JVM's JIT-queue backlog amplifies exactly such stages ~10×, and even
+    compiled they cap the query at 1/width of the machine). On a real
+    corpus the split count exceeds parallelism and this is a no-op —
+    which is the point: shuffling raw text at 100 TB would be the real
+    mistake, so the fan-out must be conditional, never unconditional."""
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < width:
+            return df.repartition(width)
+    except Exception:
+        pass  # exotic sources: keep the plan untouched
+    return df
+
+
 def persisted(df: DataFrame):
     """MEMORY_AND_DISK persist around reuse points (X2) — the reference left
     this commented out and re-read parquet every sweep iteration."""

@@ -8703,12 +8703,19 @@ _CHANGED_SINCE_CERTIFIED: dict[str, int] = {
     "q164_bpe_fertility": 9,
     "q56_minhash_pairs": 9,
     "q64_neardup_corpus": 9,
-    # Round 10: bm25_topk width pin (the in-suite-inflation fix — an
-    # AQE-exempt repartition disperses the single-task postings cache
-    # build; values oracle-identical, plan changed). q194 consumes the
-    # same code path but is never-certified and already leads the window.
+    # Round 10: the serial-scan fan-out family (the in-suite-inflation
+    # root fix — single-small-file corpora serialize expression-heavy
+    # scan pipelines; bm25_topk and both shingle operators now fan out
+    # conditionally; values oracle-identical at all three SFs, plans
+    # changed). q194/q208 consume the same paths but are never-certified
+    # and already lead/queue the window.
     "q150_bm25_retrieval": 10,
     "q151_hybrid_rrf_retrieval": 10,
+    "q32_ngram_jaccard_topk": 10,
+    "q152_leakage_safe_split": 10,
+    "q168_containment_pairs": 10,
+    "q183_dedup_threshold_curve": 10,
+    "q173_prefix_filtered_join": 10,
 }
 
 
