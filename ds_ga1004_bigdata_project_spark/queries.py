@@ -7754,10 +7754,16 @@ def q195_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q196_oracle() -> str:
     return """
-        -- Bigram-entropy twin: H = log2(T) - S/T with S the DECIMAL
-        -- sum of per-distinct-bigram round(c*log2(c), 4) terms and T
-        -- the exact bigram count — the subtract and divide are IEEE
-        -- ops on identical operands.
+        -- Bigram-entropy twin: H = log2_4dp(T) - S/T with S the
+        -- DECIMAL sum of per-distinct-bigram round(c*log2(c), 4) terms
+        -- and T the exact bigram count. BOTH transcendentals round
+        -- once at 4 dp at creation (the q146 rule): the round-10
+        -- vanilla-session audit caught the raw log2(T) differing by
+        -- one ulp between engines (Spark 3.5849625007211565 vs DuckDB
+        -- ...156 for T=12) — invisible to the 1e-9-tolerant local
+        -- gates, fatal to the driver's exact hash. After the rounds,
+        -- the divide is IEEE on exact operands and the subtract is
+        -- IEEE on bit-identical doubles.
         WITH t AS (
           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
           FROM documents
@@ -7777,8 +7783,9 @@ def _q196_oracle() -> str:
           FROM cnt GROUP BY doc_id
         )
         SELECT doc_id, total AS n_bigrams,
-               log2(CAST(total AS DOUBLE)) - s / CAST(total AS DOUBLE)
-                 AS entropy_bits
+               CAST(CAST(round(log2(CAST(total AS DOUBLE)), 4)
+                         AS DECIMAL(18,4)) AS DOUBLE)
+                 - s / CAST(total AS DOUBLE) AS entropy_bits
         FROM per
         ORDER BY entropy_bits ASC, doc_id ASC
         LIMIT 30
@@ -7792,13 +7799,16 @@ def _q196_oracle() -> str:
 )
 def q196_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram entropy, lowest-30 (most template-like):
-    H = log2(T) − (Σ c·log2 c)/T over the doc's bigram counts — the
-    algebraic form that needs no per-bigram probability divide, so the
-    per-term values round once at creation (q146 discipline), sum as
-    exact DECIMAL, and the final subtract/divide are IEEE ops on
-    identical operands. One bigram explode + one (doc, gram) count +
-    one doc rollup — document-keyed shuffles only, global bottom-30
-    via TakeOrderedAndProject."""
+    H = log2_4dp(T) − (Σ c·log2 c)/T over the doc's bigram counts —
+    the algebraic form that needs no per-bigram probability divide.
+    EVERY transcendental rounds once at creation (q146 discipline),
+    including log2(T) itself: engines' log2 disagree by an ulp on some
+    inputs, the exact-hash failure class the round-10 vanilla audit
+    caught here (local gates tolerate 1e-9; the driver doesn't). After
+    the rounds the divide is IEEE on exact operands and the subtract
+    is IEEE on bit-identical doubles. One bigram explode + one
+    (doc, gram) count + one doc rollup — document-keyed shuffles only,
+    global bottom-30 via TakeOrderedAndProject."""
     cat = Catalog(spark, sf_dir)
     toks = T.ws_tokens(F.lower(F.col("text")))
     bg = (cat.documents
@@ -7810,10 +7820,11 @@ def q196_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = bg.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_bigrams"),
         F.sum(term).cast("double").alias("s"))
+    log2t = (F.round(F.log2(F.col("n_bigrams").cast("double")), 4)
+             .cast("decimal(18,4)").cast("double"))
     return (per.select(
                 "doc_id", "n_bigrams",
-                (F.log2(F.col("n_bigrams").cast("double"))
-                 - F.col("s") / F.col("n_bigrams").cast("double"))
+                (log2t - F.col("s") / F.col("n_bigrams").cast("double"))
                 .alias("entropy_bits"))
             .orderBy(F.asc("entropy_bits"), F.asc("doc_id"))
             .limit(30))
