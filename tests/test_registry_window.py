@@ -46,7 +46,7 @@ def test_window_has_cross_round_anchor_and_nothing_lost():
     assert _ANCHOR in names[:50]  # sanity anchor across rounds
     assert len(names) == len(set(names))
     assert set(_R02_CERTIFIED) <= set(names)
-    assert set(_CHANGED_SINCE_CERTIFIED) <= set(names)
+    assert {n for n, _ in _CHANGED_SINCE_CERTIFIED} <= set(names)
     assert set(_NEVER_CERTIFIED) <= set(names)
 
 
@@ -274,13 +274,13 @@ def test_changed_tier_self_expires_against_artifacts():
     # bookkeeping step to forget. The r9 wave (all six certified in r09)
     # is the live fixture: every entry must be expired on this tree.
     from ds_ga1004_bigdata_project_spark.queries import (
-        _active_changed, _latest_certification_rounds)
+        _active_changed, _changed_rounds, _latest_certification_rounds)
 
     latest = _latest_certification_rounds()
     if not latest:  # artifacts unavailable — expiry has nothing to read
         return
     active = set(_active_changed(latest))
-    for name, changed_round in _CHANGED_SINCE_CERTIFIED.items():
+    for name, changed_round in _changed_rounds().items():
         certified = latest.get(name, 0)
         if certified >= changed_round:
             assert name not in active, (
@@ -292,10 +292,19 @@ def test_changed_tier_self_expires_against_artifacts():
                 f"r{certified} — it must lead the window until re-certified")
     # Unreadable artifacts keep everything active (re-certify, never
     # silently expire).
-    assert set(_active_changed({})) == set(_CHANGED_SINCE_CERTIFIED)
+    assert set(_active_changed({})) == {n for n, _ in
+                                        _CHANGED_SINCE_CERTIFIED}
     # And a future landing expires an entry without code edits.
     assert "q173_prefix_filtered_join" not in _active_changed(
         {"q173_prefix_filtered_join": 99})
+    # VERDICT r10 wrong #1: the provenance record is duplicate-SAFE —
+    # q173 changed in BOTH r9 and r10 and both entries must survive
+    # (the r10 dict literal silently shadowed the r9 row); the newest
+    # round governs expiry.
+    q173 = [r for n, r in _CHANGED_SINCE_CERTIFIED
+            if n == "q173_prefix_filtered_join"]
+    assert q173 == [9, 10], "q173's r9+r10 provenance rows must both survive"
+    assert _changed_rounds()["q173_prefix_filtered_join"] == 10
 
 
 def test_rows_only_proof_table_is_exact():

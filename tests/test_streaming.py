@@ -314,7 +314,7 @@ def test_stream_upsert_latest_is_batching_invariant(spark, tmp_path):
         final = SE.stream_upsert_latest(
             stream, str(tmp_path / state_tag))
         return {(r.user_id, r.event_id)
-                for r in spark.read.parquet(final)
+                for r in spark.read.parquet(*final)
                 .select("user_id", "event_id").collect()}
 
     single = drain(one, "state_one")
@@ -331,3 +331,95 @@ def test_stream_upsert_latest_is_batching_invariant(spark, tmp_path):
              for r in w.select("user_id", "event_id").collect()}
     assert single == batch
     assert incremental == batch
+
+
+def _write_upsert_batches(spark, tmp_path, batch_rows):
+    """Write each batch as ONE parquet file under src/ with strictly
+    increasing mtimes so FileStreamSource (latestFirst=false) delivers
+    them in list order under maxFilesPerTrigger=1."""
+    import os
+    import time
+
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    for i, rows in enumerate(batch_rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double")
+        staging = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.parquet(staging)
+        part = next(p for p in os.listdir(staging)
+                    if p.endswith(".parquet"))
+        dst = str(src / f"f{i}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return str(src)
+
+
+def _drain_upsert(spark, src, state_dir, num_buckets=8):
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    return SE.stream_upsert_latest(stream, state_dir,
+                                   num_buckets=num_buckets)
+
+
+def test_stream_upsert_pruned_state_rewrites_only_touched_bucket(
+        spark, tmp_path):
+    """VERDICT r10 #7: the versioned state is hash-bucketed and a
+    micro-batch rewrites ONLY the buckets its keys touch. Batch 0 seeds
+    16 users (several buckets); batch 1 updates ONE user — its version
+    dir must hold exactly one bucket subdir, the untouched buckets must
+    keep serving from v0, and the final state must equal the batch
+    argmax twin."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch0 = [(i, t0, i, float(i)) for i in range(16)]
+    batch1 = [(100, t0 + dt.timedelta(hours=1), 5, 999.0)]
+    src = _write_upsert_batches(spark, tmp_path, [batch0, batch1])
+    state = str(tmp_path / "state")
+    final = _drain_upsert(spark, src, state)
+
+    vdirs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert vdirs == ["v0", "v1"], vdirs
+    b0 = [d for d in os.listdir(os.path.join(state, "v0"))
+          if d.startswith("bucket=")]
+    b1 = [d for d in os.listdir(os.path.join(state, "v1"))
+          if d.startswith("bucket=")]
+    assert len(b0) > 1, "16 seed users must span several buckets"
+    assert len(b1) == 1, (
+        f"a 1-key batch must rewrite exactly 1 bucket, rewrote {b1}")
+    # manifest: exactly one live pointer moved to v1
+    in_v1 = [p for p in final if f"{os.sep}v1{os.sep}" in p]
+    assert len(in_v1) == 1 and len(final) == len(b0)
+
+    got = {(r.user_id, r.event_id, r.value)
+           for r in spark.read.parquet(*final).collect()}
+    want = {(i, i, float(i)) for i in range(16) if i != 5} | {(5, 100, 999.0)}
+    assert got == want
+
+
+def test_stream_upsert_fully_superseded_version_is_reclaimed(
+        spark, tmp_path):
+    """A batch that touches every live bucket fully supersedes the prior
+    version — its directory must be DELETED (state on disk stays bounded
+    by one live copy per bucket), and the final state reflects the
+    updates."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch0 = [(i, t0, i, float(i)) for i in range(16)]
+    batch1 = [(100 + i, t0 + dt.timedelta(hours=1), i, -1.0)
+              for i in range(16)]
+    src = _write_upsert_batches(spark, tmp_path, [batch0, batch1])
+    state = str(tmp_path / "state")
+    final = _drain_upsert(spark, src, state)
+
+    vdirs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert vdirs == ["v1"], f"v0 is fully superseded and must be gone: {vdirs}"
+    got = {(r.user_id, r.event_id, r.value)
+           for r in spark.read.parquet(*final).collect()}
+    assert got == {(i, 100 + i, -1.0) for i in range(16)}
