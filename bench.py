@@ -33,9 +33,19 @@ sys.path.insert(0, REPO)
 
 #: Queries whose first execution finishes under this many seconds are run a
 #: second time and report min(run1, run2) — see the retime note in
-#: run_queries. 3 s splits the suite cleanly: everything below is
-#: compile-noise-dominated, everything above is plan-dominated.
-RETIME_UNDER = 3.0
+#: run_queries. Round 11 (VERDICT r10 #2): raised 3.0 → 5.0. The r9→r10
+#: "driver-tail regression" (q63 2.0×, q52 1.9×, q56 1.6×) was this
+#: threshold sitting INSIDE the JIT-compile-premium band: those queries'
+#: FIRST run costs 3.4-5.0 s (8-14 s of HotSpot compile queued behind a
+#: 1.7-2.3 s steady-state plan — measured: q52 runs [4.95, 2.28, 1.66]
+#: in one JVM), so whenever run 1 landed just under 3.0 the retime
+#: reported the fast mode (~1.7, the r9 artifact) and just over it the
+#: slow single run (~3.3, the r10 artifact) — a bimodal report on
+#: UNCHANGED code (both modes appear across the four r9-close bench
+#: commits). 5.0 covers the measured premium band; queries above it are
+#: plan-dominated (q167/q141/q189), where a second run would burn more
+#: wall than the noise it removes.
+RETIME_UNDER = 5.0
 
 
 def run_queries(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
