@@ -124,6 +124,9 @@ def quality_gate_columns(text_col: Column, lang_col: Column) -> dict:
         "n_tokens": n_tokens,
         "keep": F.size(fails) == 0,
         "reason": F.coalesce(F.get(fails, 0)["rule"], F.lit("pass")),
+        # The raw (rule, ok) array — q216's per-rule ablation consumes it
+        # directly instead of re-deriving the six predicates.
+        "rules": arr,
     }
 
 

@@ -8624,6 +8624,652 @@ def q208_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-11 wave: pipeline observability, privacy/robustness audits,
+# streaming rollups (q209-q218; COVERAGE.md growth-policy rule 2 —
+# deferred to the r12 window, tri-SF parity + exact audit locally)
+# =====================================================================
+
+@_register(
+    "q209_stream_windowed_topk",
+    survey="streaming windowed top-k (tumbling 6 h event-time windows through the real streaming engine, then per-window top-3 event types — the live-dashboard rollup the hourly counts stop short of)",
+    oracle="""
+        WITH c AS (
+          SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                          '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY window_start
+                     ORDER BY n_events DESC, event_type ASC) AS rnk
+          FROM c)
+        SELECT window_start, event_type, n_events, rnk
+        FROM r WHERE rnk <= 3
+        ORDER BY window_start, rnk
+    """,
+)
+def q209_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window leaderboard on the real streaming engine: events drain
+    through readStream → watermark → tumbling 6 h windows
+    (:func:`streaming.events.windowed_type_counts` — epoch-aligned, so
+    DuckDB's ``time_bucket`` twin lands on identical boundaries) → memory
+    sink; the drained rollup then ranks top-3 event types per window
+    (count desc, type asc — a total order). Streaming state is
+    window×type-bounded and watermark-pruned; the rank runs on the
+    already-aggregated sink, never the raw stream."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q209_topk_{next(_STREAM_SEQ)}"
+    stream = SE.read_event_stream_auto(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    SE.run_available_now(SE.windowed_type_counts(stream, "6 hours"), name)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (spark.table(name)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events", "rnk")
+            .orderBy("window_start", "rnk"))
+
+
+@_register(
+    "q210_k_anonymity",
+    survey="net-new k-anonymity privacy audit (quasi-identifier group sizes per source: rows living in groups smaller than k are re-identification risks — the release-gate read before publishing a corpus slice)",
+    oracle="""
+        WITH g AS (
+          SELECT source, lang, n_chars // 256 AS len_bucket,
+                 count(*) AS grp_n
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT source,
+               count(*) AS n_groups,
+               CAST(sum(grp_n) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                    AS BIGINT) AS n_docs_at_risk,
+               CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_groups_at_risk,
+               CAST(min(grp_n) AS BIGINT) AS min_group_size
+        FROM g GROUP BY source
+        ORDER BY n_docs_at_risk DESC, source
+    """,
+)
+def q210_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length-bucket): any row whose QI group holds fewer
+    than k=5 members is re-identifiable by those attributes alone
+    (Sweeney 2002 — public). Two map-side-combined aggregations — QI
+    histogram, then a per-source rollup of group-size statistics — so
+    nothing row-sized survives the first shuffle; exact integers end to
+    end. At 100 TB the QI histogram is bounded by the attribute domain,
+    not the corpus."""
+    docs = Catalog(spark, sf_dir).documents
+    g = (docs.groupBy("source", "lang",
+                      F.expr("n_chars div 256").alias("len_bucket"))
+         .agg(F.count(F.lit(1)).alias("grp_n")))
+    return (g.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("grp_n").alias("n_docs"),
+                 F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n"))
+                       .otherwise(F.lit(0))).alias("n_docs_at_risk"),
+                 F.sum(F.when(F.col("grp_n") < 5, F.lit(1))
+                       .otherwise(F.lit(0))).alias("n_groups_at_risk"),
+                 F.min("grp_n").alias("min_group_size"))
+            .orderBy(F.desc("n_docs_at_risk"), F.asc("source")))
+
+
+@_register(
+    "q211_mad_outliers",
+    survey="net-new robust outlier gate (per-source median + MAD over token counts, computed from value-distinct histograms — the heavy-tail-safe length filter where mean/stddev gates break)",
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(text, '\\s+')) AS tok
+          FROM documents),
+        m AS (
+          SELECT source, tok,
+                 row_number() OVER (PARTITION BY source ORDER BY tok) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM s),
+        med AS (
+          SELECT source, min(tok) AS med FROM m
+          WHERE rn >= (n + 1) // 2 GROUP BY source),
+        d AS (
+          SELECT s.source, abs(s.tok - med.med) AS dev
+          FROM s JOIN med USING (source)),
+        m2 AS (
+          SELECT source, dev,
+                 row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d),
+        mad AS (
+          SELECT source, min(dev) AS mad FROM m2
+          WHERE rn >= (n + 1) // 2 GROUP BY source)
+        SELECT s.source, count(*) AS n_docs,
+               CAST(min(med.med) AS BIGINT) AS med_tokens,
+               CAST(min(mad.mad) AS BIGINT) AS mad_tokens,
+               CAST(sum(CASE WHEN s.tok > med.med + 3 * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM s JOIN med USING (source) JOIN mad USING (source)
+        GROUP BY s.source ORDER BY s.source
+    """,
+)
+def q211_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length gate: lower median + MAD (median absolute
+    deviation) over token counts, flagging docs beyond med + 3·MAD — the
+    outlier filter that survives the heavy-tailed length distributions
+    where mean/stddev gates move with the outliers they should catch.
+    Both medians are LOWER medians (the ceil(n/2)-th order statistic) —
+    pure integer arithmetic, bit-identical cross-engine. Engine plan: the
+    median comes from the per-source (value, count) HISTOGRAM with a
+    cumulative window over value-distinct rows (the q207/q182 value-domain
+    discipline — the window never sees the corpus), one broadcast join
+    back for deviations, then the same histogram trick for the MAD; the
+    oracle's row-numbered form is the same order statistic."""
+    docs = Catalog(spark, sf_dir).documents
+    s = docs.select(
+        "doc_id", "source",
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("tok"))
+
+    def _lower_median(frame: DataFrame, val: str, out: str) -> DataFrame:
+        hist = frame.groupBy("source", val).agg(
+            F.count(F.lit(1)).alias("c"))
+        wcum = (Window.partitionBy("source").orderBy(val)
+                .rowsBetween(Window.unboundedPreceding, 0))
+        wtot = Window.partitionBy("source")
+        h = hist.select("source", F.col(val),
+                        F.sum("c").over(wcum).alias("cum"),
+                        F.sum("c").over(wtot).alias("n"))
+        return (h.filter(F.expr("cum >= (n + 1) div 2"))
+                .groupBy("source").agg(F.min(val).alias(out)))
+
+    med = _lower_median(s, "tok", "med")
+    d = (s.join(F.broadcast(med), "source")
+         .select("source", F.abs(F.col("tok") - F.col("med")).alias("dev")))
+    mad = _lower_median(d, "dev", "mad")
+    return (s.join(F.broadcast(med), "source")
+            .join(F.broadcast(mad), "source")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("med").alias("med_tokens"),
+                 F.min("mad").alias("mad_tokens"),
+                 F.sum(F.when(F.col("tok") > F.col("med")
+                              + 3 * F.col("mad"), F.lit(1))
+                       .otherwise(F.lit(0))).alias("n_outliers"))
+            .orderBy("source"))
+
+
+@_register(
+    "q212_token_mass_quantiles",
+    survey="net-new token-mass length quantiles (per source: the doc length below which 50%/90% of TOKENS sit — the packing/context-budget planning read; doc-count quantiles mislead when long docs carry the mass)",
+    oracle="""
+        WITH s AS (
+          SELECT source, len(string_split_regex(text, '\\s+')) AS tok
+          FROM documents),
+        h AS (
+          SELECT source, tok, count(*) AS c, tok * count(*) AS mass
+          FROM s GROUP BY source, tok),
+        w AS (
+          SELECT source, tok,
+                 sum(mass) OVER (PARTITION BY source ORDER BY tok
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(mass) OVER (PARTITION BY source) AS tot,
+                 sum(c) OVER (PARTITION BY source) AS n_docs
+          FROM h)
+        SELECT source, CAST(min(n_docs) AS BIGINT) AS n_docs,
+               CAST(min(tot) AS BIGINT) AS total_tokens,
+               CAST(min(CASE WHEN 2 * cum >= tot THEN tok END)
+                    AS BIGINT) AS len_p50_mass,
+               CAST(min(CASE WHEN 10 * cum >= 9 * tot THEN tok END)
+                    AS BIGINT) AS len_p90_mass
+        FROM w GROUP BY source ORDER BY source
+    """,
+)
+def q212_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-MASS length quantiles per source: the smallest doc length L
+    such that docs of length ≤ L hold ≥ 50% (90%) of the source's tokens.
+    The planning read for context-window packing — a corpus where 10% of
+    docs carry 80% of tokens packs very differently than its doc-count
+    median suggests. All integer arithmetic (2·cum ≥ tot instead of a
+    float ratio); the cumulative window runs over the per-source
+    (length, count) histogram — value-distinct rows, never the corpus
+    (q207/q182 discipline)."""
+    docs = Catalog(spark, sf_dir).documents
+    s = docs.select(
+        "source", F.size(T.ws_tokens(F.col("text"))).cast("long").alias("tok"))
+    h = (s.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+         .select("source", "tok", "c",
+                 (F.col("tok") * F.col("c")).alias("mass")))
+    wcum = (Window.partitionBy("source").orderBy("tok")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("source")
+    w = h.select("source", "tok",
+                 F.sum("mass").over(wcum).alias("cum"),
+                 F.sum("mass").over(wtot).alias("tot"),
+                 F.sum("c").over(wtot).alias("n_docs"))
+    return (w.groupBy("source")
+            .agg(F.min("n_docs").alias("n_docs"),
+                 F.min("tot").alias("total_tokens"),
+                 F.min(F.when(2 * F.col("cum") >= F.col("tot"),
+                              F.col("tok"))).alias("len_p50_mass"),
+                 F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"),
+                              F.col("tok"))).alias("len_p90_mass"))
+            .orderBy("source"))
+
+
+@_register(
+    "q213_dedup_funnel",
+    survey="net-new dedup-funnel accounting (docs/tokens/chars surviving each dedup stage — raw → exact-hash → fingerprint — in one report; the pipeline-observability read every dedup run should emit)",
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 len(string_split_regex(text, '\\s+')) AS tok,
+                 md5(lower(trim(text))) AS h_exact,
+                 md5(array_to_string(
+                   list_sort(list_distinct(
+                     regexp_extract_all(lower(text), '[a-z0-9'']+'))),
+                   ' ')) AS h_fp
+          FROM documents),
+        ex AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY h_exact
+                       ORDER BY doc_id) AS rn FROM s) WHERE rn = 1),
+        fp AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY h_fp
+                       ORDER BY doc_id) AS rn2 FROM ex) WHERE rn2 = 1)
+        SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM s
+        UNION ALL
+        SELECT 1, 'exact', count(*), CAST(sum(tok) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT) FROM ex
+        UNION ALL
+        SELECT 2, 'fingerprint', count(*), CAST(sum(tok) AS BIGINT),
+               CAST(sum(n_chars) AS BIGINT) FROM fp
+        ORDER BY stage
+    """,
+)
+def q213_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-survival accounting for the dedup funnel: raw corpus →
+    exact-hash survivors (q30's md5 key, min-doc_id winner) →
+    fingerprint survivors (q31's order/duplication-invariant bag key)
+    — docs, tokens, and chars at each stage in ONE three-row report.
+    The observability artifact a production dedup run ships with its
+    output: how much did each tier actually remove, in the unit that
+    matters (tokens). Both winner selections are window row_number over
+    the hash (map-side WindowGroupLimit-eligible); only (hash, id,
+    counts) tuples shuffle — text never does (the q30 discipline)."""
+    docs = Catalog(spark, sf_dir).documents
+    s = docs.select(
+        "doc_id", "n_chars",
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h_exact"),
+        T.content_fingerprint(F.col("text")).alias("h_fp"))
+    ex = (s.withColumn("rn", F.row_number().over(
+            Window.partitionBy("h_exact").orderBy("doc_id")))
+          .filter(F.col("rn") == 1).drop("rn"))
+    fp = (ex.withColumn("rn", F.row_number().over(
+            Window.partitionBy("h_fp").orderBy("doc_id")))
+          .filter(F.col("rn") == 1).drop("rn"))
+
+    def _stats(frame: DataFrame, stage: int, name: str) -> DataFrame:
+        return frame.agg(
+            F.lit(stage).alias("stage"), F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"))
+
+    return (_stats(s, 0, "raw")
+            .unionByName(_stats(ex, 1, "exact"))
+            .unionByName(_stats(fp, 2, "fingerprint"))
+            .orderBy("stage"))
+
+
+@_register(
+    "q214_embedding_dispersion",
+    survey="net-new per-label embedding dispersion (mean/min cosine to the exact class centroid + farthest member — the drift/outlier audit over an embedding column; complements q85's centroids)",
+    oracle=f"""
+        WITH comp AS (
+          SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        cent AS (
+          SELECT label, pos,
+                 round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*), 6) AS c
+          FROM comp GROUP BY label, pos),
+        carr AS (
+          SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+        scored AS (
+          SELECT e.vec_id, e.label,
+                 round({_DUCK_COS.format(a='e.embedding', b='cv')} /
+                       nullif(sqrt({_DUCK_COS.format(a='e.embedding',
+                                                     b='e.embedding')}) *
+                              sqrt({_DUCK_COS.format(a='cv', b='cv')}), 0.0),
+                       6) AS cos
+          FROM embeddings e JOIN carr USING (label)),
+        far AS (
+          SELECT label, vec_id AS far_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY label
+                       ORDER BY cos ASC, vec_id ASC) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT s.label, count(*) AS n_vectors,
+               CAST(sum(CAST(s.cos AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) AS mean_cos,
+               min(s.cos) AS min_cos,
+               min(far.far_id) AS far_id
+        FROM scored s JOIN far USING (label)
+        GROUP BY s.label ORDER BY s.label
+    """,
+)
+def q214_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How tight is each embedding class: cosine of every vector to its
+    label's EXACT centroid (q85's decimal-exact mean, rounded once at
+    6 dp so both engines score against bit-identical centroids), rolled
+    up to mean/min cosine + the farthest member per label — the
+    domain-drift and mislabeled-outlier audit run before trusting an
+    embedding column. Per-cosine rounds once at creation; the mean is
+    the exact DECIMAL sum divided once (q157 discipline — never
+    re-rounded). Plan: ordinal explode → (label, dim) agg →
+    label-cardinality centroid table broadcast back — one corpus scan,
+    label×dim-bounded shuffle."""
+    emb = Catalog(spark, sf_dir).embeddings
+    comp = (emb.select("label", F.posexplode("embedding")
+                       .alias("pos", "_c"))
+            .select("label", "pos", F.col("_c").cast("double").alias("v")))
+    cent = comp.groupBy("label", "pos").agg(
+        F.round(F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"]).alias("cv"))
+    scored = (emb.join(F.broadcast(carr), "label")
+              .select("label", "vec_id",
+                      F.round(sim.dot(F.col("embedding"), F.col("cv"))
+                              / F.nullif(
+                                  F.sqrt(sim.dot(F.col("embedding"),
+                                                 F.col("embedding")))
+                                  * F.sqrt(sim.dot(F.col("cv"),
+                                                   F.col("cv"))),
+                                  F.lit(0.0)), 6).alias("cos")))
+    far = (scored.withColumn("rn", F.row_number().over(
+            Window.partitionBy("label").orderBy(F.asc("cos"),
+                                                F.asc("vec_id"))))
+           .filter(F.col("rn") == 1)
+           .select("label", F.col("vec_id").alias("far_id")))
+    return (scored.join(F.broadcast(far), "label")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 (F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("mean_cos"),
+                 F.min("cos").alias("min_cos"),
+                 F.min("far_id").alias("far_id"))
+            .orderBy("label"))
+
+
+@_register(
+    "q215_stream_modulo_sample",
+    survey="streaming deterministic sampling (the cross-engine modulo keep-set applied on the streaming engine: readStream → integer keep predicate → drain; sampled ingestion certified against the identical batch keep-set)",
+    oracle=f"""
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE {sampling.modulo_sample_predicate_sql('doc_id', 0.2)}
+        GROUP BY source ORDER BY source
+    """,
+)
+def q215_stream_modulo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled ingestion on the real streaming engine: documents flow
+    through readStream → the deterministic modulo keep predicate
+    (:func:`sampling.modulo_sample` — pure integer arithmetic, the ONE
+    cross-engine-replayable sampler class, q102's convention) → an
+    availableNow drain; the drained keep-set must be IDENTICAL to the
+    batch predicate's, which is exactly what makes sample-at-ingest
+    auditable after the fact. The predicate is stateless scan-speed
+    arithmetic — no streaming state at all — so it runs at any rate the
+    source sustains."""
+    import os
+
+    name = f"q215_sample_{next(_STREAM_SEQ)}"
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    directory, fname = os.path.split(docs_path.rstrip("/"))
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("pathGlobFilter", fname).load(directory))
+    kept = sampling.modulo_sample(stream, "doc_id", 0.2)
+    from .streaming import events as SE
+    SE.run_available_now(kept, name, output_mode="append")
+    return (spark.table(name)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("sum_doc_id"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("source"))
+
+
+@_register(
+    "q216_gate_ablation",
+    survey="net-new quality-gate rule ablation (per rule: total kills and UNIQUE kills — docs only that rule rejects; the marginal-value attribution that decides which gate rules earn their false-positive budget)",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 string_split_regex(text, '\\s+') AS w,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens,
+                 len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / CAST(len(text) AS DOUBLE) AS punct_r
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 n_tokens >= 15 AS ok_min_words,
+                 n_tokens <= 5000 AS ok_max_words,
+                 list_sum(list_transform(w, x -> len(x)))
+                   / CAST(n_tokens AS DOUBLE) BETWEEN 2 AND 12
+                   AS ok_mean_word_len,
+                 punct_r <= 0.30 AS ok_punct,
+                 len(list_distinct(w)) / CAST(n_tokens AS DOUBLE) >= 0.30
+                   AS ok_diversity,
+                 (lang <> 'en' OR
+                  len(list_filter(w, x -> list_contains(
+                      ['the','a','an','of','and','or','in','on','is','are','to'],
+                      lower(x)))) / CAST(n_tokens AS DOUBLE) >= 0.02)
+                   AS ok_stopword
+          FROM t),
+        nf AS (
+          SELECT *,
+                 (CASE WHEN NOT ok_min_words THEN 1 ELSE 0 END
+                  + CASE WHEN NOT ok_max_words THEN 1 ELSE 0 END
+                  + CASE WHEN NOT ok_mean_word_len THEN 1 ELSE 0 END
+                  + CASE WHEN NOT ok_punct THEN 1 ELSE 0 END
+                  + CASE WHEN NOT ok_diversity THEN 1 ELSE 0 END
+                  + CASE WHEN NOT ok_stopword THEN 1 ELSE 0 END)
+                 AS n_fails
+          FROM r),
+        u AS (
+          SELECT 'min_words' AS rule, NOT ok_min_words AS fail, n_fails FROM nf
+          UNION ALL
+          SELECT 'max_words', NOT ok_max_words, n_fails FROM nf
+          UNION ALL
+          SELECT 'mean_word_len', NOT ok_mean_word_len, n_fails FROM nf
+          UNION ALL
+          SELECT 'punct', NOT ok_punct, n_fails FROM nf
+          UNION ALL
+          SELECT 'diversity', NOT ok_diversity, n_fails FROM nf
+          UNION ALL
+          SELECT 'stopword', NOT ok_stopword, n_fails FROM nf)
+        SELECT rule, count(*) AS n_docs,
+               CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kills,
+               CAST(sum(CASE WHEN fail AND n_fails = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unique_kills
+        FROM u GROUP BY rule ORDER BY rule
+    """,
+)
+def q216_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which gate rules earn their keep: for every rule of the q128
+    Gopher/C4 cascade, total kills AND unique kills (documents ONLY that
+    rule rejects — remove the rule and exactly those docs re-enter the
+    corpus). The ablation read behind gate tuning: a rule with many
+    kills but zero unique kills is redundant; one with many unique
+    kills carries real selection pressure. One scan: the rule array
+    (:func:`text.quality_gate_columns`'s ``rules``) is projected ONCE
+    per row and referenced twice (explode + fail count) so the token
+    pipeline never re-evaluates (SCALE.md HOF discipline); the rollup
+    is rule-cardinality-bounded."""
+    docs = Catalog(spark, sf_dir).documents
+    gate = T.quality_gate_columns(F.col("text"), F.col("lang"))
+    pre = docs.select(gate["rules"].alias("rules"))
+    ex = pre.select(
+        F.explode("rules").alias("r"),
+        F.size(F.filter(F.col("rules"), lambda r: ~r["ok"]))
+         .alias("n_fails"))
+    return (ex.groupBy(F.col("r.rule").alias("rule"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(~F.col("r.ok"), F.lit(1))
+                       .otherwise(F.lit(0))).alias("n_kills"),
+                 F.sum(F.when((~F.col("r.ok")) & (F.col("n_fails") == 1),
+                              F.lit(1))
+                       .otherwise(F.lit(0))).alias("n_unique_kills"))
+            .orderBy("rule"))
+
+
+@_register(
+    "q217_lang_mix_chisq",
+    survey="net-new per-source language-mix chi-square (observed vs corpus-expected lang counts, zero cells included — the mixture-drift detector that flags a crawl whose language balance silently shifted)",
+    oracle="""
+        WITH c AS (
+          SELECT source, lang, count(*) AS o
+          FROM documents GROUP BY 1, 2),
+        s AS (SELECT source, sum(o) AS ns FROM c GROUP BY 1),
+        l AS (SELECT lang, sum(o) AS nl FROM c GROUP BY 1),
+        t AS (SELECT sum(o) AS n FROM c),
+        x AS (
+          SELECT s.source, s.ns,
+                 round((coalesce(c.o, 0) - s.ns * l.nl / CAST(t.n AS DOUBLE))
+                       * (coalesce(c.o, 0) - s.ns * l.nl / CAST(t.n AS DOUBLE))
+                       / (s.ns * l.nl / CAST(t.n AS DOUBLE)), 6) AS term
+          FROM s CROSS JOIN l CROSS JOIN t
+          LEFT JOIN c ON c.source = s.source AND c.lang = l.lang)
+        SELECT source, CAST(min(ns) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+        FROM x GROUP BY source ORDER BY source
+    """,
+)
+def q217_lang_mix_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture drift per source: Pearson chi-square of the
+    source's observed language counts against the corpus-wide language
+    shares, INCLUDING zero cells (a source missing a language entirely
+    is exactly the drift worth flagging — the full source×lang grid
+    comes from crossing the two marginal relations, never scanning the
+    corpus twice). Expected counts are one IEEE divide of exact integer
+    products; each term rounds once at 6 dp and sums as exact DECIMAL
+    (q146 discipline). Everything after the first count aggregation is
+    |sources|×|langs|-sized."""
+    docs = Catalog(spark, sf_dir).documents
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    s = c.groupBy("source").agg(F.sum("o").alias("ns"))
+    lg = c.groupBy("lang").agg(F.sum("o").alias("nl"))
+    t = c.agg(F.sum("o").alias("n"))
+    e = (F.col("ns") * F.col("nl") / F.col("n"))
+    grid = (s.crossJoin(F.broadcast(lg)).crossJoin(F.broadcast(t))
+            .join(c, ["source", "lang"], "left")
+            .select("source", "ns",
+                    F.round((F.coalesce(F.col("o"), F.lit(0)) - e)
+                            * (F.coalesce(F.col("o"), F.lit(0)) - e)
+                            / e, 6).alias("term")))
+    return (grid.groupBy("source")
+            .agg(F.min("ns").alias("n_docs"),
+                 F.sum(F.col("term").cast("decimal(18,6)")).cast("double")
+                 .alias("chi2"))
+            .orderBy("source"))
+
+
+@_register(
+    "q218_source_vocab_overlap",
+    survey="net-new pairwise source vocabulary Jaccard (distinct-token postings self-join, per-token fan-out bounded by |sources| — the lexical-overlap read behind corpus-merge planning; the token-level complement to q208's document-level matrix)",
+    oracle="""
+        WITH v AS (
+          SELECT DISTINCT source, t FROM (
+            SELECT source,
+                   unnest(list_distinct(
+                     string_split_regex(lower(text), '\\s+'))) AS t
+            FROM documents)),
+        sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        p AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS inter_cnt
+          FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               CAST(inter_cnt AS BIGINT) AS inter_cnt,
+               CAST(sa.n AS BIGINT) AS vocab_a,
+               CAST(sb.n AS BIGINT) AS vocab_b,
+               round(inter_cnt
+                     / CAST(sa.n + sb.n - inter_cnt AS DOUBLE), 6)
+                 AS jaccard
+        FROM p
+        JOIN sz sa ON source_a = sa.source
+        JOIN sz sb ON source_b = sb.source
+        ORDER BY jaccard DESC, source_a, source_b
+        LIMIT 25
+    """,
+)
+def q218_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical overlap between crawls: Jaccard of the per-source DISTINCT
+    vocabulary sets for every unordered source pair, top-25. The
+    token-level complement to q208's document-level overlap matrix —
+    high vocab overlap with low document overlap means same domain,
+    different pages (merge freely); both high means recrawl (dedup
+    first). Plan: one (source, token)-distinct postings relation (map-
+    side-combinable distinct), a self-join whose per-token fan-out is
+    bounded by |sources| (≤ C(|sources|,2) pairs per token — never a
+    corpus-pair explosion), and a |sources|²-bounded rollup; global
+    top-25 via TakeOrderedAndProject."""
+    docs = Catalog(spark, sf_dir).documents
+    # The postings relation feeds FOUR subtrees (both join sides + two
+    # size lookups) whose projections rename columns and break exchange
+    # identity — unpersisted, the corpus token explode executes four
+    # times (measured: 4 parquet scans, 0 ReusedExchange). It is
+    # vocab×sources-bounded, so persist it (learning-16: separate
+    # consumers, not a single-action fan-out).
+    v = rel.persisted(
+        docs.select("source",
+                    F.explode(F.array_distinct(
+                        T.ws_tokens(F.lower(F.col("text"))))).alias("t"))
+        .distinct())
+    try:
+        sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        a = v.select(F.col("source").alias("source_a"), "t")
+        b = v.select(F.col("source").alias("source_b"), "t")
+        p = (a.join(b, ["t"])
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("inter_cnt")))
+        out = (p.join(F.broadcast(
+                        sz.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n", "vocab_a")),
+                      "source_a")
+               .join(F.broadcast(
+                        sz.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n", "vocab_b")),
+                     "source_b")
+               .select("source_a", "source_b", "inter_cnt", "vocab_a",
+                       "vocab_b",
+                       F.round(F.col("inter_cnt")
+                               / (F.col("vocab_a") + F.col("vocab_b")
+                                  - F.col("inter_cnt")).cast("double"), 6)
+                       .alias("jaccard"))
+               .orderBy(F.desc("jaccard"), "source_a", "source_b")
+               .limit(25))
+        return out.localCheckpoint(eager=True)
+    finally:
+        v.unpersist()
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver certifies the FIRST 50 entries of ``queries()`` in dict
@@ -8698,6 +9344,11 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q203_group_reservoir", "q204_stream_quality_gate",
     "q205_curriculum_interleave", "q206_pareto_frontier",
     "q207_quantile_normalize", "q208_source_overlap_matrix",
+    "q209_stream_windowed_topk", "q210_k_anonymity",
+    "q211_mad_outliers", "q212_token_mass_quantiles",
+    "q213_dedup_funnel", "q214_embedding_dispersion",
+    "q215_stream_modulo_sample", "q216_gate_ablation",
+    "q217_lang_mix_chisq", "q218_source_vocab_overlap",
 )
 
 
@@ -8860,16 +9511,16 @@ _ANCHOR = "q01_top_parts"
 #: (tests/test_oracle_parity.py) + the strict driver replica
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
-    "q199_doremi_reweight",
-    "q200_filter_agreement",
-    "q201_stream_session_windows",
-    "q202_stream_upsert_latest",
-    "q203_group_reservoir",
-    "q204_stream_quality_gate",
-    "q205_curriculum_interleave",
-    "q206_pareto_frontier",
-    "q207_quantile_normalize",
-    "q208_source_overlap_matrix",
+    "q209_stream_windowed_topk",
+    "q210_k_anonymity",
+    "q211_mad_outliers",
+    "q212_token_mass_quantiles",
+    "q213_dedup_funnel",
+    "q214_embedding_dispersion",
+    "q215_stream_modulo_sample",
+    "q216_gate_ablation",
+    "q217_lang_mix_chisq",
+    "q218_source_vocab_overlap",
 )
 
 #: The deferral self-expires: it only applies while the newest
@@ -8884,7 +9535,11 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
 #: (q199–q203, COVERAGE.md growth-policy rule 2) take their place at
 #: the registry end so the 38 scheduled r6-vintage refreshes
 #: (VERDICT r9 #2) keep their slots.
-_DEFERRED_AS_OF_ROUND = 9
+#: Round 11: the r10 wave's deferral (q199–q208) dissolved on
+#: CORRECTNESS_r10 — those ten lead the r11 window; the round-11
+#: additions (q209–q218) defer in their place so the 15 scheduled
+#: r6-vintage refreshes (VERDICT r10 #3, q125–q139) keep their slots.
+_DEFERRED_AS_OF_ROUND = 10
 
 
 def _active_deferrals(latest: dict[str, int]) -> set[str]:

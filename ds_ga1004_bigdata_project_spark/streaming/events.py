@@ -44,6 +44,22 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def windowed_type_counts(events: DataFrame, duration: str = "6 hours",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows of arbitrary ``duration``, counted per
+    event type — :func:`hourly_counts` generalized to the window length a
+    dashboard rollup actually wants. Epoch-aligned (Spark's ``window``
+    with no startTime offset), so a batch engine's ``time_bucket`` twin
+    lands on identical boundaries. Watermark bounds window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+
+
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Native gap-based session windows per user (the streaming analog of the

@@ -513,6 +513,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 15j. cross-source duplicate-flow matrix --")
     REGISTRY["q208_source_overlap_matrix"].build(spark, sf_dir).show(5)
 
+    print("== 16. round-11 wave: observability, privacy, robustness, "
+          "streaming rollups ==")
+
+    print("-- 16a. streaming windowed top-k (6h leaderboard) --")
+    REGISTRY["q209_stream_windowed_topk"].build(spark, sf_dir).show(6)
+
+    print("-- 16b. k-anonymity audit (QI group-size risk) --")
+    REGISTRY["q210_k_anonymity"].build(spark, sf_dir).show(5)
+
+    print("-- 16c. robust MAD outlier gate (median + MAD per source) --")
+    REGISTRY["q211_mad_outliers"].build(spark, sf_dir).show(5)
+
+    print("-- 16d. token-mass length quantiles (packing planner) --")
+    REGISTRY["q212_token_mass_quantiles"].build(spark, sf_dir).show(5)
+
+    print("-- 16e. dedup-funnel accounting (stage survival) --")
+    REGISTRY["q213_dedup_funnel"].build(spark, sf_dir).show()
+
+    print("-- 16f. embedding dispersion (per-label drift audit) --")
+    REGISTRY["q214_embedding_dispersion"].build(spark, sf_dir).show(5)
+
+    print("-- 16g. deterministic sampling on the streaming engine --")
+    REGISTRY["q215_stream_modulo_sample"].build(spark, sf_dir).show(5)
+
+    print("-- 16h. quality-gate rule ablation (unique kills) --")
+    REGISTRY["q216_gate_ablation"].build(spark, sf_dir).show()
+
+    print("-- 16i. language-mix chi-square (mixture drift) --")
+    REGISTRY["q217_lang_mix_chisq"].build(spark, sf_dir).show(5)
+
+    print("-- 16j. source vocabulary overlap (lexical Jaccard matrix) --")
+    REGISTRY["q218_source_vocab_overlap"].build(spark, sf_dir).show(5)
+
     spark.stop()
 
 

@@ -252,6 +252,36 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "source-overlap": ((
         "q208_source_overlap_matrix",),
         "cross-source duplicate-flow matrix", None),
+    "stream-topk": ((
+        "q209_stream_windowed_topk",),
+        "streaming windowed top-k", None),
+    "k-anonymity": ((
+        "q210_k_anonymity",),
+        "k-anonymity audit", None),
+    "mad-outliers": ((
+        "q211_mad_outliers",),
+        "robust MAD outlier gate", None),
+    "token-mass": ((
+        "q212_token_mass_quantiles",),
+        "token-mass length quantiles", None),
+    "dedup-funnel": ((
+        "q213_dedup_funnel",),
+        "dedup-funnel accounting", None),
+    "embedding-dispersion": ((
+        "q214_embedding_dispersion",),
+        "embedding dispersion", None),
+    "stream-sample": ((
+        "q215_stream_modulo_sample",),
+        "deterministic sampling on the streaming engine", None),
+    "gate-ablation": ((
+        "q216_gate_ablation",),
+        "quality-gate rule ablation", None),
+    "lang-mix-drift": ((
+        "q217_lang_mix_chisq",),
+        "language-mix chi-square", None),
+    "vocab-overlap": ((
+        "q218_source_vocab_overlap",),
+        "source vocabulary overlap", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

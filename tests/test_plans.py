@@ -374,3 +374,33 @@ def test_bm25_postings_width_is_pinned(spark):
     shows as REPARTITION_BY_NUM in the plan."""
     plan = physical_plan(_build(spark, "q150_bm25_retrieval"))
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_gate_ablation_single_scan(spark):
+    """q216's claim: the rule array projects ONCE per row and the 6-row
+    ablation rollup reduces in one map-side-combined aggregate over ONE
+    corpus scan — never six re-scans of the token pipeline (the q200
+    single-scan class)."""
+    import re
+
+    plan = physical_plan(_build(spark, "q216_gate_ablation"))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_dedup_funnel_winner_selection_gets_group_limit(spark):
+    """q213's claim: both hash-winner selections (rn = 1 per content
+    hash) compile to WindowGroupLimit, so map tasks forward one row per
+    hash group instead of dragging whole duplicate groups through the
+    window sort."""
+    plan = physical_plan(_build(spark, "q213_dedup_funnel"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_k_anonymity_aggregates_map_side(spark):
+    """q210's claim: both the QI histogram and the per-source rollup are
+    map-side-combined hash aggregates (partial_*), so nothing row-sized
+    survives the first exchange."""
+    plan = physical_plan(_build(spark, "q210_k_anonymity"))
+    assert "partial_count" in plan, plan
