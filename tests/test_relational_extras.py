@@ -51,3 +51,26 @@ def test_curriculum_phases_are_balanced_and_ordered(spark):
     assert max(sizes) - min(sizes) <= 1          # NTILE balance contract
     for p in (1, 2, 3):                          # phases ascend in score
         assert rows[p]["max_score"] <= rows[p + 1]["min_score"] + 1e-9
+
+
+def test_fan_out_small_scan_is_conditional(spark, tmp_path):
+    """The serial-scan fan-out (SCALE.md round 10, extended to the
+    bigram-LM family round 11) must repartition ONLY when the scan has
+    fewer input splits than cores: a one-file corpus fans out to
+    defaultParallelism; a frame already at/above parallelism keeps its
+    plan untouched (shuffling raw text at 100 TB is the failure mode
+    this conditionality exists to prevent)."""
+    from ds_ga1004_bigdata_project_spark.operators.relational import (
+        fan_out_small_scan)
+
+    width = spark.sparkContext.defaultParallelism
+    one = str(tmp_path / "one_file")
+    spark.range(100).coalesce(1).write.parquet(one)
+    small = spark.read.parquet(one)
+    assert small.rdd.getNumPartitions() < width  # precondition
+    fanned = fan_out_small_scan(small)
+    assert fanned.rdd.getNumPartitions() == width
+    assert fanned.count() == 100  # values survive the shuffle
+
+    wide = spark.range(1000).repartition(width)
+    assert fan_out_small_scan(wide) is wide  # identical object: no-op
