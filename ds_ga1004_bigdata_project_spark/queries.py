@@ -9269,6 +9269,62 @@ def q218_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.unpersist()
 
 
+@_register(
+    "q219_stream_lag_enrich",
+    survey="streaming-stateful lag enrichment (applyInPandasWithState carries each user's previous event across micro-batches — the online-delta featurizer; per-user delta rollup certified against the batch lag window)",
+    oracle="""
+        WITH lagd AS (
+          SELECT user_id, value,
+                 lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_value
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN prev_value IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prev,
+               round(CAST(sum(CASE WHEN prev_value IS NOT NULL THEN
+                 abs(CAST(value AS DECIMAL(18,2))
+                     - CAST(prev_value AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+                 AS sum_abs_delta
+        FROM lagd GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q219_stream_lag_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second stateful-streaming operator on the certified surface
+    (q63's applyInPandasWithState sibling): every event is enriched with
+    its user's PREVIOUS value (:func:`streaming.events.lag_enrich_stream`
+    — state is one (event_id, value) pair per user, carried across
+    micro-batches), and the per-user |delta| rollup must equal the batch
+    ``lag() OVER (PARTITION BY user_id ORDER BY ts, event_id)`` twin.
+    Deltas subtract as exact DECIMAL(18,2) (the fixture's value domain)
+    and the per-user sum is exact decimal — aggregation order cannot
+    drift it. The certified drain is a single availableNow batch (so the
+    stream⇄batch lag equivalence is exact by construction); the
+    cross-batch state carry is pinned separately by the 4-file
+    maxFilesPerTrigger=1 unit test (test_streaming)."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q219_lag_{next(_STREAM_SEQ)}"
+    stream = SE.read_event_stream_auto(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    enriched = SE.lag_enrich_stream(stream)
+    SE.run_available_now(enriched, name, output_mode="append")
+    has_prev = F.col("prev_value").isNotNull()
+    delta = F.abs(F.col("value").cast("decimal(18,2)")
+                  - F.col("prev_value").cast("decimal(18,2)"))
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(has_prev, F.lit(1)).otherwise(F.lit(0)))
+                 .alias("n_with_prev"),
+                 F.round(F.sum(F.when(has_prev, delta)
+                               .otherwise(F.lit(0).cast("decimal(18,2)")))
+                         .cast("double"), 2).alias("sum_abs_delta"))
+            .orderBy("user_id"))
+
+
 # =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
@@ -9349,6 +9405,7 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q213_dedup_funnel", "q214_embedding_dispersion",
     "q215_stream_modulo_sample", "q216_gate_ablation",
     "q217_lang_mix_chisq", "q218_source_vocab_overlap",
+    "q219_stream_lag_enrich",
 )
 
 
@@ -9521,6 +9578,7 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q216_gate_ablation",
     "q217_lang_mix_chisq",
     "q218_source_vocab_overlap",
+    "q219_stream_lag_enrich",
 )
 
 #: The deferral self-expires: it only applies while the newest

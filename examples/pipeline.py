@@ -546,6 +546,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 16j. source vocabulary overlap (lexical Jaccard matrix) --")
     REGISTRY["q218_source_vocab_overlap"].build(spark, sf_dir).show(5)
 
+    print("-- 16k. stateful lag enrichment (online deltas, streaming) --")
+    REGISTRY["q219_stream_lag_enrich"].build(spark, sf_dir).show(5)
+
     spark.stop()
 
 

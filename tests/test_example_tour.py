@@ -282,6 +282,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "vocab-overlap": ((
         "q218_source_vocab_overlap",),
         "source vocabulary overlap", None),
+    "stream-lag": ((
+        "q219_stream_lag_enrich",),
+        "stateful lag enrichment", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
