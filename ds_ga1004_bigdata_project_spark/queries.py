@@ -8625,7 +8625,7 @@ def q208_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # Round-11 wave: pipeline observability, privacy/robustness audits,
-# streaming rollups (q209-q218; COVERAGE.md growth-policy rule 2 —
+# streaming rollups (q209-q219; COVERAGE.md growth-policy rule 2 —
 # deferred to the r12 window, tri-SF parity + exact audit locally)
 # =====================================================================
 
@@ -9453,10 +9453,10 @@ _CHANGED_SINCE_CERTIFIED: tuple[tuple[str, int], ...] = (
     ("q168_containment_pairs", 10),
     ("q183_dedup_threshold_curve", 10),
     ("q173_prefix_filtered_join", 10),
-    # Round 11: fan_out_small_scan applied to the bigram-LM explode
-    # family (VERDICT r10 #4) — shared helper `text._fanned_tokens`
-    # feeds bigram_lm_nll / bigram_entropy and their consumers; values
-    # oracle-identical at all three SFs + bit-exact audit, plans changed.
+    # Round 11: relational.fan_out_small_scan applied inside
+    # text.bigram_lm_nll / text.bigram_entropy (VERDICT r10 #4), whose
+    # consumers are the four queries below; values oracle-identical at
+    # all three SFs + bit-exact audit, plans changed.
     ("q146_bigram_lm_nll", 11),
     ("q157_domain_selection", 11),
     ("q182_ccnet_buckets", 11),

@@ -348,54 +348,118 @@ def stream_upsert_latest(stream_df: DataFrame, state_dir: str,
     with the key cardinality (thousands), the manifest stays
     driver-resident (one path per bucket), and the version dirs live on
     the shared FS; a lakehouse MERGE (Delta/Iceberg) is the managed
-    equivalent of exactly this layout."""
+    equivalent of exactly this layout.
+
+    REPLAY SAFETY (ADVICE r11): exactly-once under foreachBatch retry
+    requires the batch body to be idempotent even when the first attempt
+    died BETWEEN the parquet write and the bookkeeping. Three guards:
+    (1) manifest/refs are committed atomically AFTER the write — a crash
+    mid-write leaves them untouched, so the retry re-derives the same
+    winners against the same prior paths; (2) ``prev_paths`` never
+    points into the epoch's own version dir — if a crash after the
+    commit leaves the manifest aimed at ``v{epoch}``, the retry falls
+    back to the retained prior dir for those buckets instead of reading
+    the directory it is about to overwrite; (3) reclaim of a fully
+    superseded version dir is deferred one epoch (and the reclaim loop
+    skips ``old_vdir == vdir``), so the fallback in (2) still exists on
+    disk while a retry of the superseding epoch remains possible.
+    Leftover deferred dirs are swept after ``awaitTermination`` — disk
+    stays bounded by one live copy per bucket plus at most one
+    superseded epoch in flight."""
     import os
-    import shutil
 
-    from pyspark.sql import Window
+    state = _BucketedUpsertState(state_dir, key_col, order_cols,
+                                 num_buckets)
+    handle = (stream_df.writeStream.foreachBatch(state.write_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+              .trigger(availableNow=True).start())
+    handle.awaitTermination()
+    return state.finish()
 
-    spark = stream_df.sparkSession
-    bucket_of = F.pmod(F.xxhash64(F.col(key_col)),
-                       F.lit(num_buckets)).cast("int")
-    manifest: dict[int, str] = {}   # bucket -> newest parquet dir
-    refs: dict[str, set[int]] = {}  # version dir -> buckets it serves
-    order = [F.col(c).desc() for c in order_cols]
 
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.withColumn("bucket", bucket_of)
+class _BucketedUpsertState:
+    """Driver-resident bookkeeping for :func:`stream_upsert_latest` —
+    extracted so the foreachBatch retry path (same ``epoch_id`` replayed
+    after a partial first attempt) is directly unit-testable."""
+
+    def __init__(self, state_dir: str, key_col: str,
+                 order_cols: tuple[str, ...], num_buckets: int) -> None:
+        self.state_dir = state_dir
+        self.key_col = key_col
+        self.num_buckets = num_buckets
+        self.bucket_of = F.pmod(F.xxhash64(F.col(key_col)),
+                                F.lit(num_buckets)).cast("int")
+        self.order = [F.col(c).desc() for c in order_cols]
+        self.manifest: dict[int, str] = {}  # bucket -> newest parquet dir
+        self.prior: dict[int, str] = {}     # bucket -> dir served BEFORE
+        #   its newest update (the replay fallback of guard (2))
+        self.refs: dict[str, set[int]] = {}  # version dir -> its buckets
+        self.deferred: dict[str, int] = {}  # superseded dir -> epoch
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        vdir = os.path.join(self.state_dir, f"v{epoch_id}")
+        batch = batch_df.withColumn("bucket", self.bucket_of)
         touched = sorted(r[0] for r in
                          batch.select("bucket").distinct().collect())
-        prev_paths = sorted({manifest[t] for t in touched
-                             if t in manifest})
+
+        def live(t: int) -> str | None:
+            # Guard (2): never read the dir this epoch overwrites — a
+            # retried epoch whose first attempt committed the manifest
+            # falls back to the bucket's retained prior dir.
+            p = self.manifest.get(t)
+            if p is not None and os.path.dirname(p) == vdir:
+                return self.prior.get(t)
+            return p
+
+        prev_paths = sorted({p for t in touched
+                             if (p := live(t)) is not None})
         merged = batch
         if prev_paths:
             # Bucket dirs store the original schema; the bucket is a
             # pure function of the key, so recomputing it is exact.
             prev = (spark.read.parquet(*prev_paths)
-                    .withColumn("bucket", bucket_of))
+                    .withColumn("bucket", self.bucket_of))
             merged = prev.unionByName(batch)
-        w = Window.partitionBy(key_col).orderBy(*order)
+        w = Window.partitionBy(self.key_col).orderBy(*self.order)
         winners = (merged.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
-        vdir = os.path.join(state_dir, f"v{epoch_id}")
         winners.write.partitionBy("bucket").mode("overwrite").parquet(vdir)
-        refs[vdir] = set(touched)
+        # Guard (1): bookkeeping commits only after the write succeeded.
+        self.refs[vdir] = set(touched)
         for t in touched:
-            old = manifest.get(t)
-            manifest[t] = os.path.join(vdir, f"bucket={t}")
-            if old is not None:
-                old_vdir = os.path.dirname(old)
-                refs[old_vdir].discard(t)
-                if not refs[old_vdir]:  # fully superseded — reclaim
-                    shutil.rmtree(old_vdir, ignore_errors=True)
-                    del refs[old_vdir]
+            old = self.manifest.get(t)
+            self.manifest[t] = os.path.join(vdir, f"bucket={t}")
+            if old is None:
+                continue
+            old_vdir = os.path.dirname(old)
+            if old_vdir == vdir:  # retry re-running its own commit
+                continue
+            self.prior[t] = old
+            self.refs[old_vdir].discard(t)
+            if not self.refs[old_vdir]:  # fully superseded — defer
+                self.deferred[old_vdir] = epoch_id
+                del self.refs[old_vdir]
+        # Guard (3): reclaim dirs superseded by an EARLIER epoch — that
+        # epoch has durably committed (this one is running after it), so
+        # no retry can still need them as a read fallback.
+        for d in [d for d, e in self.deferred.items() if e < epoch_id]:
+            shutil.rmtree(d, ignore_errors=True)
+            del self.deferred[d]
 
-    handle = (stream_df.writeStream.foreachBatch(write_batch)
-              .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
-              .trigger(availableNow=True).start())
-    handle.awaitTermination()
-    assert manifest, "stream produced no batches"
-    return sorted(manifest.values())
+    def finish(self) -> list[str]:
+        import shutil
+
+        for d in self.deferred:  # stream done — no retry possible
+            shutil.rmtree(d, ignore_errors=True)
+        self.deferred.clear()
+        assert self.manifest, "stream produced no batches"
+        return sorted(self.manifest.values())
 
 
 def stream_dedup_neardup(stream_df: DataFrame, text_col: str = "text",
