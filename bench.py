@@ -62,6 +62,26 @@ RETIME_UNDER = 8.0
 #: gets filtered. New queries (no history) fall back to RETIME_UNDER.
 RETIME_OVER_FACTOR = 1.5
 
+#: FROZEN POLICY (VERDICT r11 #3/#5) — version stamp carried in every
+#: emitted payload so cross-round trend comparisons can state which
+#: methodology produced each number. bench-v3 =
+#:   * RETIME_UNDER=8.0 min-of-two for sub-8 s queries;
+#:   * RETIME_OVER_FACTOR=1.5 history re-run (asymmetric BY DESIGN: it
+#:     only fires when slower than last close, so it can never surface
+#:     "last close was the outlier" — that is what --close is for);
+#:   * `--close [N]` (default 3): run the FULL suite N times and report
+#:     the per-query MIN across runs. Same-tree close runs are bimodal
+#:     in the 3-8 s text class (q151 3.6/5.4/7.7 s across the three r11
+#:     closes — HotSpot compile-wall contention, measured by
+#:     tools/inflation_probe.py); min-of-N reports the plan cost every
+#:     time, and a REAL regression is slow in all N runs so it still
+#:     shows. Round-close artifacts (BENCH_LOCAL.json) MUST come from
+#:     --close; single-pass runs are for iteration and the driver.
+#: These constants do not move again unless a probe demonstrates a NEW
+#: mechanism (BASELINE.md "Bench methodology" section is the registry
+#: of record for policy versions).
+BENCH_POLICY = "bench-v3"
+
 
 def _last_close_times() -> dict[str, float]:
     try:
@@ -156,21 +176,9 @@ def run_queries(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
     return times
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
-
-    # Subprocess mode: time the listed queries, dump the dict, exit.
-    if len(sys.argv) > 2 and sys.argv[1] == "--partial":
-        out_path, names = sys.argv[2], sys.argv[3:]
-        times = run_queries(names, sf_dir, cpus)
-        with open(out_path, "w") as fh:
-            json.dump(times, fh)
-        return
-
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
+def run_suite(sf_dir: str, cpus: int) -> dict[str, float]:
+    """One full pass over the registry (chunked JVMs), returning the
+    per-query dict — factored out so --close can run it N times."""
     from ds_ga1004_bigdata_project_spark.queries import REGISTRY
 
     names = sorted(REGISTRY)
@@ -214,6 +222,42 @@ def main() -> None:
                 except OSError:
                     pass
             times.update(part)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
+
+    # Subprocess mode: time the listed queries, dump the dict, exit.
+    if len(sys.argv) > 2 and sys.argv[1] == "--partial":
+        out_path, names = sys.argv[2], sys.argv[3:]
+        times = run_queries(names, sf_dir, cpus)
+        with open(out_path, "w") as fh:
+            json.dump(times, fh)
+        return
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    # Close mode (bench-v3): N full passes, per-query MIN — the round-
+    # close artifact protocol. A failed query (-1) in one pass is
+    # overridden by a successful pass; all-failed stays -1.
+    close_runs = 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--close":
+        close_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    if close_runs:
+        times: dict[str, float] = {}
+        for i in range(close_runs):
+            print(f"close pass {i + 1}/{close_runs}", file=sys.stderr)
+            part = run_suite(sf_dir, cpus)
+            for k, v in part.items():
+                prev = times.get(k)
+                ok = [t for t in (prev, v) if t is not None and t >= 0]
+                times[k] = round(min(ok), 3) if ok else -1.0
+    else:
+        times = run_suite(sf_dir, cpus)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     payload = {
@@ -222,6 +266,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "policy": BENCH_POLICY,
+        "close_runs": close_runs or 1,
     }
     # The driver's stdout capture truncates the tail (r3/r4 both recorded
     # "parsed: null", losing the q01-q27 head) — also persist the full
@@ -234,7 +280,9 @@ def main() -> None:
     # judge had to reconcile. The committed BENCH_LOCAL.json now only
     # changes when the round-close runner explicitly asks for it via
     # SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json.
-    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_SCRATCH.json")
+    out_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LOCAL.json" if close_runs else "BENCH_SCRATCH.json")
     try:
         with open(os.path.join(REPO, out_name), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
