@@ -4,7 +4,7 @@
 The §100× dossier names the stop-list passthrough as q152's first
 cluster knob but until round 10 it had no measured row. This tool runs
 `dedup.leakage_safe_split` over the sf0.1 corpus and the real-shaped 10×
-corpus (tools/stress_10x.py's token-bijection construction — constant
+corpus (tools/stress.py's --corpus salted token-bijection construction — constant
 dup density, no cross-replica collisions) twice each: cap disengaged
 (None) and engaged (--cap, default 12 — sized from the measured shingle
 df distribution: every true >=0.6 pair at sf0.1 meets on a shingle with
