@@ -9326,6 +9326,690 @@ def q219_stream_lag_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-12 wave: event analytics (funnel / cohorts / gap-fill /
+# concurrency / paths / trends), corpus economics (vocab coverage,
+# Gini), privacy (l-diversity) and embedding compression (q220-q230;
+# COVERAGE.md growth-policy rule 2 — deferred to the r13 window,
+# tri-SF parity + exact audit locally)
+# =====================================================================
+
+@_register(
+    "q220_l_diversity",
+    survey="net-new l-diversity privacy audit (distinct sensitive values per quasi-identifier group — the release gate k-anonymity alone misses: a large group whose members all share one sensitive value still leaks it; Machanavajjhala et al. 2007)",
+    oracle="""
+        WITH g AS (
+          SELECT source, n_chars // 256 AS len_bucket,
+                 count(*) AS grp_n, count(DISTINCT lang) AS l
+          FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_groups_low_l,
+               CAST(sum(CASE WHEN l < 3 THEN grp_n ELSE 0 END) AS BIGINT)
+                 AS n_docs_at_risk
+        FROM g GROUP BY source ORDER BY source
+    """,
+)
+def q220_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the q210 quasi-identifier tuple: a QI
+    group (source, length-bucket) whose members span fewer than l=3
+    distinct sensitive values (lang) leaks the sensitive attribute even
+    when the group is k-anonymous — the homogeneity attack k-anonymity
+    alone misses. Two map-side-combined aggregations (QI histogram with
+    a countDistinct, then a per-source rollup); exact integers end to
+    end; the QI relation is attribute-domain-bounded at any corpus
+    size."""
+    docs = Catalog(spark, sf_dir).documents
+    g = (docs.groupBy("source",
+                      F.expr("n_chars div 256").alias("len_bucket"))
+         .agg(F.count(F.lit(1)).alias("grp_n"),
+              F.countDistinct("lang").alias("l")))
+    low = F.col("l") < 3
+    return (g.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.min("l").alias("min_l"),
+                 F.sum(F.when(low, 1).otherwise(0)).alias("n_groups_low_l"),
+                 F.sum(F.when(low, F.col("grp_n")).otherwise(0))
+                 .alias("n_docs_at_risk"))
+            .orderBy("source"))
+
+
+@_register(
+    "q221_event_funnel",
+    survey="net-new ordered event funnel (view -> click -> purchase with strictly-increasing first-occurrence times; per-stage user counts + mean hours from the previous stage — the product-analytics conversion read)",
+    oracle="""
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          GROUP BY e.user_id),
+        d2 AS (SELECT epoch_us(t2.t2) - epoch_us(t1.t1) AS dus
+               FROM t2 JOIN t1 USING (user_id)),
+        d3 AS (SELECT epoch_us(t3.t3) - epoch_us(t2.t2) AS dus
+               FROM t3 JOIN t2 USING (user_id))
+        SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+               (SELECT count(*) FROM t1) AS n_users,
+               CAST(NULL AS DOUBLE) AS mean_hours_from_prev
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM t2),
+               round(CAST((SELECT sum(dus) FROM d2) AS DOUBLE)
+                     / (SELECT count(*) FROM d2) / 3600000000.0, 4)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM t3),
+               round(CAST((SELECT sum(dus) FROM d3) AS DOUBLE)
+                     / (SELECT count(*) FROM d3) / 3600000000.0, 4)
+        ORDER BY stage_idx
+    """,
+)
+def q221_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: t1 = first 'view'; t2 = first 'click'
+    STRICTLY after t1; t3 = first 'purchase' strictly after t2 — the
+    sequenced-first-occurrence rule, not mere per-type minima (a click
+    before any view never converts). Three user-keyed conditional-min
+    aggregations, each joining the previous stage's (user, t) relation
+    on its natural key — no window ever sees the event relation
+    unpartitioned, and each stage's frame shrinks monotonically.
+    Timestamps difference as exact epoch-microsecond integers; the mean
+    hours-from-previous-stage is one fixed IEEE expression over exact
+    ints, rounded once."""
+    ev = Catalog(spark, sf_dir).events
+    t1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+
+    def _stage(idx, label, users, delta_us):
+        n = users.agg(F.count(F.lit(1)).alias("n_users"))
+        if delta_us is None:
+            return n.select(
+                F.lit(idx).cast("int").alias("stage_idx"),
+                F.lit(label).alias("stage"), "n_users",
+                F.lit(None).cast("double").alias("mean_hours_from_prev"))
+        d = delta_us.agg(
+            F.sum("dus").alias("s"), F.count(F.lit(1)).alias("n"))
+        mean = F.round(F.col("s").cast("double") / F.col("n")
+                       / F.lit(3600000000.0), 4)
+        return (n.crossJoin(d).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(label).alias("stage"), "n_users",
+            mean.alias("mean_hours_from_prev")))
+
+    def _us(c):
+        # catalog timestamps surface as TIMESTAMP_NTZ; the cast is
+        # session-TZ-dependent but the DIFFERENCE cancels the offset
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    d2 = (t2.join(t1, "user_id")
+          .select((_us("t2") - _us("t1")).alias("dus")))
+    d3 = (t3.join(t2, "user_id")
+          .select((_us("t3") - _us("t2")).alias("dus")))
+    return (_stage(1, "view", t1, None)
+            .unionByName(_stage(2, "click", t2, d2))
+            .unionByName(_stage(3, "purchase", t3, d3))
+            .orderBy("stage_idx"))
+
+
+@_register(
+    "q222_retention_cohorts",
+    survey="net-new retention cohort matrix (first-active week cohort x week-offset distinct-active-user counts — the classic retention triangle, on engine-exact integer week indices)",
+    oracle="""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                   AS wk
+          FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+        SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+               CAST(uw.wk - c.cohort AS BIGINT) AS week_offset,
+               count(*) AS n_users
+        FROM uw JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q222_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first-active week, counted
+    in every (cohort, week-offset) cell they were active in. Week index
+    is a PURE INTEGER (days since 2024-01-01 div 7) — field-based date
+    arithmetic, no timezone or ISO-week-boundary semantics to disagree
+    on. The (user, week) relation deduplicates FIRST (one user-keyed
+    shuffle), so the cohort join and the cell rollup both run on the
+    activity-bounded relation, never the raw event stream; the output
+    is weeks²-bounded at any scale."""
+    ev = Catalog(spark, sf_dir).events
+    # integer division: datediff >= 0 here, so floor == trunc == div
+    uw = (ev.select("user_id",
+                    F.expr("CAST(datediff(CAST(ts AS DATE), "
+                           "DATE '2024-01-01') div 7 AS BIGINT)")
+                    .alias("wk"))
+          .distinct())
+    c = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (uw.join(c, "user_id")
+            .groupBy(F.col("cohort").alias("cohort_week"),
+                     (F.col("wk") - F.col("cohort")).alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+@_register(
+    "q223_embedding_quantization",
+    survey="net-new int8 scalar-quantization error audit (per-dimension min-max quantize -> dequantize -> per-label reconstruction error; the vector-store compression planning read beside q117's quantized search)",
+    oracle="""
+        WITH d AS (
+          SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        r AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM d GROUP BY dim),
+        q AS (
+          SELECT d.label,
+                 round(abs(d.v - (r.lo +
+                       (CASE WHEN r.hi = r.lo THEN 0.0
+                             ELSE floor((d.v - r.lo) / (r.hi - r.lo)
+                                        * 127 + 0.5) END)
+                       * (r.hi - r.lo) / 127)), 7) AS err
+          FROM d JOIN r USING (dim))
+        SELECT label, count(*) AS n_values,
+               round(CAST(sum(CAST(err AS DECIMAL(18,7))) AS DOUBLE)
+                     / count(*), 7) AS mean_abs_err,
+               CAST(max(CAST(err AS DECIMAL(18,7))) AS DOUBLE)
+                 AS max_abs_err
+        FROM q GROUP BY label ORDER BY label
+    """,
+)
+def q223_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization audit: per-dimension min-max ranges
+    (the 64-row dim relation — a broadcast at any corpus size), each
+    value quantized to its 0..127 level with floor(x+0.5) (identical
+    half-up in both engines, unlike round-to-even library calls),
+    dequantized, and the absolute reconstruction error rolled up per
+    label. Float32 inputs widen to double EXACTLY, every derived
+    expression is a fixed-shape IEEE computation on identical operands,
+    and the error rounds once at 7 dp before the exact DECIMAL mean.
+    The ordinal explode shuffles on dim (64 keys); everything after the
+    range join is label-keyed."""
+    emb = Catalog(spark, sf_dir).embeddings
+    d = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select("label", "dim", F.col("vf").cast("double").alias("v"))
+    r = d.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    qv = (F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+          .otherwise(F.floor((F.col("v") - F.col("lo"))
+                             / (F.col("hi") - F.col("lo"))
+                             * 127 + 0.5).cast("double")))
+    err = F.round(
+        F.abs(F.col("v") - (F.col("lo")
+                            + qv * (F.col("hi") - F.col("lo")) / 127)),
+        7).cast("decimal(18,7)")
+    e = d.join(F.broadcast(r), "dim").select("label", err.alias("err"))
+    return (e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_values"),
+                 F.round(F.sum("err").cast("double")
+                         / F.count(F.lit(1)), 7).alias("mean_abs_err"),
+                 F.max("err").cast("double").alias("max_abs_err"))
+            .orderBy("label"))
+
+
+@_register(
+    "q224_vocab_coverage",
+    survey="net-new vocabulary coverage curve (token mass covered by the top-K frequency-ranked types at K=100/1k/5k — the OOV-rate-vs-vocab-size planning read behind tokenizer sizing; complements q185 Heaps and q180 Zipf)",
+    oracle="""
+        WITH f AS (
+          SELECT t, count(*) AS c FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents)
+          GROUP BY t),
+        r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rnk
+              FROM f),
+        tot AS (SELECT sum(c) AS total_mass, count(*) AS n_types FROM f),
+        ks AS (SELECT unnest([100, 1000, 5000]) AS k),
+        cov AS (
+          SELECT ks.k,
+                 sum(CASE WHEN r.rnk <= ks.k THEN r.c ELSE 0 END)
+                   AS covered_mass
+          FROM r CROSS JOIN ks GROUP BY ks.k)
+        SELECT CAST(cov.k AS INTEGER) AS k,
+               CAST(tot.n_types AS BIGINT) AS n_types,
+               CAST(cov.covered_mass AS BIGINT) AS covered_mass,
+               CAST(tot.total_mass AS BIGINT) AS total_mass,
+               round(CAST(cov.covered_mass AS DOUBLE)
+                     / CAST(tot.total_mass AS DOUBLE), 6) AS coverage
+        FROM cov CROSS JOIN tot ORDER BY k
+    """,
+)
+def q224_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus token MASS
+    the top-K frequency-ranked types cover, at K = 100 / 1000 / 5000 —
+    the truncation-OOV tradeoff a tokenizer vocab size is chosen on.
+    The frequency rank comes from ``ranks.global_row_numbers`` (range-
+    partitioned — the oracle's single-partition row_number never
+    executes at corpus scale), and each K's covered mass is a
+    CONDITIONAL SUM in one aggregate pass over the vocab relation — no
+    cumulative window over the vocabulary exists in the engine plan.
+    Coverage is one IEEE divide of exact integers, rounded once."""
+    from .operators import ranks
+
+    caches: list[DataFrame] = []
+    try:
+        docs = Catalog(spark, sf_dir).documents
+        freq = (docs.select(F.explode(
+            T.ws_tokens(F.lower(F.col("text")))).alias("t"))
+            .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+        ranked = ranks.global_row_numbers(
+            freq, [F.col("c").desc(), F.col("t").asc()],
+            out_col="rnk", caches=caches)
+        ks = (100, 1000, 5000)
+        row = ranked.agg(
+            F.sum("c").alias("total_mass"),
+            F.count(F.lit(1)).alias("n_types"),
+            *[F.sum(F.when(F.col("rnk") <= k, F.col("c")).otherwise(0))
+              .alias(f"c{k}") for k in ks])
+        out = (row.selectExpr(
+            "n_types", "total_mass",
+            "stack(3, 100, c100, 1000, c1000, 5000, c5000) "
+            "AS (k, covered_mass)")
+            .select(F.col("k").cast("int").alias("k"), "n_types",
+                    "covered_mass", "total_mass",
+                    F.round(F.col("covered_mass").cast("double")
+                            / F.col("total_mass").cast("double"), 6)
+                    .alias("coverage"))
+            .orderBy("k"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+@_register(
+    "q225_value_trend_slopes",
+    survey="net-new grouped OLS trend slopes (per-event-type least-squares slope of value over event-time hours from exact DECIMAL moment sums — the drift detector; the q198 moment discipline applied to time)",
+    oracle="""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                      * 24 + EXTRACT(hour FROM ts) AS BIGINT) AS x,
+                 CAST(round(value, 4) AS DECIMAL(18,4)) AS y
+          FROM events),
+        m AS (
+          SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+                 sum(y) AS sy, sum(x*y) AS sxy
+          FROM b GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               round(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+        FROM m ORDER BY event_type
+    """,
+)
+def q225_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value drift: the ordinary-least-squares slope of event
+    value against event-time (hours since the epoch of the dataset),
+    computed from five moment sums in ONE map-side-combined aggregate.
+    x is a pure-integer hour index (field-based date arithmetic — no
+    timezone semantics); y rounds once at 4 dp and sums as exact
+    DECIMAL; the slope is a fixed IEEE expression over exact operands,
+    bit-identical cross-engine (the q198 Pearson discipline). Products
+    are computed in DECIMAL(38) so the closed form survives corpus
+    sizes where n·Σx² overflows int64."""
+    ev = Catalog(spark, sf_dir).events
+    x = (F.datediff(F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date")) * 24
+         + F.hour("ts")).cast("long")
+    y = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    b = ev.select("event_type", x.alias("x"), y.alias("y"))
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    dec = "decimal(38,4)"
+    deci = "decimal(38,0)"
+    num = (F.col("n").cast(deci) * F.col("sxy").cast(dec)
+           - F.col("sx").cast(deci) * F.col("sy").cast(dec))
+    den = (F.col("n").cast(deci) * F.col("sxx").cast(deci)
+           - F.col("sx").cast(deci) * F.col("sx").cast(deci))
+    return (m.select("event_type", F.col("n").alias("n_events"),
+                     F.round(num.cast("double") / den.cast("double"), 6)
+                     .alias("slope"))
+            .orderBy("event_type"))
+
+
+@_register(
+    "q226_gapfill_hourly",
+    survey="net-new gap-filled hourly series audit (dense hour x type grid via sequence explode, zero-filled; silent-hour counts + longest outage run per type — the time-series completeness check dashboards need before trusting a rollup)",
+    oracle="""
+        WITH e AS (SELECT date_trunc('hour', ts) AS hr, event_type
+                   FROM events),
+        c AS (SELECT hr, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+        b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+        h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+              FROM b),
+        t AS (SELECT DISTINCT event_type FROM e),
+        g AS (
+          SELECT h.hr, t.event_type, coalesce(c.c, 0) AS c,
+                 row_number() OVER (PARTITION BY t.event_type
+                                    ORDER BY h.hr) AS idx
+          FROM h CROSS JOIN t
+          LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type),
+        gr AS (
+          SELECT event_type,
+                 idx - row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hr) AS grp
+          FROM g WHERE c = 0),
+        mr AS (
+          SELECT event_type, max(cnt) AS max_gap_run FROM (
+            SELECT event_type, grp, count(*) AS cnt FROM gr GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT g.event_type, count(*) AS n_hours,
+               CAST(sum(CASE WHEN g.c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gap_hours,
+               CAST(coalesce(min(mr.max_gap_run), 0) AS BIGINT)
+                 AS max_gap_run,
+               CAST(sum(g.c) AS BIGINT) AS n_events
+        FROM g LEFT JOIN mr USING (event_type)
+        GROUP BY g.event_type ORDER BY g.event_type
+    """,
+)
+def q226_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-completeness audit: the dense hour×type grid (sequence
+    explode of the observed hour range crossed with the type dimension)
+    left-joins the hourly counts, zero-fills, and reports silent hours
+    plus the LONGEST consecutive outage per type (islands via the
+    idx − row_number constant-key trick). Every window runs on the
+    GRID relation — hours × types, time-range-bounded, never the event
+    stream — and the hourly counts are one map-side-combined aggregate;
+    exact integers end to end."""
+    ev = Catalog(spark, sf_dir).events.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type")
+    counts = ev.groupBy("hr", "event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    types = ev.select("event_type").distinct()
+    w = Window.partitionBy("event_type").orderBy("hr")
+    g = (hours.crossJoin(F.broadcast(types))
+         .join(counts, ["hr", "event_type"], "left")
+         .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+         .withColumn("idx", F.row_number().over(w)))
+    runs = (g.filter(F.col("c") == 0)
+            .withColumn("grp", F.col("idx") - F.row_number().over(w))
+            .groupBy("event_type", "grp")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    mr = runs.groupBy("event_type").agg(F.max("cnt").alias("max_gap_run"))
+    return (g.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+                 .alias("n_gap_hours"),
+                 F.sum("c").alias("n_events"))
+            .join(mr, "event_type", "left")
+            .select("event_type", "n_hours", "n_gap_hours",
+                    F.coalesce(F.col("max_gap_run"), F.lit(0))
+                    .cast("long").alias("max_gap_run"), "n_events")
+            .orderBy("event_type"))
+
+
+@_register(
+    "q227_session_paths",
+    survey="net-new session path mining (top-20 within-session event-type trigrams from the q24 gap sessionization — the navigation-pattern read behind UX/funnel design)",
+    oracle="""
+        WITH m AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+        t AS (
+          SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                 || '>' || lead(event_type, 2) OVER w2 AS path,
+                 lead(event_type, 2) OVER w2 AS third
+          FROM s
+          WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+        SELECT path, count(*) AS cnt
+        FROM t WHERE third IS NOT NULL
+        GROUP BY path ORDER BY cnt DESC, path ASC LIMIT 20
+    """,
+)
+def q227_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: q24's gap sessionization (lag + cumulative
+    new-session markers over the (ts, event_id) total order), then each
+    in-session position emits its forward event-type trigram via two
+    leads — the sliding path n-gram, computed by WINDOWS on the
+    user-keyed relation, never a self-join. Global top-20 via
+    TakeOrderedAndProject with the (count desc, path asc) total
+    order."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = (ev.withColumn(
+        "ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    t = s.select(
+        F.concat(F.col("event_type"), F.lit(">"),
+                 F.lead("event_type", 1).over(w2), F.lit(">"),
+                 F.lead("event_type", 2).over(w2)).alias("path"),
+        F.lead("event_type", 2).over(w2).alias("third"))
+    paths = (t.filter(F.col("third").isNotNull())
+             .groupBy("path").agg(F.count(F.lit(1)).alias("cnt")))
+    return rel.global_topn(
+        paths, [F.col("cnt").desc(), F.col("path").asc()], 20)
+
+
+@_register(
+    "q228_session_concurrency",
+    survey="net-new session concurrency profile (sessions exploded into covered hours -> per-hour live-session counts -> daily peak/active rollup; the interval-to-bins decomposition that replaces an interval self-join)",
+    oracle="""
+        WITH m AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+        sess AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+                 FROM s GROUP BY 1, 2),
+        hrs AS (
+          SELECT user_id, sid,
+                 unnest(generate_series(date_trunc('hour', st),
+                                        date_trunc('hour', en),
+                                        INTERVAL 1 HOUR)) AS hr
+          FROM sess),
+        hourly AS (SELECT hr, count(*) AS nconc FROM hrs GROUP BY hr),
+        d1 AS (SELECT CAST(hr AS DATE) AS day, max(nconc) AS peak,
+                      count(*) AS n_active_hours
+               FROM hourly GROUP BY 1),
+        d2 AS (SELECT day, count(*) AS n_sessions FROM (
+                 SELECT DISTINCT CAST(hr AS DATE) AS day, user_id, sid
+                 FROM hrs) GROUP BY day)
+        SELECT strftime(d1.day, '%Y-%m-%d') AS day,
+               CAST(d1.peak AS BIGINT) AS peak_concurrent,
+               CAST(d1.n_active_hours AS BIGINT) AS n_active_hours,
+               CAST(d2.n_sessions AS BIGINT) AS n_sessions
+        FROM d1 JOIN d2 USING (day) ORDER BY day
+    """,
+)
+def q228_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency profile: each session (q24 gap rule) explodes into
+    the hours it covers (sequence between its truncated endpoints — the
+    interval→bins decomposition, whose fan-out is bounded by session
+    duration in hours), live sessions count per hour, and the day rolls
+    up peak concurrency, active hours, and distinct sessions touched.
+    No interval self-join ever forms; all shuffles are hour- or
+    day-keyed after the session aggregation."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = (ev.withColumn(
+        "ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en"))
+    hrs = sess.select(
+        "user_id", "sid",
+        F.explode(F.sequence(F.date_trunc("hour", F.col("st")),
+                             F.date_trunc("hour", F.col("en")),
+                             F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    hourly = hrs.groupBy("hr").agg(F.count(F.lit(1)).alias("nconc"))
+    day = F.date_format(F.col("hr").cast("date"), "yyyy-MM-dd")
+    d1 = (hourly.groupBy(day.alias("day"))
+          .agg(F.max("nconc").alias("peak_concurrent"),
+               F.count(F.lit(1)).alias("n_active_hours")))
+    d2 = (hrs.select(day.alias("day"), "user_id", "sid").distinct()
+          .groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions")))
+    return (d1.join(d2, "day")
+            .select("day", F.col("peak_concurrent").cast("long"),
+                    F.col("n_active_hours"), F.col("n_sessions"))
+            .orderBy("day"))
+
+
+@_register(
+    "q229_token_gini",
+    survey="net-new token-mass Gini coefficient per source (inequality of the document length distribution from the value-distinct histogram — the corpus-balance read behind packing and sampling plans)",
+    oracle="""
+        WITH s AS (
+          SELECT source, len(string_split_regex(text, '\\s+')) AS tok
+          FROM documents),
+        h AS (SELECT source, tok, count(*) AS c FROM s GROUP BY 1, 2),
+        w AS (
+          SELECT source, tok, c,
+                 coalesce(sum(c) OVER (PARTITION BY source ORDER BY tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cumb
+          FROM h),
+        m AS (
+          SELECT source, sum(c) AS n, sum(tok * c) AS s,
+                 sum(tok * c * (2 * cumb + c + 1)) AS a2
+          FROM w GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(s AS BIGINT) AS total_tokens,
+               round(CAST(a2 - (n + 1) * s AS DOUBLE)
+                     / CAST(n * s AS DOUBLE), 6) AS gini
+        FROM m ORDER BY source
+    """,
+)
+def q229_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass inequality per source: the Gini coefficient of the
+    document length distribution, computed from the per-source
+    (length, count) HISTOGRAM with tie-aware average ranks — 2·w̄ for a
+    tie group is the exact integer 2·cum_before + c + 1, so the whole
+    closed form G = (2Σwx − (n+1)Σx) / (nΣx) is integer arithmetic
+    until one final IEEE divide (rounded once). The cumulative window
+    runs over VALUE-DISTINCT histogram rows (the q207/q211 value-domain
+    discipline), never the corpus; engine products are computed in
+    DECIMAL(38) so the form survives corpus sizes where the rank-sum
+    overflows int64."""
+    docs = Catalog(spark, sf_dir).documents
+    s = docs.select(
+        "source", F.size(T.ws_tokens(F.col("text"))).cast("long")
+        .alias("tok"))
+    h = s.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (Window.partitionBy("source").orderBy("tok")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    deci = "decimal(38,0)"
+    w = h.withColumn("cumb", F.coalesce(F.sum("c").over(wcum), F.lit(0)))
+    a2_term = (F.col("tok").cast(deci) * F.col("c").cast(deci)
+               * (2 * F.col("cumb") + F.col("c") + 1).cast(deci))
+    m = w.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("tok") * F.col("c")).alias("s"),
+        F.sum(a2_term).alias("a2"))
+    num = (F.col("a2")
+           - (F.col("n") + 1).cast(deci) * F.col("s").cast(deci))
+    den = F.col("n").cast(deci) * F.col("s").cast(deci)
+    return (m.select("source", F.col("n").alias("n_docs"),
+                     F.col("s").alias("total_tokens"),
+                     F.round(num.cast("double") / den.cast("double"), 6)
+                     .alias("gini"))
+            .orderBy("source"))
+
+
+@_register(
+    "q230_stream_funnel_stages",
+    survey="net-new streaming stateful funnel (applyInPandasWithState tracks each user's ordered stage-first-occurrence times across micro-batches; the q221 batch funnel run ON the streaming engine — widens the certified stateful surface beside q63/q219)",
+    oracle="""
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+          GROUP BY e.user_id),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          GROUP BY e.user_id)
+        SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+               (SELECT count(*) FROM t1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM t2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+        ORDER BY stage_idx
+    """,
+)
+def q230_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q221 funnel ON the streaming engine: events flow through
+    ``applyInPandasWithState`` carrying (t1, t2, t3) first-occurrence
+    epoch-micros per user across micro-batches
+    (:func:`streaming.events.funnel_stage_stream`); the in-order greedy
+    scan computes exactly the batch rule's sequenced minima. The
+    emitted per-user stage is MONOTONE across batches, so the certified
+    rollup aggregates ``max(stage)`` per user — a batching-invariant —
+    and the oracle is the batch funnel itself. Cross-batch carry is
+    pinned separately by the 4-file maxFilesPerTrigger=1 unit test."""
+    import os
+
+    from .streaming import events as SE
+
+    name = f"q230_funnel_{next(_STREAM_SEQ)}"
+    stream = SE.read_event_stream_auto(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    staged = SE.funnel_stage_stream(stream)
+    SE.run_available_now(staged, name, output_mode="append")
+    per_user = (spark.table(name).groupBy("user_id")
+                .agg(F.max("stage").alias("stage")))
+    row = per_user.agg(
+        *[F.sum(F.when(F.col("stage") >= k, 1).otherwise(0))
+          .cast("long").alias(f"s{k}") for k in (1, 2, 3)])
+    labels = F.array(F.lit("view"), F.lit("click"), F.lit("purchase"))
+    return (row.selectExpr(
+        "stack(3, 1, s1, 2, s2, 3, s3) AS (stage_idx, n_users)")
+        .select(F.col("stage_idx").cast("int").alias("stage_idx"),
+                F.element_at(labels, F.col("stage_idx")).alias("stage"),
+                "n_users")
+        .orderBy("stage_idx"))
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver certifies the FIRST 50 entries of ``queries()`` in dict
@@ -9406,6 +10090,11 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q215_stream_modulo_sample", "q216_gate_ablation",
     "q217_lang_mix_chisq", "q218_source_vocab_overlap",
     "q219_stream_lag_enrich",
+    "q220_l_diversity", "q221_event_funnel", "q222_retention_cohorts",
+    "q223_embedding_quantization", "q224_vocab_coverage",
+    "q225_value_trend_slopes", "q226_gapfill_hourly",
+    "q227_session_paths", "q228_session_concurrency",
+    "q229_token_gini", "q230_stream_funnel_stages",
 )
 
 
@@ -9578,17 +10267,17 @@ _ANCHOR = "q01_top_parts"
 #: (tests/test_oracle_parity.py) + the strict driver replica
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
-    "q209_stream_windowed_topk",
-    "q210_k_anonymity",
-    "q211_mad_outliers",
-    "q212_token_mass_quantiles",
-    "q213_dedup_funnel",
-    "q214_embedding_dispersion",
-    "q215_stream_modulo_sample",
-    "q216_gate_ablation",
-    "q217_lang_mix_chisq",
-    "q218_source_vocab_overlap",
-    "q219_stream_lag_enrich",
+    "q220_l_diversity",
+    "q221_event_funnel",
+    "q222_retention_cohorts",
+    "q223_embedding_quantization",
+    "q224_vocab_coverage",
+    "q225_value_trend_slopes",
+    "q226_gapfill_hourly",
+    "q227_session_paths",
+    "q228_session_concurrency",
+    "q229_token_gini",
+    "q230_stream_funnel_stages",
 )
 
 #: The deferral self-expires: it only applies while the newest
@@ -9607,7 +10296,12 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
 #: CORRECTNESS_r10 — those ten lead the r11 window; the round-11
 #: additions (q209–q218) defer in their place so the 15 scheduled
 #: r6-vintage refreshes (VERDICT r10 #3, q125–q139) keep their slots.
-_DEFERRED_AS_OF_ROUND = 10
+#: Round 12: the r11 wave's deferral (q209–q219) dissolved on
+#: CORRECTNESS_r11 — those eleven lead the r12 window (with the four
+#: r12 changed-tier entries and the anchor: 16-slot front, 34 refresh
+#: slots for the 26 r7-vintage certificates VERDICT r11 #4 ordered);
+#: the round-12 additions (q220–q230) defer in their place.
+_DEFERRED_AS_OF_ROUND = 11
 
 
 def _active_deferrals(latest: dict[str, int]) -> set[str]:

@@ -489,6 +489,60 @@ def stream_dedup_neardup(stream_df: DataFrame, text_col: str = "text",
     return signed.dropDuplicates(["simhash"])
 
 
+def funnel_stage_stream(events: DataFrame,
+                        stages: tuple[str, str, str] = ("view", "click",
+                                                        "purchase"),
+                        ) -> DataFrame:
+    """Cross-batch stateful funnel progression: per user, record the
+    first-occurrence time of each stage in order (stage k+1 counts only
+    STRICTLY after the recorded stage-k time) and emit the furthest
+    stage reached so far. State = three epoch-microsecond timestamps per
+    user (0 = unset); the emitted stage is MONOTONE non-decreasing
+    across batches, so ``max(stage)`` per user is batching-invariant —
+    the certified rollup (q230) aggregates that invariant, never
+    per-batch row identities.
+
+    Equivalent to the batch rule ``t1 = min ts(stage1); t2 = min
+    ts(stage2 | ts > t1); t3 = min ts(stage3 | ts > t2)`` — the
+    in-order greedy scan computes exactly those minima. Assumes
+    per-user in-order arrival ACROSS batches (the q219 contract);
+    rows WITHIN a batch are sorted before the scan."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s1, s2, s3 = stages
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        t = list(state.get) if state.exists else [0, 0, 0]
+        batch = (pd.concat(list(pdfs))
+                 .sort_values(["us", "event_id"]))
+        for us, typ in zip(batch["us"], batch["event_type"]):
+            us = int(us)
+            if typ == s1 and t[0] == 0:
+                t[0] = us
+            elif typ == s2 and t[0] > 0 and us > t[0] and t[1] == 0:
+                t[1] = us
+            elif typ == s3 and t[1] > 0 and us > t[1] and t[2] == 0:
+                t[2] = us
+        state.update((t[0], t[1], t[2]))
+        stage = sum(1 for v in t if v > 0)
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (
+        events.select("user_id", "event_id", "event_type",
+                      F.unix_micros("ts").alias("us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, stage int",
+            stateStructType="t1 bigint, t2 bigint, t3 bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def lag_enrich_stream(events: DataFrame) -> DataFrame:
     """Cross-batch stateful lag enrichment: attach each user's PREVIOUS
     event value to every incoming event — the streaming twin of

@@ -549,6 +549,42 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 16k. stateful lag enrichment (online deltas, streaming) --")
     REGISTRY["q219_stream_lag_enrich"].build(spark, sf_dir).show(5)
 
+    print("== 17. round-12 wave: event analytics, corpus economics, "
+          "privacy depth ==")
+
+    print("-- 17a. l-diversity audit (sensitive-value homogeneity) --")
+    REGISTRY["q220_l_diversity"].build(spark, sf_dir).show(5)
+
+    print("-- 17b. ordered event funnel (sequenced conversion) --")
+    REGISTRY["q221_event_funnel"].build(spark, sf_dir).show()
+
+    print("-- 17c. retention cohort matrix (weekly triangle) --")
+    REGISTRY["q222_retention_cohorts"].build(spark, sf_dir).show(5)
+
+    print("-- 17d. int8 quantization error audit (vector compression) --")
+    REGISTRY["q223_embedding_quantization"].build(spark, sf_dir).show(5)
+
+    print("-- 17e. vocabulary coverage curve (OOV vs vocab size) --")
+    REGISTRY["q224_vocab_coverage"].build(spark, sf_dir).show()
+
+    print("-- 17f. grouped OLS trend slopes (value drift) --")
+    REGISTRY["q225_value_trend_slopes"].build(spark, sf_dir).show()
+
+    print("-- 17g. gap-filled hourly series audit (silent hours) --")
+    REGISTRY["q226_gapfill_hourly"].build(spark, sf_dir).show()
+
+    print("-- 17h. session path mining (top trigrams) --")
+    REGISTRY["q227_session_paths"].build(spark, sf_dir).show(5)
+
+    print("-- 17i. session concurrency profile (daily peaks) --")
+    REGISTRY["q228_session_concurrency"].build(spark, sf_dir).show(5)
+
+    print("-- 17j. token-mass Gini (corpus balance) --")
+    REGISTRY["q229_token_gini"].build(spark, sf_dir).show(5)
+
+    print("-- 17k. stateful funnel on the streaming engine --")
+    REGISTRY["q230_stream_funnel_stages"].build(spark, sf_dir).show()
+
     spark.stop()
 
 

@@ -285,6 +285,39 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "stream-lag": ((
         "q219_stream_lag_enrich",),
         "stateful lag enrichment", None),
+    "l-diversity": ((
+        "q220_l_diversity",),
+        "l-diversity audit", None),
+    "event-funnel": ((
+        "q221_event_funnel",),
+        "ordered event funnel", None),
+    "retention": ((
+        "q222_retention_cohorts",),
+        "retention cohort matrix", None),
+    "quantization-error": ((
+        "q223_embedding_quantization",),
+        "int8 quantization error audit", None),
+    "vocab-coverage": ((
+        "q224_vocab_coverage",),
+        "vocabulary coverage curve", None),
+    "trend-slopes": ((
+        "q225_value_trend_slopes",),
+        "grouped OLS trend slopes", None),
+    "gapfill": ((
+        "q226_gapfill_hourly",),
+        "gap-filled hourly series audit", None),
+    "session-paths": ((
+        "q227_session_paths",),
+        "session path mining", None),
+    "session-concurrency": ((
+        "q228_session_concurrency",),
+        "session concurrency profile", None),
+    "token-gini": ((
+        "q229_token_gini",),
+        "token-mass Gini", None),
+    "stream-funnel": ((
+        "q230_stream_funnel_stages",),
+        "stateful funnel on the streaming engine", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

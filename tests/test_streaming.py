@@ -505,3 +505,67 @@ def test_stream_upsert_1k_keys_64_buckets_rewrite_proportional(
     got = {(r.user_id, r.event_id, r.value)
            for r in spark.read.parquet(*final).collect()}
     assert got == want
+
+
+def test_funnel_stage_stream_cross_batch_carry(spark, tmp_path):
+    """q230's foundation: the stateful funnel must carry (t1, t2, t3)
+    ACROSS micro-batches — a user whose view/click/purchase arrive in
+    three different batches still reaches stage 3, and out-of-order
+    stages never count (a click before any view is ignored). Drain the
+    same events as 4 files with maxFilesPerTrigger=1 and as 1 file;
+    max(stage) per user must be identical and equal the batch rule."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, uid, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ)
+
+    # user 1: full funnel split across batches; user 2: click BEFORE
+    # view (stage stalls at 1); user 3: view+click same batch, purchase
+    # at the exact click timestamp (strictly-after excludes it: stage 2)
+    batches = [
+        [ev(1, 0, 1, "view"), ev(2, 0, 2, "click")],
+        [ev(3, 10, 1, "click"), ev(4, 10, 2, "view")],
+        [ev(5, 20, 1, "purchase"),
+         ev(6, 20, 3, "view"), ev(7, 25, 3, "click")],
+        [ev(8, 25, 3, "purchase"), ev(9, 40, 2, "error")],
+    ]
+    want = {1: 3, 2: 1, 3: 2}
+
+    ddl = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def drain(rows_batches, tag, **opts):
+        # one spark-written file per batch, increasing mtimes so the
+        # file source delivers them in list order (upsert-test recipe)
+        import os
+
+        src = tmp_path / f"funnel_src_{tag}"
+        src.mkdir()
+        for i, rows in enumerate(rows_batches):
+            df = spark.createDataFrame(rows, ddl)
+            staging = str(tmp_path / f"funnel_stage_{tag}_{i}")
+            df.coalesce(1).write.parquet(staging)
+            part = next(p for p in os.listdir(staging)
+                        if p.endswith(".parquet"))
+            dst = str(src / f"f{i}.parquet")
+            os.rename(os.path.join(staging, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        raw = spark.readStream.schema(ddl)
+        for k, v in opts.items():
+            raw = raw.option(k, v)
+        stream = raw.parquet(str(src))
+        out = SE.funnel_stage_stream(stream)
+        name = f"funnel_test_{tag}"
+        (out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+            .awaitTermination(120))
+        import pyspark.sql.functions as F
+        return {r.user_id: r.stage for r in
+                spark.table(name).groupBy("user_id")
+                .agg(F.max("stage").alias("stage")).collect()}
+
+    incremental = drain(batches, "many", maxFilesPerTrigger="1")
+    single = drain([sum(batches, [])], "one")
+    assert incremental == want, incremental
+    assert single == want, single
