@@ -2,11 +2,14 @@
 """Unified N× corpus stress runner (VERDICT r11 #6 — replaces
 wave11_stress.py / q208_stress.py / stress_10x.py with one tool).
 
-Builds a factor-N `documents` corpus with one of the two established
-constructions, stages BOTH corpora as on-disk sf-dirs (so 1× and N× pay
-the identical scan path — every non-document table is symlinked from the
-base sf-dir), then times each named registry query min-of-two in one
-warm JVM and prints a JSON dossier row per query.
+Builds a factor-N copy of one table (`--table documents|events`) with
+the established replica constructions, stages BOTH corpora as on-disk
+sf-dirs (so 1× and N× pay the identical scan path — every other table
+is symlinked from the base sf-dir), then times each named registry
+query min-of-two in one warm JVM and prints a JSON dossier row per
+query. Event replicas shift event AND user ids — N× fresh users with
+the original per-user time structure, so session/funnel shapes grow by
+population, not by densifying one user's history.
 
 Corpus constructions (`--corpus`):
 
@@ -27,6 +30,7 @@ Corpus constructions (`--corpus`):
 Usage:
   python tools/stress.py --query q211_mad_outliers q218_source_vocab_overlap
   python tools/stress.py --query q149_cdc_overlap_clusters --corpus salted
+  python tools/stress.py --query q227 q228 --table events
   python tools/stress.py --query q147 --factor 5   # prefix match ok
 """
 
@@ -53,26 +57,45 @@ def _resolve(names: list[str], registry) -> list[str]:
     return out
 
 
-def _stage(spark, sf_dir: str, factor: int, corpus: str) -> tuple[str, str]:
-    """Write 1× and N× document corpora into two staged sf-dirs; symlink
-    every other table so any registry query can run against them."""
+def _stage(spark, sf_dir: str, factor: int, corpus: str,
+           table: str) -> tuple[str, str]:
+    """Write 1× and N× copies of ``table`` into two staged sf-dirs;
+    symlink every other table so any registry query can run against
+    them. ``documents`` replicas shift doc ids (and optionally salt
+    tokens); ``events`` replicas shift event AND user ids — N× fresh
+    users with the original per-user time structure, so session/funnel
+    shapes grow by population, not by densifying one user's history."""
     from pyspark.sql import functions as F
 
     from ds_ga1004_bigdata_project_spark.sources.catalog import Catalog
 
-    docs = Catalog(spark, sf_dir).documents
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    cat = Catalog(spark, sf_dir)
+    if table == "documents":
+        base = cat.documents
+        max_id = base.agg(F.max("doc_id")).collect()[0][0] + 1
 
-    def replica(i: int):
-        shifted = docs.withColumn("doc_id",
-                                  F.col("doc_id") + F.lit(i * max_id))
-        if corpus == "replica":
-            return shifted
-        tag = F.lit(f"r{i}·")
-        return shifted.withColumn(
-            "text",
-            F.array_join(F.transform(F.split(F.col("text"), r"\s+"),
-                                     lambda t: F.concat(tag, t)), " "))
+        def replica(i: int):
+            shifted = base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * max_id))
+            if corpus == "replica":
+                return shifted
+            tag = F.lit(f"r{i}·")
+            return shifted.withColumn(
+                "text",
+                F.array_join(F.transform(F.split(F.col("text"), r"\s+"),
+                                         lambda t: F.concat(tag, t)), " "))
+    else:
+        base = cat.events
+        max_e, max_u = base.agg(
+            F.max("event_id"), F.max("user_id")).collect()[0]
+        max_e, max_u = max_e + 1, max_u + 1
+
+        def replica(i: int):
+            return (base
+                    .withColumn("event_id",
+                                F.col("event_id") + F.lit(i * max_e))
+                    .withColumn("user_id",
+                                F.col("user_id") + F.lit(i * max_u)))
 
     root = tempfile.mkdtemp(prefix="stress_")
     dirs = []
@@ -80,14 +103,14 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str) -> tuple[str, str]:
         d = os.path.join(root, tag_name)
         os.makedirs(d)
         for entry in os.listdir(sf_dir):
-            if entry != "documents.parquet":
+            if entry != f"{table}.parquet":
                 os.symlink(os.path.join(sf_dir, entry),
                            os.path.join(d, entry))
         big = replica(0)
         for i in range(1, n_reps):
             big = big.unionByName(replica(i))
         big.write.mode("overwrite").parquet(
-            os.path.join(d, "documents.parquet"))
+            os.path.join(d, f"{table}.parquet"))
         dirs.append(d)
     return dirs[0], dirs[1]
 
@@ -99,6 +122,8 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--corpus", choices=("replica", "salted"),
                     default="replica")
+    ap.add_argument("--table", choices=("documents", "events"),
+                    default="documents")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -109,7 +134,8 @@ def main() -> None:
     names = _resolve(args.query, REGISTRY)
     spark = get_local_session(app_name="stress")
     spark.sparkContext.setLogLevel("ERROR")
-    one_dir, big_dir = _stage(spark, args.sf_dir, args.factor, args.corpus)
+    one_dir, big_dir = _stage(spark, args.sf_dir, args.factor,
+                              args.corpus, args.table)
 
     def timed(name: str, d: str) -> float:
         best = float("inf")
@@ -125,7 +151,8 @@ def main() -> None:
         w1 = timed(name, one_dir)
         wN = timed(name, big_dir)
         print(json.dumps({
-            "query": name, "corpus": args.corpus, "factor": args.factor,
+            "query": name, "corpus": args.corpus, "table": args.table,
+            "factor": args.factor,
             "wall_1x_sec": w1, f"wall_{args.factor}x_sec": wN,
             "ratio": round(wN / w1, 2), "sf_dir": args.sf_dir}),
             flush=True)
