@@ -83,6 +83,16 @@ RETIME_OVER_FACTOR = 1.5
 BENCH_POLICY = "bench-v3"
 
 
+def merge_min(times: dict[str, float], part: dict[str, float]) -> None:
+    """Fold one close pass into the accumulated per-query minima
+    (bench-v3 --close). A failed query (-1) in one pass is overridden by
+    any successful pass; all-failed stays -1."""
+    for k, v in part.items():
+        prev = times.get(k)
+        ok = [t for t in (prev, v) if t is not None and t >= 0]
+        times[k] = round(min(ok), 3) if ok else -1.0
+
+
 def _last_close_times() -> dict[str, float]:
     try:
         with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
@@ -251,11 +261,7 @@ def main() -> None:
         times: dict[str, float] = {}
         for i in range(close_runs):
             print(f"close pass {i + 1}/{close_runs}", file=sys.stderr)
-            part = run_suite(sf_dir, cpus)
-            for k, v in part.items():
-                prev = times.get(k)
-                ok = [t for t in (prev, v) if t is not None and t >= 0]
-                times[k] = round(min(ok), 3) if ok else -1.0
+            merge_min(times, run_suite(sf_dir, cpus))
     else:
         times = run_suite(sf_dir, cpus)
 
