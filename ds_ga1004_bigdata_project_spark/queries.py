@@ -9465,44 +9465,123 @@ def q221_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q222_retention_cohorts",
-    survey="net-new retention cohort matrix (first-active week cohort x week-offset distinct-active-user counts — the classic retention triangle, on engine-exact integer week indices)",
+    "q222_survival_curve",
+    survey="net-new Kaplan-Meier time-to-conversion survival (product-limit estimator over hours from first view to first qualifying purchase, administratively right-censored at a 72 h follow-up horizon — the churn/latency read the q137 retention triangle cannot express; Kaplan & Meier 1958)",
     oracle="""
-        WITH uw AS (
-          SELECT DISTINCT user_id,
-                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
-                   AS wk
-          FROM events),
-        c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
-        SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
-               CAST(uw.wk - c.cohort AS BIGINT) AS week_offset,
-               count(*) AS n_users
-        FROM uw JOIN c USING (user_id)
-        GROUP BY 1, 2 ORDER BY 1, 2
+        WITH v AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS tp
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > v.t1
+          GROUP BY e.user_id),
+        j AS (
+          SELECT v.user_id,
+                 (epoch_us(p.tp) - epoch_us(v.t1)) // 3600000000 AS h
+          FROM v LEFT JOIN p ON v.user_id = p.user_id),
+        d AS (
+          SELECT CASE WHEN h IS NOT NULL AND h <= 72 THEN h
+                      ELSE 72 END AS t,
+                 CASE WHEN h IS NOT NULL AND h <= 72 THEN 1
+                      ELSE 0 END AS ev
+          FROM j),
+        hist AS (
+          SELECT t, count(*) AS total, sum(ev) AS deaths
+          FROM d GROUP BY t),
+        w AS (
+          SELECT t, deaths,
+                 (SELECT sum(total) FROM hist)
+                 - coalesce(sum(total) OVER (ORDER BY t ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM hist),
+        f AS (
+          SELECT t, deaths, n_risk,
+                 CASE WHEN deaths > 0 AND deaths < n_risk THEN
+                   CAST(round(ln(1.0 - CAST(deaths AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) END AS lnf
+          FROM w),
+        c AS (
+          SELECT t, deaths, n_risk,
+                 sum(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS cum
+          FROM f)
+        SELECT CAST(t AS BIGINT) AS hours,
+               CAST(n_risk AS BIGINT) AS n_at_risk,
+               CAST(deaths AS BIGINT) AS n_deaths,
+               CASE WHEN deaths = n_risk THEN 0.0
+                    ELSE round(exp(CAST(coalesce(cum, 0) AS DOUBLE)), 4)
+                    END AS survival
+        FROM c WHERE deaths > 0 ORDER BY hours
     """,
 )
-def q222_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retention triangle: users cohorted by first-active week, counted
-    in every (cohort, week-offset) cell they were active in. Week index
-    is a PURE INTEGER (days since 2024-01-01 div 7) — field-based date
-    arithmetic, no timezone or ISO-week-boundary semantics to disagree
-    on. The (user, week) relation deduplicates FIRST (one user-keyed
-    shuffle), so the cohort join and the cell rollup both run on the
-    activity-bounded relation, never the raw event stream; the output
-    is weeks²-bounded at any scale."""
+def q222_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of TIME TO CONVERSION: hours
+    from each user's first view to their first strictly-later purchase
+    (the q221 sequencing rule), administratively right-censored at a
+    72-hour follow-up horizon — users who convert later (or never) are
+    censored at 72, not treated as failures at their eventual time.
+    Censoring is the point: without it the estimator degenerates to an
+    ECDF and slow converters bias the curve.
+
+    Engine shape: two user-keyed conditional-min aggregates (the q221
+    funnel joins) -> the (hour, total, deaths) HISTOGRAM -> cumulative
+    windows over VALUE-DISTINCT hour rows (follow-up-horizon-bounded,
+    at most 73 rows at ANY corpus size — the q211/q212 value-domain
+    discipline; no window ever sees users). Durations are exact
+    epoch-microsecond integer floors (NOT date_diff('hour'), which
+    counts field boundary crossings and disagrees with elapsed time);
+    at-risk counts are exact integer suffix sums; each hazard factor's
+    ln rounds ONCE at 6 dp and accumulates as exact DECIMAL (the q146
+    transcendental rule), so each emitted row is one exp + one round on
+    bit-identical operands. A deaths == n_risk terminal row (factor
+    ln 0) is emitted as survival 0 directly; SUM skips its NULL factor
+    by construction. Deaths-before-censorings at tied times is the
+    standard KM convention and holds here because all censoring mass
+    sits at the horizon."""
     ev = Catalog(spark, sf_dir).events
-    # integer division: datediff >= 0 here, so floor == trunc == div
-    uw = (ev.select("user_id",
-                    F.expr("CAST(datediff(CAST(ts AS DATE), "
-                           "DATE '2024-01-01') div 7 AS BIGINT)")
-                    .alias("wk"))
-          .distinct())
-    c = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
-    return (uw.join(c, "user_id")
-            .groupBy(F.col("cohort").alias("cohort_week"),
-                     (F.col("wk") - F.col("cohort")).alias("week_offset"))
-            .agg(F.count(F.lit(1)).alias("n_users"))
-            .orderBy("cohort_week", "week_offset"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    pu = (ev.filter(F.col("event_type") == "purchase")
+          .join(v, "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    j = (v.join(pu, "user_id", "left")
+         .select(F.expr(
+             "CAST((unix_micros(CAST(tp AS TIMESTAMP)) - "
+             "unix_micros(CAST(t1 AS TIMESTAMP))) div 3600000000 "
+             "AS BIGINT)").alias("h")))
+    converted = F.col("h").isNotNull() & (F.col("h") <= 72)
+    d = j.select(
+        F.when(converted, F.col("h")).otherwise(F.lit(72)).alias("t"),
+        F.when(converted, 1).otherwise(0).alias("ev"))
+    hist = d.groupBy("t").agg(
+        F.count(F.lit(1)).alias("total"), F.sum("ev").alias("deaths"))
+    tot = hist.agg(F.sum("total").alias("n_users"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wrun = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w = (hist.crossJoin(F.broadcast(tot))
+         .withColumn("n_risk",
+                     F.col("n_users")
+                     - F.coalesce(F.sum("total").over(wcum), F.lit(0))))
+    lnf = F.when(
+        (F.col("deaths") > 0) & (F.col("deaths") < F.col("n_risk")),
+        F.round(F.log(F.lit(1.0) - F.col("deaths").cast("double")
+                      / F.col("n_risk").cast("double")), 6)
+        .cast("decimal(18,6)"))
+    c = (w.withColumn("lnf", lnf)
+         .withColumn("cum", F.sum("lnf").over(wrun)))
+    surv = F.when(F.col("deaths") == F.col("n_risk"), F.lit(0.0))         .otherwise(F.round(F.exp(
+            F.coalesce(F.col("cum"), F.lit(0).cast("decimal(18,6)"))
+            .cast("double")), 4))
+    return (c.filter(F.col("deaths") > 0)
+            .select(F.col("t").alias("hours"),
+                    F.col("n_risk").cast("long").alias("n_at_risk"),
+                    F.col("deaths").cast("long").alias("n_deaths"),
+                    surv.alias("survival"))
+            .orderBy("hours"))
 
 
 @_register(
@@ -10090,7 +10169,7 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q215_stream_modulo_sample", "q216_gate_ablation",
     "q217_lang_mix_chisq", "q218_source_vocab_overlap",
     "q219_stream_lag_enrich",
-    "q220_l_diversity", "q221_event_funnel", "q222_retention_cohorts",
+    "q220_l_diversity", "q221_event_funnel", "q222_survival_curve",
     "q223_embedding_quantization", "q224_vocab_coverage",
     "q225_value_trend_slopes", "q226_gapfill_hourly",
     "q227_session_paths", "q228_session_concurrency",
@@ -10269,7 +10348,7 @@ _ANCHOR = "q01_top_parts"
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q220_l_diversity",
     "q221_event_funnel",
-    "q222_retention_cohorts",
+    "q222_survival_curve",
     "q223_embedding_quantization",
     "q224_vocab_coverage",
     "q225_value_trend_slopes",

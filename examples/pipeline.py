@@ -558,8 +558,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 17b. ordered event funnel (sequenced conversion) --")
     REGISTRY["q221_event_funnel"].build(spark, sf_dir).show()
 
-    print("-- 17c. retention cohort matrix (weekly triangle) --")
-    REGISTRY["q222_retention_cohorts"].build(spark, sf_dir).show(5)
+    print("-- 17c. Kaplan-Meier conversion survival (censored at 72h) --")
+    REGISTRY["q222_survival_curve"].build(spark, sf_dir).show(5)
 
     print("-- 17d. int8 quantization error audit (vector compression) --")
     REGISTRY["q223_embedding_quantization"].build(spark, sf_dir).show(5)

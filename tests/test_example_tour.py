@@ -291,9 +291,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "event-funnel": ((
         "q221_event_funnel",),
         "ordered event funnel", None),
-    "retention": ((
-        "q222_retention_cohorts",),
-        "retention cohort matrix", None),
+    "survival": ((
+        "q222_survival_curve",),
+        "Kaplan-Meier conversion survival", None),
     "quantization-error": ((
         "q223_embedding_quantization",),
         "int8 quantization error audit", None),
