@@ -9411,10 +9411,17 @@ def q220_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q221_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel: t1 = first 'view'; t2 = first 'click'
-    STRICTLY after t1; t3 = first 'purchase' strictly after t2 — the
-    sequenced-first-occurrence rule, not mere per-type minima (a click
-    before any view never converts). Three user-keyed conditional-min
+    """Ordered conversion funnel with TRUE sequenced minima: t1 = first
+    'view'; t2 = first 'click' STRICTLY after t1; t3 = first 'purchase'
+    strictly after t2. Deliberately distinct from q136's one-aggregation
+    funnel, which orders each type's GLOBAL first occurrence (a user
+    whose first click precedes their first view never converts there,
+    even if they click again later) — q136 is the cheap single-pass
+    approximation, this is the exact sequenced rule, and the two
+    disagree on exactly the re-occurring-stage users. Adds the
+    inter-stage latency read (mean hours from the previous stage) that
+    the one-pass form cannot see; q222 (conversion survival) and q230
+    (streaming stateful funnel) build on the same sequenced minima. Three user-keyed conditional-min
     aggregations, each joining the previous stage's (user, t) relation
     on its natural key — no window ever sees the event relation
     unpartitioned, and each stage's frame shrinks monotonically.
