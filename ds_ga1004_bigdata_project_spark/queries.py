@@ -39,10 +39,33 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: Retired-to-parity tier (COVERAGE.md growth-policy rule 3, scaffolded
+#: round 12 ahead of the 245-entry ceiling): when the registry would
+#: exceed the ceiling, an overlapping one-liner moves HERE verbatim —
+#: out of ``REGISTRY`` (no driver rotation slot), but
+#: ``tests/test_oracle_parity.py`` parametrizes over
+#: ``REGISTRY ∪ RETIRED_PARITY``, so its value parity vs DuckDB keeps
+#: running EVERY session at sf0.01. Coverage proofs never lapse; only
+#: driver slots are reclaimed. Empty until rule 3 engages (projected
+#: r14); the named first batch lives in COVERAGE.md.
+RETIRED_PARITY: dict[str, Query] = {}
+
 
 def _register(name: str, survey: str, oracle: str | None):
     def deco(fn):
         REGISTRY[name] = Query(name, fn, oracle, survey)
+        return fn
+    return deco
+
+
+def _register_retired(name: str, survey: str, oracle: str):
+    """Rule-3 retirement: identical to ``_register`` but the query lands
+    in ``RETIRED_PARITY`` — still parity-tested every session, no longer
+    in the driver window. Retired queries must keep an oracle (a
+    rows-only query can never retire: its pins are its only value
+    evidence — COVERAGE.md retirement order, 'never' list)."""
+    def deco(fn):
+        RETIRED_PARITY[name] = Query(name, fn, oracle, survey)
         return fn
     return deco
 

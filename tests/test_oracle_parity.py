@@ -8,12 +8,15 @@ import math
 
 import pytest
 
-from ds_ga1004_bigdata_project_spark.queries import REGISTRY
+from ds_ga1004_bigdata_project_spark.queries import REGISTRY, RETIRED_PARITY
 
 from .conftest import SF_ORACLE
 
-ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
-ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+# REGISTRY ∪ RETIRED_PARITY: a rule-3 retirement leaves the driver
+# window but NEVER leaves this gate (COVERAGE.md proof obligation 1).
+_ALL = {**RETIRED_PARITY, **REGISTRY}
+ORACLE_QUERIES = sorted(n for n, q in _ALL.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in _ALL.items() if q.oracle is None)
 
 
 def _norm_cell(v):
@@ -32,7 +35,7 @@ def _norm_rows(cols, rows):
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, name):
-    q = REGISTRY[name]
+    q = _ALL[name]
     sdf = q.build(spark, SF_ORACLE)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -54,7 +57,7 @@ def test_oracle_parity(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, name):
-    q = REGISTRY[name]
+    q = _ALL[name]
     df = q.build(spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.columns) > 0

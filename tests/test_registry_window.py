@@ -321,3 +321,22 @@ def test_rows_only_proof_table_is_exact():
         f"stale proofs: {set(_ROWS_ONLY_PROOFS) - oracle_less}")
     for name, proof in _ROWS_ONLY_PROOFS.items():
         assert len(proof) > 40, f"{name}'s proof line is not a proof"
+
+
+def test_retired_parity_tier_invariants():
+    """Rule-3 scaffolding (COVERAGE.md growth policy): retired queries
+    must keep an oracle (rows-only queries can never retire), must not
+    shadow a live registry name, and the combined surface must stay at
+    or under the documented ceiling + batch headroom."""
+    from ds_ga1004_bigdata_project_spark.queries import (
+        REGISTRY, RETIRED_PARITY)
+
+    overlap = set(RETIRED_PARITY) & set(REGISTRY)
+    assert not overlap, f"retired names shadow live ones: {overlap}"
+    no_oracle = [n for n, q in RETIRED_PARITY.items() if q.oracle is None]
+    assert not no_oracle, (
+        f"rows-only queries can never retire (pins are their only "
+        f"value evidence): {no_oracle}")
+    assert len(REGISTRY) <= 245, (
+        "registry exceeds the growth-policy ceiling — retire per "
+        "COVERAGE.md rule 3 instead of growing past 245")
