@@ -9769,9 +9769,14 @@ def q225_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     x is a pure-integer hour index (field-based date arithmetic — no
     timezone semantics); y rounds once at 4 dp and sums as exact
     DECIMAL; the slope is a fixed IEEE expression over exact operands,
-    bit-identical cross-engine (the q198 Pearson discipline). Products
-    are computed in DECIMAL(38) so the closed form survives corpus
-    sizes where n·Σx² overflows int64."""
+    bit-identical cross-engine (the q198 Pearson discipline). The x²
+    products are cast to DECIMAL(38) BEFORE the sum (ADVICE r12) — Σx²
+    is the moment that overflows int64 first (~10¹² rows × hour² ≈
+    10²⁰), and a LongType accumulator would wrap silently before any
+    post-aggregation cast could save it; Σx·y already accumulates as
+    decimal via y's type promotion, and the closed-form products are
+    DECIMAL(38) as well, so every term survives corpus sizes where
+    n·Σx² overflows int64."""
     ev = Catalog(spark, sf_dir).events
     x = (F.datediff(F.col("ts").cast("date"),
                     F.lit("2024-01-01").cast("date")) * 24
@@ -9781,7 +9786,8 @@ def q225_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = b.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .alias("sxx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"))
     dec = "decimal(38,4)"
@@ -10031,9 +10037,15 @@ def q229_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form G = (2Σwx − (n+1)Σx) / (nΣx) is integer arithmetic
     until one final IEEE divide (rounded once). The cumulative window
     runs over VALUE-DISTINCT histogram rows (the q207/q211 value-domain
-    discipline), never the corpus; engine products are computed in
-    DECIMAL(38) so the form survives corpus sizes where the rank-sum
-    overflows int64."""
+    discipline), never the corpus; every moment ACCUMULATES in
+    DECIMAL(38) — the rank-sum a2 and the token mass Σtok·c both cast
+    their products to decimal before the sum (ADVICE r12: a LongType
+    accumulator wraps silently, and a post-aggregation cast cannot
+    undo that), so the form survives corpus sizes where the rank-sum
+    overflows int64. ``total_tokens`` casts back to the BIGINT output
+    contract at the end — the token mass itself fits int64 for any
+    corpus under ~36 PB of text; only the intermediate rank-sum does
+    not."""
     docs = Catalog(spark, sf_dir).documents
     s = docs.select(
         "source", F.size(T.ws_tokens(F.col("text"))).cast("long")
@@ -10047,13 +10059,13 @@ def q229_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (2 * F.col("cumb") + F.col("c") + 1).cast(deci))
     m = w.groupBy("source").agg(
         F.sum("c").alias("n"),
-        F.sum(F.col("tok") * F.col("c")).alias("s"),
+        F.sum(F.col("tok").cast(deci) * F.col("c")).alias("s"),
         F.sum(a2_term).alias("a2"))
     num = (F.col("a2")
            - (F.col("n") + 1).cast(deci) * F.col("s").cast(deci))
     den = F.col("n").cast(deci) * F.col("s").cast(deci)
     return (m.select("source", F.col("n").alias("n_docs"),
-                     F.col("s").alias("total_tokens"),
+                     F.col("s").cast("long").alias("total_tokens"),
                      F.round(num.cast("double") / den.cast("double"), 6)
                      .alias("gini"))
             .orderBy("source"))

@@ -365,7 +365,18 @@ def stream_upsert_latest(stream_df: DataFrame, state_dir: str,
     disk while a retry of the superseding epoch remains possible.
     Leftover deferred dirs are swept after ``awaitTermination`` — disk
     stays bounded by one live copy per bucket plus at most one
-    superseded epoch in flight."""
+    superseded epoch in flight.
+
+    SCOPE (ADVICE r12): the guards cover foreachBatch retries WITHIN one
+    driver run — manifest/prior/refs are driver-resident dicts, not
+    persisted next to the checkpoint. Restarting a NEW driver against an
+    existing checkpoint replays epochs into an empty manifest: earlier
+    version dirs are orphaned (never reclaimed, never read) and the
+    returned manifest covers only buckets touched after the restart.
+    This function is the availableNow drain shape — one bounded run per
+    invocation — where that scope is the whole lifecycle; a restart-safe
+    variant would persist the manifest as JSON beside ``_ckpt`` and is
+    the lakehouse-MERGE territory noted above."""
     import os
 
     state = _BucketedUpsertState(state_dir, key_col, order_cols,
@@ -506,7 +517,18 @@ def funnel_stage_stream(events: DataFrame,
     ts(stage2 | ts > t1); t3 = min ts(stage3 | ts > t2)`` — the
     in-order greedy scan computes exactly those minima. Assumes
     per-user in-order arrival ACROSS batches (the q219 contract);
-    rows WITHIN a batch are sorted before the scan."""
+    rows WITHIN a batch are sorted before the scan.
+
+    SOURCE-ORDER CONTRACT (ADVICE r12): with a FILE source that
+    assumption means the fixture is a single file (every certified run:
+    one availableNow batch = one sorted scan, ordering trivially holds)
+    or its files enumerate in event-time order — a multi-part fixture
+    whose file order disagreed with event time would make the greedy
+    scan diverge from the batch rule nondeterministically. The q230
+    oracle twin is valid under exactly that contract, same as a Kafka
+    deployment relies on per-key partition ordering; the cross-batch
+    carry itself is pinned by the maxFilesPerTrigger=1 unit test on
+    time-ordered splits (test_streaming)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     s1, s2, s3 = stages

@@ -11,6 +11,16 @@ the same noise discipline as bench.py's retime tiers (a real plan cost
 is slow in every pass; compile-wall noise is not). Control: q06.
 
 Usage: python tools/bigram_fanout_ab.py [rounds]
+
+ONE-SHOT HISTORICAL RECORD (ADVICE r12): the measurement this tool
+exists for was taken at the r11 tree, where text.bigram_lm_nll still
+called fan_out_small_scan — the +14/+47/+27% deltas it reported drove
+the r12 per-consumer revert. At HEAD the call is GONE from the reverted
+consumers, so monkeypatching rel.fan_out_small_scan no longer changes
+their plans: a re-run reports ~0% for q146/q157/q182 (both arms are the
+reverted plan), and only q196 — which kept the fan-out — still shows a
+live delta. Do not read a fresh run as "the fan-out is free"; to re-A/B
+the reverted consumers, re-wrap their input at the text.py seam first.
 """
 
 from __future__ import annotations
