@@ -82,6 +82,40 @@ RETIME_OVER_FACTOR = 1.5
 #: of record for policy versions).
 BENCH_POLICY = "bench-v3"
 
+#: Box-speed controls carried INSIDE every emitted payload (VERDICT r12
+#: #3): the committed close is honestly the LAST run, never a
+#: cherry-pick, so cross-round per-query deltas must be read against
+#: the box state that produced them — previously that required SCALE.md
+#: archaeology. The artifact now quotes its own controls (the q01/q06
+#: walls from the same run) and a derived ``box_index``: the geometric
+#: mean of observed/pinned for the two controls, where the pins are the
+#: healthy-box min-of-3 close walls from the fastest r12 same-tree
+#: close (BASELINE.md "Box-speed controls"; q06 moved 1.52→1.90 across
+#: three same-tree r12 closes while totals moved 226→272 s in
+#: lockstep). box_index ≈ 1.0 = the pinned healthy box; 1.25 = every
+#: wall on this run carries ~25% box penalty — divide before calling a
+#: per-query delta a regression. The pins move only when the control
+#: queries' PLANS change (that becomes a new pin row in BASELINE.md).
+#: The pins are sf0.1 walls — the index is only meaningful for sf0.1
+#: payloads (the close protocol's SF); other-SF payloads still carry
+#: their raw controls for same-SF comparison.
+CONTROL_REF = {"q01_top_parts": 0.75, "q06_join_chain_revenue": 1.52}
+
+
+def box_controls(times: dict[str, float]) -> dict[str, object]:
+    """Extract the control walls + box_index from a per-query dict."""
+    controls = {k: times[k] for k in CONTROL_REF
+                if times.get(k, -1) > 0}
+    if len(controls) == len(CONTROL_REF):
+        prod = 1.0
+        for k, ref in CONTROL_REF.items():
+            prod *= controls[k] / ref
+        idx = round(prod ** (1.0 / len(CONTROL_REF)), 3)
+    else:
+        idx = -1.0  # a control failed — index unreadable
+    return {"controls": controls, "control_ref": CONTROL_REF,
+            "box_index": idx}
+
 
 def merge_min(times: dict[str, float], part: dict[str, float]) -> None:
     """Fold one close pass into the accumulated per-query minima
@@ -274,6 +308,7 @@ def main() -> None:
         "sf": sf,
         "policy": BENCH_POLICY,
         "close_runs": close_runs or 1,
+        **box_controls(times),
     }
     # The driver's stdout capture truncates the tail (r3/r4 both recorded
     # "parsed: null", losing the q01-q27 head) — also persist the full
