@@ -9846,14 +9846,36 @@ def q226_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx − row_number constant-key trick). Every window runs on the
     GRID relation — hours × types, time-range-bounded, never the event
     stream — and the hourly counts are one map-side-combined aggregate;
-    exact integers end to end."""
+    exact integers end to end.
+
+    GRID GENERATION (VERDICT r12 #4): the hour axis comes from
+    ``spark.range(n_hours)`` mapped onto timestamps — distributed by
+    construction — rather than a sequence-explode of the 1-row bounds
+    aggregate, which materializes the whole grid through ONE task
+    before any exchange can spread it (free at fixture scale, the
+    bottleneck at a multi-year range × many types). The bounds feed a
+    1-row ``first()`` probe (driver-metadata class, same as the
+    events.py touched-bucket probe) so the range size is known up
+    front; the per-type longest-run window still scans n_hours rows
+    per type sequentially — inherent to "longest consecutive run",
+    bounded by the horizon, never by event volume."""
     ev = Catalog(spark, sf_dir).events.select(
         F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type")
     counts = ev.groupBy("hr", "event_type").agg(
         F.count(F.lit(1)).alias("c"))
-    bounds = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
-    hours = bounds.select(F.explode(F.sequence(
-        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    row = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")).first()
+    if row is None or row["lo"] is None:  # empty source: empty report
+        return (counts.select("event_type",
+                              F.lit(0).cast("long").alias("n_hours"),
+                              F.lit(0).cast("long").alias("n_gap_hours"),
+                              F.lit(0).cast("long").alias("max_gap_run"),
+                              F.lit(0).cast("long").alias("n_events"))
+                .limit(0))
+    lo, hi = row["lo"], row["hi"]
+    n_hours = int((hi - lo).total_seconds()) // 3600 + 1
+    hours = spark.range(n_hours).select(
+        F.timestamp_add("HOUR", F.col("id").cast("int"), F.lit(lo))
+        .alias("hr"))
     types = ev.select("event_type").distinct()
     w = Window.partitionBy("event_type").orderBy("hr")
     g = (hours.crossJoin(F.broadcast(types))
