@@ -2,8 +2,9 @@
 """Unified N× corpus stress runner (VERDICT r11 #6 — replaces
 wave11_stress.py / q208_stress.py / stress_10x.py with one tool).
 
-Builds a factor-N copy of one table (`--table documents|events`) with
-the established replica constructions, stages BOTH corpora as on-disk
+Builds a factor-N copy of one table (`--table
+documents|events|embeddings`) with the established replica
+constructions, stages BOTH corpora as on-disk
 sf-dirs (so 1× and N× pay the identical scan path — every other table
 is symlinked from the base sf-dir), then times each named registry
 query min-of-two in one warm JVM and prints a JSON dossier row per
@@ -26,6 +27,12 @@ Corpus constructions (`--corpus`):
   honest "N× fresh data at the same duplication rate" stress for
   dedup-family operators (expect edges ~N×, wall ≲ N×). The 1× corpus
   is the replica-0 rewrite so both sides pay the salting+scan path.
+  For ``--table embeddings``, ``salted`` maps to a per-replica CYCLIC
+  DIMENSION ROLL (an orthogonal permutation: intra-replica cosine/kNN
+  structure preserved exactly, cross-replica pairs decorrelated — N×
+  fresh-looking vectors at the original neighbor density), while
+  ``replica`` keeps plain copies (distance-0 cliques — adversarial for
+  kNN tiers, right for quantization/rollup shapes).
 
 Usage:
   python tools/stress.py --query q211_mad_outliers q218_source_vocab_overlap
@@ -84,7 +91,7 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str,
                 "text",
                 F.array_join(F.transform(F.split(F.col("text"), r"\s+"),
                                          lambda t: F.concat(tag, t)), " "))
-    else:
+    elif table == "events":
         base = cat.events
         max_e, max_u = base.agg(
             F.max("event_id"), F.max("user_id")).collect()[0]
@@ -96,6 +103,30 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str,
                                 F.col("event_id") + F.lit(i * max_e))
                     .withColumn("user_id",
                                 F.col("user_id") + F.lit(i * max_u)))
+    else:  # embeddings (VERDICT r12 #7 — completes three-table coverage)
+        base = cat.embeddings
+        max_id = base.agg(F.max("vec_id")).collect()[0][0] + 1
+        dim = len(base.select("embedding").first()[0])
+
+        def replica(i: int):
+            shifted = base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * max_id))
+            k = i % dim
+            if corpus == "replica" or k == 0:
+                # plain copies: every vector gains N-1 exact duplicates —
+                # ADVERSARIAL for kNN/near-dup tiers (distance-0 cliques),
+                # the right stress for quantization/rollup shapes that
+                # must not care about duplicate mass (q223/q214).
+                return shifted
+            # "salted" analog: per-replica CYCLIC DIMENSION ROLL — an
+            # orthogonal permutation, so intra-replica distances (and
+            # every cosine/kNN structure) are preserved EXACTLY while
+            # cross-replica pairs decorrelate: N× fresh-looking vectors
+            # at the original neighbor density, the honest ANN stress.
+            e = F.col("embedding")
+            return shifted.withColumn(
+                "embedding",
+                F.concat(F.slice(e, k + 1, dim - k), F.slice(e, 1, k)))
 
     root = tempfile.mkdtemp(prefix="stress_")
     dirs = []
@@ -122,7 +153,8 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--corpus", choices=("replica", "salted"),
                     default="replica")
-    ap.add_argument("--table", choices=("documents", "events"),
+    ap.add_argument("--table", choices=("documents", "events",
+                                        "embeddings"),
                     default="documents")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
