@@ -10153,6 +10153,814 @@ def q230_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-13 wave (q231-q242): the q53 relational twin, skew salting,
+# customer/event analytics depth, robust stats, recursive smoothing
+# =====================================================================
+
+@_register(
+    "q231_topk_recommend_twin",
+    survey="M4/P2 oracle twin of q53 (VERDICT r12 #6): top-k-per-user recommend over a PINNED integer factor table — nested array<struct> construction, the dot-path projection unnest recommend_topk uses, posexplode, broadcast dim join — certified relationally instead of rows-only",
+    oracle="""
+        WITH u AS (SELECT c_custkey AS user_id FROM customer
+                   WHERE c_custkey % 50 = 0),
+        s AS (
+          SELECT u.user_id, p.p_partkey AS item,
+                 ((u.user_id*31+17)%97)*((p.p_partkey*23+19)%89)
+               + ((u.user_id*31+34)%97)*((p.p_partkey*23+38)%89)
+               + ((u.user_id*31+51)%97)*((p.p_partkey*23+57)%89)
+               + ((u.user_id*31+68)%97)*((p.p_partkey*23+76)%89) AS score
+          FROM u CROSS JOIN part p),
+        r AS (SELECT user_id, item, score,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY score DESC, item ASC)
+                       AS rnk
+              FROM s)
+        SELECT r.user_id, CAST(r.rnk AS INTEGER) AS rnk, r.item,
+               p.p_name, CAST(r.score AS BIGINT) AS score
+        FROM r JOIN part p ON p.p_partkey = r.item
+        WHERE r.rnk <= 5 ORDER BY r.user_id, r.rnk
+    """,
+)
+def q231_topk_recommend_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's recommend path, certified against an oracle (VERDICT r12
+    #6): user×item scores come from a PINNED integer factor table
+    (rank-4 factors ``fu[d] = (u·31 + d·17) mod 97``, ``gi[d] = (i·23 +
+    d·19) mod 89`` — pure int64 arithmetic, bit-identical cross-engine)
+    instead of a seeded ALS fit, so the exact plan surface q53 exercises
+    — per-user top-k (WindowGroupLimit), the nested array<struct>
+    recommendation shape, the DOT-PATH PROJECTION unnest
+    (``recommendations.item``, ml/als.py:recommend_topk's P2 move),
+    posexplode back to rows, broadcast item-dim join — gets a full
+    rows+schema+hash certificate. Users are a deterministic 2% key
+    subset (the q53 user-subset analog; recommendForUserSubset is
+    likewise subset×all-items), so the score relation is
+    |users|/50 × |items| — bounded the same way q53's is."""
+    cat = Catalog(spark, sf_dir)
+    users = (cat.customer.select(F.col("c_custkey").alias("user_id"))
+             .filter(F.col("user_id") % 50 == 0))
+    items = cat.part.select(F.col("p_partkey").alias("item"))
+    score = None
+    for d in range(1, 5):
+        term = (((F.col("user_id") * 31 + d * 17) % 97)
+                * ((F.col("item") * 23 + d * 19) % 89))
+        score = term if score is None else score + term
+    scores = (items.crossJoin(F.broadcast(users))
+              .select("user_id", "item", score.cast("long").alias("score")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item").asc())
+    ranked = (scores.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= 5))
+    # the recommendForUserSubset output shape: per-user array<struct>,
+    # rank-ordered (sort_array on the rnk-led struct)
+    nested = ranked.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("rnk"), F.col("item"), F.col("score"))))
+        .alias("recommendations"))
+    # q53's M4/P2 unnest surface: dot-path projection over array<struct>
+    lists = nested.select(
+        "user_id",
+        F.col("recommendations.item").alias("items"),
+        F.col("recommendations.score").alias("scores"))
+    flat = (lists.select("user_id",
+                         F.posexplode(F.arrays_zip("items", "scores")))
+            .select("user_id",
+                    (F.col("pos") + 1).cast("int").alias("rnk"),
+                    F.col("col.items").alias("item"),
+                    F.col("col.scores").alias("score")))
+    named = rel.broadcast_inner_join(
+        flat, cat.part.select(F.col("p_partkey").alias("item"), "p_name"),
+        "item")
+    return (named.select("user_id", "rnk", "item", "p_name", "score")
+            .orderBy("user_id", "rnk"))
+
+
+@_register(
+    "q232_skew_salted_join",
+    survey="X-surface skew salting in anger (operators/relational.salted_join): big fact salted with a random bucket, small dim exploded buckets-x, join on (key, salt) — the rewrite AQE can't apply when a skewed key feeds a window/agg; the salt provably never changes results (oracle = the plain join)",
+    oracle="""
+        SELECT c.c_mktsegment, count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               round(CAST(sum(CAST(round(e.value, 2) AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q232_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join certified value-invariant: the events fact joins
+    the customer segment dim through ``rel.salted_join`` (big side gets
+    an UNSEEDED random salt, small side explodes buckets×, join key
+    becomes (key, salt)) and the per-segment rollup must hash-match the
+    plain join — the salt balances load, never results, and this
+    certificate is that claim as a driver row. At fixture scale AQE
+    broadcasts the exploded dim and the salt is inert scheduling-wise;
+    the operator earns its keep at 100 TB when one hot user_id would
+    otherwise pin a shuffle partition (AQE skew-split covers joins, NOT
+    aggregation/window skew — the explicit rewrite stays necessary)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "user_id", F.round("value", 2).cast("decimal(18,2)").alias("v"))
+    seg = cat.customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = rel.salted_join(ev, seg, "user_id", salt_buckets=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("v").cast("double"), 2)
+                 .alias("total_value"))
+            .orderBy("c_mktsegment"))
+
+
+@_register(
+    "q233_cohort_retention",
+    survey="net-new weekly cohort retention matrix (classic growth analytics: users bucketed by first-active week, distinct-user counts per week offset, pivoted wide — the activation/churn read event dashboards lead with)",
+    oracle="""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(date_diff('day', DATE '2024-01-01',
+                                      CAST(ts AS DATE)) / 7) AS INTEGER)
+                   AS wk
+          FROM events),
+        co AS (SELECT user_id, min(wk) AS cohort_wk FROM uw
+               GROUP BY user_id)
+        SELECT co.cohort_wk,
+               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS w3,
+               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS w4
+        FROM uw JOIN co USING (user_id)
+        GROUP BY co.cohort_wk ORDER BY cohort_wk
+    """,
+)
+def q233_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = a user's first-active week
+    (integer week index from the dataset epoch — pure day arithmetic,
+    no week-start convention to disagree on), cells = distinct users of
+    that cohort active at each week offset, pivoted to the classic
+    wide matrix. The (user, week) relation is DISTINCT-deduped FIRST,
+    so every downstream count is a plain count (never a
+    count-distinct-per-cell — the cell explosion that kills retention
+    queries at scale); the pivot has explicit offset values (0-4, the
+    fixture horizon), so the plan is one partial-aggregating hash agg,
+    no second pass to discover columns."""
+    ev = Catalog(spark, sf_dir).events
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")) / 7).cast("int")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    co = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    ret = (uw.join(co, "user_id")
+           .select("cohort_wk",
+                   (F.col("wk") - F.col("cohort_wk")).alias("off")))
+    mat = (ret.groupBy("cohort_wk").pivot("off", list(range(5)))
+           .agg(F.count(F.lit(1))))
+    return (mat.select(
+        "cohort_wk",
+        *[F.coalesce(F.col(str(i)), F.lit(0)).cast("long")
+          .alias(f"w{i}") for i in range(5)])
+        .orderBy("cohort_wk"))
+
+
+@_register(
+    "q234_rfm_segments",
+    survey="net-new RFM segmentation (recency/frequency/monetary quartiles per customer via VALUE-DOMAIN histogram quantiles — the q212 discipline on three axes at once; the marketing-selection read, exact integer quartile assignment)",
+    oracle="""
+        WITH rfm AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', max(o_orderdate),
+                                DATE '2002-01-01') AS INTEGER) AS rec_days,
+                 count(*) AS freq,
+                 sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS mon
+          FROM orders GROUP BY o_custkey),
+        r2 AS (SELECT *, CAST(round(mon, 0) AS BIGINT) AS mon_d FROM rfm),
+        rh AS (SELECT rec_days, count(*) AS c FROM r2 GROUP BY rec_days),
+        rq AS (SELECT rec_days, CAST(
+                 (4 * sum(c) OVER (ORDER BY rec_days ASC
+                                   ROWS UNBOUNDED PRECEDING)
+                  + sum(c) OVER () - 1) // sum(c) OVER () AS INTEGER)
+                 AS r_q FROM rh),
+        fh AS (SELECT freq, count(*) AS c FROM r2 GROUP BY freq),
+        fq AS (SELECT freq, CAST(
+                 (4 * sum(c) OVER (ORDER BY freq DESC
+                                   ROWS UNBOUNDED PRECEDING)
+                  + sum(c) OVER () - 1) // sum(c) OVER () AS INTEGER)
+                 AS f_q FROM fh),
+        mh AS (SELECT mon_d, count(*) AS c FROM r2 GROUP BY mon_d),
+        mq AS (SELECT mon_d, CAST(
+                 (4 * sum(c) OVER (ORDER BY mon_d DESC
+                                   ROWS UNBOUNDED PRECEDING)
+                  + sum(c) OVER () - 1) // sum(c) OVER () AS INTEGER)
+                 AS m_q FROM mh)
+        SELECT rq.r_q, fq.f_q, mq.m_q, count(*) AS n_customers,
+               round(CAST(sum(r2.mon) AS DOUBLE), 2) AS total_monetary
+        FROM r2 JOIN rq USING (rec_days) JOIN fq USING (freq)
+                JOIN mq USING (mon_d)
+        GROUP BY rq.r_q, fq.f_q, mq.m_q
+        ORDER BY r_q, f_q, m_q
+    """,
+)
+def q234_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with exact, scale-safe quartiles: per customer
+    recency (days from the post-horizon as-of date to the last order),
+    frequency (order count), monetary (exact decimal spend); each axis
+    gets a quartile from its VALUE-DOMAIN histogram — cumulative count
+    over value-distinct rows, quartile = ceil(4·rank_max/n) in pure
+    integer arithmetic ((4·cum + n − 1) div n), ties sharing a value
+    share a quartile BY CONSTRUCTION (ntile's equal-size buckets split
+    ties nondeterministically across engines; value-domain quartiles
+    cannot). Never a global row sort: the only ordered structures are
+    the three histograms (recency ≤ date domain, frequency ≤ max order
+    count, monetary over DOLLAR-rounded spend — each bounded by the
+    value domain, not the customer count). Quartile 1 = best (most
+    recent / most frequent / highest spend)."""
+    o = Catalog(spark, sf_dir).orders
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.max("o_orderdate")).cast("int").alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .alias("mon"))
+    rfm = rfm.withColumn("mon_d", F.round("mon", 0).cast("long"))
+
+    def vquart(col: str, alias: str, asc: bool) -> DataFrame:
+        hist = rfm.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        order = F.col(col).asc() if asc else F.col(col).desc()
+        wc = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, 0)
+        wt = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        return (hist.select(col, F.sum("c").over(wc).alias("cum"),
+                            F.sum("c").over(wt).alias("n"))
+                .select(col, F.expr("(4*cum + n - 1) div n")
+                        .cast("int").alias(alias)))
+
+    seg = (rfm.join(vquart("rec_days", "r_q", asc=True), "rec_days")
+           .join(vquart("freq", "f_q", asc=False), "freq")
+           .join(vquart("mon_d", "m_q", asc=False), "mon_d"))
+    return (seg.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("mon").cast("double"), 2)
+                 .alias("total_monetary"))
+            .orderBy("r_q", "f_q", "m_q"))
+
+
+@_register(
+    "q235_referential_audit",
+    survey="net-new referential-integrity audit (anti-join orphan checks across the star schema + an exact-decimal totalprice reconciliation — the J4 surface in anger as a data-quality gate; every warehouse runs this before trusting a join)",
+    oracle="""
+        WITH li_tot AS (
+          SELECT l_orderkey,
+                 sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                     * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2)))
+                     * (1 + CAST(round(l_tax, 2) AS DECIMAL(18,2))))
+                   AS li_total
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT 'childless_orders' AS check_name,
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)) AS n_violations,
+               (SELECT count(*) FROM orders) AS n_checked
+        UNION ALL
+        SELECT 'orphan_lineitems',
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'orphan_order_custkey',
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'totalprice_mismatch',
+               (SELECT count(*) FROM orders o JOIN li_tot t
+                  ON t.l_orderkey = o.o_orderkey
+                WHERE abs(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))
+                          - t.li_total) > 0.01),
+               (SELECT count(*) FROM orders o JOIN li_tot t
+                  ON t.l_orderkey = o.o_orderkey)
+        ORDER BY check_name
+    """,
+)
+def q235_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema integrity audit, one row per check: orders with no
+    lineitems, lineitems with no order, orders pointing at a missing
+    customer (all LEFT-ANTI joins — the J4 rewrite at audit scale,
+    where the collect-to-driver set the reference used would be the
+    anti-pattern), plus an EXACT-DECIMAL reconciliation of
+    ``o_totalprice`` against Σ extprice·(1−disc)·(1+tax) — every
+    operand rounds once at 2 dp and multiplies as decimal, so the
+    >0.01 violation predicate can never flip on float noise between
+    engines. Checks are independent single-row aggregates crossJoined
+    to their denominators (1-row × 1-row frames) and unioned — the
+    whole audit is four parallel scans, no driver-side counting."""
+    cat = Catalog(spark, sf_dir)
+    li, od, cu = cat.lineitem, cat.orders, cat.customer
+    dec = "decimal(18,2)"
+    one = F.lit(1).cast(dec)
+
+    def check(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        return (viol.agg(F.count(F.lit(1)).alias("n_violations"))
+                .crossJoin(total)
+                .select(F.lit(name).alias("check_name"), "n_violations",
+                        "n_checked"))
+
+    n_orders = od.agg(F.count(F.lit(1)).alias("n_checked"))
+    n_items = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    li_keys = li.select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    c1 = check("childless_orders",
+               rel.anti_join(od, li_keys, "o_orderkey"), n_orders)
+    c2 = check("orphan_lineitems",
+               rel.anti_join(li, od.select(F.col("o_orderkey")
+                                           .alias("l_orderkey")),
+                             "l_orderkey"), n_items)
+    c3 = check("orphan_order_custkey",
+               rel.anti_join(od, cu.select(F.col("c_custkey")
+                                           .alias("o_custkey")),
+                             "o_custkey"), n_orders)
+    li_tot = li.groupBy("l_orderkey").agg(
+        F.sum(F.round("l_extendedprice", 2).cast(dec)
+              * (one - F.round("l_discount", 2).cast(dec))
+              * (one + F.round("l_tax", 2).cast(dec))).alias("li_total"))
+    matched = od.join(li_tot, od.o_orderkey == li_tot.l_orderkey)
+    c4 = check(
+        "totalprice_mismatch",
+        matched.filter(
+            F.abs(F.round("o_totalprice", 2).cast(dec)
+                  - F.col("li_total")) > F.lit(0.01).cast(dec)),
+        matched.agg(F.count(F.lit(1)).alias("n_checked")))
+    return (c1.unionByName(c2).unionByName(c3).unionByName(c4)
+            .orderBy("check_name"))
+
+
+@_register(
+    "q236_residual_outlier_hours",
+    survey="net-new seasonal-baseline residual outliers (per event-type hour-of-day slots: which calendar hours deviate most from their slot's mean load — the monitoring read behind 'traffic looked wrong Tuesday 3pm'; PURE-INTEGER scaled residuals, no division anywhere)",
+    oracle="""
+        WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        c2 AS (SELECT event_type, hr, cnt,
+                      EXTRACT(hour FROM hr) AS hod FROM c),
+        s AS (SELECT event_type, hod, count(*) AS slot_cells,
+                     sum(cnt) AS slot_total
+              FROM c2 GROUP BY event_type, hod)
+        SELECT c2.event_type, c2.hr, c2.cnt,
+               CAST(s.slot_cells AS BIGINT) AS slot_cells,
+               CAST(s.slot_total AS BIGINT) AS slot_total,
+               CAST(c2.cnt * s.slot_cells - s.slot_total AS BIGINT)
+                 AS dev_scaled
+        FROM c2 JOIN s USING (event_type, hod)
+        ORDER BY abs(c2.cnt * s.slot_cells - s.slot_total) DESC,
+                 c2.event_type, c2.hr
+        LIMIT 10
+    """,
+)
+def q236_residual_outlier_hours(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Seasonality-aware load outliers: hourly counts per type, a
+    hour-of-day baseline per (type, slot), and the top-10 calendar
+    hours by |scaled residual| — where the residual is the PURE INTEGER
+    ``cnt·slot_cells − slot_total`` (the sign of cnt − slot_mean times
+    the slot size), so no division, no rounding, no cross-engine float
+    boundary anywhere; the global top-10 is fully tiebroken
+    (|dev| desc, type, hour). Both aggregates are map-side combined
+    over the (type, hour) cell relation — horizon-bounded, never the
+    event stream."""
+    ev = Catalog(spark, sf_dir).events
+    c = (ev.select(F.date_trunc("hour", F.col("ts")).alias("hr"),
+                   "event_type")
+         .groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+         .withColumn("hod", F.hour("hr")))
+    s = c.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("slot_cells"),
+        F.sum("cnt").alias("slot_total"))
+    j = c.join(s, ["event_type", "hod"])
+    dev = F.col("cnt") * F.col("slot_cells") - F.col("slot_total")
+    return (j.select("event_type", "hr", "cnt", "slot_cells",
+                     "slot_total", dev.alias("dev_scaled"))
+            .orderBy(F.abs(F.col("dev_scaled")).desc(), "event_type",
+                     "hr")
+            .limit(10))
+
+
+@_register(
+    "q237_last_touch_attribution",
+    survey="net-new last-touch revenue attribution (each purchase's value credited to the user's most recent STRICTLY-prior non-purchase event type — the marketing-attribution read; last(ignorenulls) over an unbounded-preceding frame, the W3 surface in anger)",
+    oracle="""
+        WITH t AS (
+          SELECT user_id, event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch
+          FROM events)
+        SELECT coalesce(touch, 'none') AS touch,
+               count(*) AS n_purchases,
+               round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS attributed_value
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY coalesce(touch, 'none') ORDER BY touch
+    """,
+)
+def q237_last_touch_attribution(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Last-touch attribution: every purchase credits its (2 dp exact
+    decimal) value to the most recent strictly-prior non-purchase
+    event type of the same user — ``last(..., ignorenulls=True)`` over
+    an unbounded-preceding/−1 frame ordered by (ts, event_id), the
+    deterministic total order every stateful operator here uses. A
+    purchase with no prior touch lands in 'none' (kept visible — the
+    attribution gap is itself the metric). One user-keyed exchange
+    feeds the window; the rollup is five rows."""
+    ev = Catalog(spark, sf_dir).events
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True).over(w)
+    p = (ev.withColumn("touch", touch)
+         .filter(F.col("event_type") == "purchase"))
+    return (p.groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.round(F.sum(F.round("value", 2).cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("attributed_value"))
+            .orderBy("touch"))
+
+
+@_register(
+    "q238_interarrival_burstiness",
+    survey="net-new inter-arrival burstiness profile (per event type: mean PER-USER gap, coefficient of variation, and the Goh-Barabasi burstiness index (sd-mean)/(sd+mean) from exact DECIMAL(38) moment sums — Poisson-vs-bursty arrival diagnosis in ONE map-side-combined aggregate over a (type,user)-keyed window)",
+    oracle="""
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY event_type, user_id
+                         ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(gap_us AS DECIMAL(38,0))) AS s1,
+                 sum(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS s2
+          FROM g WHERE gap_us IS NOT NULL GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+               round(CAST(s1 AS DOUBLE) / (n * 1000000.0), 6)
+                 AS mean_gap_s,
+               round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE))
+                     / (CAST(s1 AS DOUBLE) / n), 6) AS cv,
+               round((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                           / CAST(n * (n - 1) AS DOUBLE))
+                      - CAST(s1 AS DOUBLE) / n)
+                     / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE))
+                        + CAST(s1 AS DOUBLE) / n), 6) AS burstiness
+        FROM m ORDER BY event_type
+    """,
+)
+def q238_interarrival_burstiness(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Arrival-process diagnosis per type: PER-USER consecutive-event
+    gaps (epoch-microsecond integers over the (ts, event_id) total
+    order, windowed by (event_type, user_id) — user-keyed so the
+    exchange parallelizes by population, never by the 5-value type
+    domain: a type-only window would run 100 TB through five tasks)
+    feed exact DECIMAL(38) moment sums — gap² would overflow int64 at
+    month-scale gaps, so the products cast to decimal BEFORE the sum
+    (the q225/q229 accumulator discipline) — and the mean/CV/Goh-
+    Barabási burstiness index come out as fixed IEEE expressions over
+    exact operands (correctly-rounded divide/sqrt — bit-identical
+    cross-engine), rounded once. B ≈ −1 periodic, 0 Poisson, → 1
+    bursty: the ingest-planning read for sessionization and watermark
+    sizing. One window pass + one map-side-combined aggregate."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id")
+    # events.ts loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP —
+    # the session pins UTC, so the cast is value-preserving (q74 note).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = (ev.select("event_type", (us - F.lag(us).over(w)).alias("gap_us"))
+         .filter(F.col("gap_us").isNotNull()))
+    deci = "decimal(38,0)"
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap_us").cast(deci)).alias("s1"),
+        F.sum(F.col("gap_us").cast(deci) * F.col("gap_us")).alias("s2"))
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean_us = s1.cast("double") / n
+    var_us2 = ((n.cast(deci) * s2 - s1 * s1).cast("double")
+               / (n * (n - 1)).cast("double"))
+    sd = F.sqrt(var_us2)
+    return (m.select(
+        "event_type", n.alias("n_gaps"),
+        F.round(s1.cast("double") / (n * F.lit(1000000.0)), 6)
+        .alias("mean_gap_s"),
+        F.round(sd / mean_us, 6).alias("cv"),
+        F.round((sd - mean_us) / (sd + mean_us), 6).alias("burstiness"))
+        .orderBy("event_type"))
+
+
+@_register(
+    "q239_winsorized_stats",
+    survey="net-new winsorized robust mean (per event type: clamp values to exact p10/p90 VALUE-DOMAIN cutoffs, then the exact-decimal mean — the outlier-robust monitoring statistic; the q212 histogram-quantile discipline feeding a clamp)",
+    oracle="""
+        WITH s AS (
+          SELECT event_type,
+                 CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+          FROM events),
+        h AS (SELECT event_type, v, count(*) AS c FROM s
+              GROUP BY event_type, v),
+        w AS (
+          SELECT event_type, v,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM h),
+        cuts AS (
+          SELECT event_type,
+                 min(CASE WHEN 10 * cum >= n THEN v END) AS p10_cut,
+                 min(CASE WHEN 10 * cum >= 9 * n THEN v END) AS p90_cut
+          FROM w GROUP BY event_type)
+        SELECT s.event_type, count(*) AS n_events,
+               round(CAST(min(cuts.p10_cut) AS DOUBLE), 2) AS p10_cut,
+               round(CAST(min(cuts.p90_cut) AS DOUBLE), 2) AS p90_cut,
+               round(CAST(sum(least(greatest(s.v, cuts.p10_cut),
+                                    cuts.p90_cut)) AS DOUBLE)
+                     / count(*), 6) AS winsorized_mean
+        FROM s JOIN cuts USING (event_type)
+        GROUP BY s.event_type ORDER BY event_type
+    """,
+)
+def q239_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per type: exact p10/p90 cutoffs from the
+    VALUE-DOMAIN histogram (cumulative counts over value-distinct 2 dp
+    rows, integer threshold predicates — the q212 mass-quantile
+    discipline), values clamped to the cutoffs as exact decimals
+    (least/greatest on decimal — no float compare), and the robust mean
+    as one decimal sum with a single rounded IEEE divide. The cutoff
+    relation is |types| rows (broadcast); the histogram window runs
+    over the bounded 2 dp value domain, never the event stream."""
+    ev = Catalog(spark, sf_dir).events
+    s = ev.select("event_type",
+                  F.round("value", 2).cast("decimal(18,2)").alias("v"))
+    h = s.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wc = (Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    ww = h.select("event_type", "v",
+                  F.sum("c").over(wc).alias("cum"),
+                  F.sum("c").over(wt).alias("n"))
+    cuts = ww.groupBy("event_type").agg(
+        F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("v")))
+        .alias("p10_cut"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("v")))
+        .alias("p90_cut"))
+    j = s.join(F.broadcast(cuts), "event_type")
+    clamped = F.least(F.greatest(F.col("v"), F.col("p10_cut")),
+                      F.col("p90_cut"))
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.min("p10_cut").cast("double"), 2)
+                 .alias("p10_cut"),
+                 F.round(F.min("p90_cut").cast("double"), 2)
+                 .alias("p90_cut"),
+                 F.round(F.sum(clamped).cast("double")
+                         / F.count(F.lit(1)), 6)
+                 .alias("winsorized_mean"))
+            .orderBy("event_type"))
+
+
+@_register(
+    "q240_weekly_top_movers",
+    survey="net-new week-over-week revenue movers (per-part weekly exact-decimal revenue, lag delta vs the previous ACTIVE week, global top-15 by swing — the trend-alert read; part-keyed window, fully parallel)",
+    oracle="""
+        WITH wr AS (
+          SELECT l_partkey AS part,
+                 CAST(floor(date_diff('day', DATE '1995-01-01',
+                                      CAST(l_shipdate AS DATE)) / 7)
+                      AS INTEGER) AS wk,
+                 sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                     * (1 - CAST(round(l_discount, 2) AS DECIMAL(18,2))))
+                   AS wrev
+          FROM lineitem GROUP BY part, wk),
+        d AS (
+          SELECT part, wk, wrev,
+                 lag(wk) OVER (PARTITION BY part ORDER BY wk) AS prev_wk,
+                 wrev - lag(wrev) OVER (PARTITION BY part ORDER BY wk)
+                   AS delta
+          FROM wr)
+        SELECT part, wk, prev_wk,
+               round(CAST(wrev AS DOUBLE), 2) AS week_revenue,
+               round(CAST(delta AS DOUBLE), 2) AS wow_delta
+        FROM d WHERE delta IS NOT NULL
+        ORDER BY delta DESC, part ASC, wk ASC LIMIT 15
+    """,
+)
+def q240_weekly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movers: per-part weekly revenue (2 dp exact
+    decimal, integer week index from a pinned epoch), the lag delta
+    against the part's previous ACTIVE week (gap weeks documented as
+    skipped — the delta reads 'vs last time this part sold', the
+    alerting semantic), and the global top-15 swings. The window is
+    part-keyed (massively parallel, ≤ a few hundred weeks per part);
+    the exact-decimal delta makes the top-15 order tie-free up to the
+    explicit (part, week) tiebreak."""
+    li = Catalog(spark, sf_dir).lineitem
+    dec = "decimal(18,2)"
+    wk = F.floor(
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.lit("1995-01-01").cast("date")) / 7).cast("int")
+    rev = (F.round("l_extendedprice", 2).cast(dec)
+           * (F.lit(1).cast(dec) - F.round("l_discount", 2).cast(dec)))
+    wr = (li.select(F.col("l_partkey").alias("part"), wk.alias("wk"),
+                    rev.alias("rev"))
+          .groupBy("part", "wk").agg(F.sum("rev").alias("wrev")))
+    w = Window.partitionBy("part").orderBy("wk")
+    d = (wr.select("part", "wk", "wrev",
+                   F.lag("wk").over(w).alias("prev_wk"),
+                   (F.col("wrev") - F.lag("wrev").over(w)).alias("delta"))
+         .filter(F.col("delta").isNotNull()))
+    return (d.orderBy(F.col("delta").desc(), F.col("part").asc(),
+                      F.col("wk").asc())
+            .limit(15)
+            .select("part", "wk", "prev_wk",
+                    F.round(F.col("wrev").cast("double"), 2)
+                    .alias("week_revenue"),
+                    F.round(F.col("delta").cast("double"), 2)
+                    .alias("wow_delta")))
+
+
+@_register(
+    "q241_ewma_daily",
+    survey="net-new recursive EWMA smoothing (per-type daily counts smoothed by ewma_t = (x_t + ewma_{t-1})/2 — a SEQUENTIAL recurrence run as an aggregate-HOF scan over the value-domain day array; alpha = 1/2 keeps every value an exact dyadic rational, bit-identical to the recursive-CTE oracle with NO rounding anywhere)",
+    oracle="""
+        WITH RECURSIVE d AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) AS INTEGER) AS d,
+                 count(*) AS cnt
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        r AS (SELECT event_type, d, cnt,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS rn
+              FROM d),
+        e AS (
+          SELECT event_type, d, cnt, rn, CAST(cnt AS DOUBLE) AS ewma
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.event_type, r.d, r.cnt, r.rn,
+                 (CAST(r.cnt AS DOUBLE) + e.ewma) / 2.0
+          FROM r JOIN e ON r.event_type = e.event_type
+                       AND r.rn = e.rn + 1)
+        SELECT event_type, d, CAST(cnt AS BIGINT) AS cnt, ewma
+        FROM e ORDER BY event_type, d
+    """,
+)
+def q241_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential smoothing as a distributed plan: per-type daily
+    counts collect into ONE rank-ordered array per type (the
+    value-domain discipline — the array is horizon-bounded, never the
+    event stream), an ``F.aggregate`` scan runs the recurrence
+    ``ewma_t = (x_t + ewma_{t-1})/2`` left-to-right, and the result
+    explodes back to rows. α = 1/2 makes every intermediate an exact
+    DYADIC rational (integer counts halved ≤ horizon times — ≤ 40
+    fraction bits, exactly representable in a double), so the emitted
+    ewma is UNROUNDED and still bit-identical to DuckDB's recursive
+    CTE: no round() means no half-boundary class (the r8 #12 lesson
+    applied by construction). The inherently sequential part touches
+    |days| elements per type; everything around it is one
+    map-side-combined aggregate."""
+    ev = Catalog(spark, sf_dir).events
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2024-01-01").cast("date")).cast("int")
+    daily = (ev.groupBy("event_type", day.alias("d"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "cnt"))).alias("s"))
+    acc0 = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<d: INT, cnt: BIGINT, ewma: DOUBLE>>)")
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)["ewma"]
+        ew = F.when(F.size(acc) == 0, x["cnt"].cast("double")) \
+              .otherwise((x["cnt"].cast("double") + prev) / F.lit(2.0))
+        return F.concat(acc, F.array(F.struct(
+            x["d"].alias("d"), x["cnt"].alias("cnt"), ew.alias("ewma"))))
+
+    scanned = arr.select("event_type",
+                         F.aggregate("s", acc0, step).alias("e"))
+    return (scanned.select("event_type", F.explode("e").alias("r"))
+            .select("event_type", F.col("r.d").alias("d"),
+                    F.col("r.cnt").alias("cnt"),
+                    F.col("r.ewma").alias("ewma"))
+            .orderBy("event_type", "d"))
+
+
+@_register(
+    "q242_time_to_convert",
+    survey="net-new conversion-latency cohorts (per first-view week: users, converters, and exact p50/p90 minutes from first view to first STRICTLY-LATER purchase — the q221 sequenced-minima rule feeding the q212 value-domain quantile discipline)",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, min(ts) AS ts1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        vc AS (
+          SELECT user_id, epoch_us(ts1) AS t1,
+                 CAST(floor(date_diff('day', DATE '2024-01-01',
+                                      CAST(ts1 AS DATE)) / 7) AS INTEGER)
+                   AS cohort_wk
+          FROM v),
+        conv AS (
+          SELECT e.user_id, vc.cohort_wk,
+                 (min(epoch_us(e.ts)) - min(vc.t1)) // 60000000 AS cmin
+          FROM events e JOIN vc USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > vc.t1
+          GROUP BY e.user_id, vc.cohort_wk),
+        h AS (SELECT cohort_wk, cmin, count(*) AS c FROM conv
+              GROUP BY cohort_wk, cmin),
+        w AS (
+          SELECT cohort_wk, cmin,
+                 sum(c) OVER (PARTITION BY cohort_wk ORDER BY cmin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY cohort_wk) AS n
+          FROM h),
+        q AS (
+          SELECT cohort_wk, CAST(min(n) AS BIGINT) AS n_converted,
+                 min(CASE WHEN 2 * cum >= n THEN cmin END)
+                   AS p50_convert_min,
+                 min(CASE WHEN 10 * cum >= 9 * n THEN cmin END)
+                   AS p90_convert_min
+          FROM w GROUP BY cohort_wk),
+        b AS (SELECT cohort_wk, count(*) AS n_view_users FROM vc
+              GROUP BY cohort_wk)
+        SELECT b.cohort_wk, b.n_view_users,
+               coalesce(q.n_converted, 0) AS n_converted,
+               CAST(q.p50_convert_min AS BIGINT) AS p50_convert_min,
+               CAST(q.p90_convert_min AS BIGINT) AS p90_convert_min
+        FROM b LEFT JOIN q USING (cohort_wk)
+        ORDER BY cohort_wk
+    """,
+)
+def q242_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency by acquisition cohort: each user's first view
+    anchors a cohort week; the first STRICTLY-LATER purchase (the q221
+    sequenced-minimum rule — a re-purchasing user's earlier purchases
+    never count) yields an integer MINUTE latency, whose per-cohort
+    p50/p90 come from the value-domain histogram (minutes over the
+    horizon — a bounded domain, so the cumulative window runs over at
+    most horizon-minutes rows per cohort, never the user population).
+    Cohorts with zero converters keep NULL quantiles and an explicit
+    zero count — absence is data. Pure integer arithmetic end to end."""
+    ev = Catalog(spark, sf_dir).events
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    vc = v.select(
+        "user_id", F.unix_micros(F.col("ts1").cast("timestamp")).alias("t1"),
+        F.floor(F.datediff(F.col("ts1").cast("date"),
+                           F.lit("2024-01-01").cast("date")) / 7)
+        .cast("int").alias("cohort_wk"))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("tp"))
+            .join(vc, "user_id")
+            .filter(F.col("tp") > F.col("t1"))
+            .groupBy("user_id", "cohort_wk")
+            .agg(F.expr("(min(tp) - min(t1)) div 60000000").alias("cmin")))
+    h = conv.groupBy("cohort_wk", "cmin").agg(F.count(F.lit(1)).alias("c"))
+    wc = (Window.partitionBy("cohort_wk").orderBy("cmin")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("cohort_wk")
+    ww = h.select("cohort_wk", "cmin",
+                  F.sum("c").over(wc).alias("cum"),
+                  F.sum("c").over(wt).alias("n"))
+    q = ww.groupBy("cohort_wk").agg(
+        F.min("n").alias("n_converted"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("cmin")))
+        .alias("p50_convert_min"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("cmin")))
+        .alias("p90_convert_min"))
+    b = vc.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_view_users"))
+    return (b.join(q, "cohort_wk", "left")
+            .select("cohort_wk", "n_view_users",
+                    F.coalesce("n_converted", F.lit(0)).cast("long")
+                    .alias("n_converted"),
+                    F.col("p50_convert_min").cast("long")
+                    .alias("p50_convert_min"),
+                    F.col("p90_convert_min").cast("long")
+                    .alias("p90_convert_min"))
+            .orderBy("cohort_wk"))
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver certifies the FIRST 50 entries of ``queries()`` in dict
@@ -10238,6 +11046,12 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q225_value_trend_slopes", "q226_gapfill_hourly",
     "q227_session_paths", "q228_session_concurrency",
     "q229_token_gini", "q230_stream_funnel_stages",
+    "q231_topk_recommend_twin", "q232_skew_salted_join",
+    "q233_cohort_retention", "q234_rfm_segments",
+    "q235_referential_audit", "q236_residual_outlier_hours",
+    "q237_last_touch_attribution", "q238_interarrival_burstiness",
+    "q239_winsorized_stats", "q240_weekly_top_movers",
+    "q241_ewma_daily", "q242_time_to_convert",
 )
 
 
@@ -10410,17 +11224,18 @@ _ANCHOR = "q01_top_parts"
 #: (tests/test_oracle_parity.py) + the strict driver replica
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
-    "q220_l_diversity",
-    "q221_event_funnel",
-    "q222_survival_curve",
-    "q223_embedding_quantization",
-    "q224_vocab_coverage",
-    "q225_value_trend_slopes",
-    "q226_gapfill_hourly",
-    "q227_session_paths",
-    "q228_session_concurrency",
-    "q229_token_gini",
-    "q230_stream_funnel_stages",
+    "q231_topk_recommend_twin",
+    "q232_skew_salted_join",
+    "q233_cohort_retention",
+    "q234_rfm_segments",
+    "q235_referential_audit",
+    "q236_residual_outlier_hours",
+    "q237_last_touch_attribution",
+    "q238_interarrival_burstiness",
+    "q239_winsorized_stats",
+    "q240_weekly_top_movers",
+    "q241_ewma_daily",
+    "q242_time_to_convert",
 )
 
 #: The deferral self-expires: it only applies while the newest
@@ -10444,7 +11259,13 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
 #: r12 changed-tier entries and the anchor: 16-slot front, 34 refresh
 #: slots for the 26 r7-vintage certificates VERDICT r11 #4 ordered);
 #: the round-12 additions (q220–q230) defer in their place.
-_DEFERRED_AS_OF_ROUND = 11
+#: Round 13: the r12 wave's deferral (q220–q230) dissolved on
+#: CORRECTNESS_r12 — those eleven lead the r13 window (with the anchor:
+#: 12-slot front, 38 refresh slots absorbing the full 28-certificate
+#: r8-vintage tier VERDICT r12 #2 ordered plus ten r9 rows); the
+#: round-13 additions (q231–q242, the last unconstrained wave before
+#: the 245 ceiling) defer in their place.
+_DEFERRED_AS_OF_ROUND = 12
 
 
 def _active_deferrals(latest: dict[str, int]) -> set[str]:

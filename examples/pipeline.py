@@ -585,6 +585,45 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 17k. stateful funnel on the streaming engine --")
     REGISTRY["q230_stream_funnel_stages"].build(spark, sf_dir).show()
 
+    print("== 18. round-13 wave: the q53 oracle twin, skew salting, "
+          "customer analytics, robust stats ==")
+
+    print("-- 18a. top-k recommend twin (q53's unnest path, oracled) --")
+    REGISTRY["q231_topk_recommend_twin"].build(spark, sf_dir).show(5)
+
+    print("-- 18b. salted join, value-invariant (skew rewrite) --")
+    REGISTRY["q232_skew_salted_join"].build(spark, sf_dir).show()
+
+    print("-- 18c. weekly cohort retention matrix --")
+    REGISTRY["q233_cohort_retention"].build(spark, sf_dir).show()
+
+    print("-- 18d. RFM segmentation (value-domain quartiles) --")
+    REGISTRY["q234_rfm_segments"].build(spark, sf_dir).show(5)
+
+    print("-- 18e. referential-integrity audit --")
+    REGISTRY["q235_referential_audit"].build(spark, sf_dir).show()
+
+    print("-- 18f. seasonal residual outlier hours --")
+    REGISTRY["q236_residual_outlier_hours"].build(spark, sf_dir).show(5)
+
+    print("-- 18g. last-touch revenue attribution --")
+    REGISTRY["q237_last_touch_attribution"].build(spark, sf_dir).show()
+
+    print("-- 18h. inter-arrival burstiness (per-user gaps) --")
+    REGISTRY["q238_interarrival_burstiness"].build(spark, sf_dir).show()
+
+    print("-- 18i. winsorized robust mean --")
+    REGISTRY["q239_winsorized_stats"].build(spark, sf_dir).show()
+
+    print("-- 18j. week-over-week revenue movers --")
+    REGISTRY["q240_weekly_top_movers"].build(spark, sf_dir).show(5)
+
+    print("-- 18k. recursive EWMA smoothing (dyadic-exact) --")
+    REGISTRY["q241_ewma_daily"].build(spark, sf_dir).show(5)
+
+    print("-- 18l. conversion-latency cohorts --")
+    REGISTRY["q242_time_to_convert"].build(spark, sf_dir).show()
+
     spark.stop()
 
 

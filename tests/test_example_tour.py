@@ -318,6 +318,42 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "stream-funnel": ((
         "q230_stream_funnel_stages",),
         "stateful funnel on the streaming engine", None),
+    "recommend-twin": ((
+        "q231_topk_recommend_twin",),
+        "top-k recommend twin", None),
+    "salted-join": ((
+        "q232_skew_salted_join",),
+        "salted join, value-invariant", None),
+    "cohort-retention": ((
+        "q233_cohort_retention",),
+        "weekly cohort retention", None),
+    "rfm": ((
+        "q234_rfm_segments",),
+        "RFM segmentation", None),
+    "referential-audit": ((
+        "q235_referential_audit",),
+        "referential-integrity audit", None),
+    "residual-outliers": ((
+        "q236_residual_outlier_hours",),
+        "seasonal residual outlier hours", None),
+    "attribution": ((
+        "q237_last_touch_attribution",),
+        "last-touch revenue attribution", None),
+    "burstiness": ((
+        "q238_interarrival_burstiness",),
+        "inter-arrival burstiness", None),
+    "winsorized": ((
+        "q239_winsorized_stats",),
+        "winsorized robust mean", None),
+    "top-movers": ((
+        "q240_weekly_top_movers",),
+        "week-over-week revenue movers", None),
+    "ewma": ((
+        "q241_ewma_daily",),
+        "recursive EWMA smoothing", None),
+    "time-to-convert": ((
+        "q242_time_to_convert",),
+        "conversion-latency cohorts", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner
