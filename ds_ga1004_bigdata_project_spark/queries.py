@@ -10235,45 +10235,71 @@ def q231_topk_recommend_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q232_skew_salted_join",
-    survey="X-surface skew salting in anger (operators/relational.salted_join): big fact salted with a random bucket, small dim exploded buckets-x, join on (key, salt) — the rewrite AQE can't apply when a skewed key feeds a window/agg; the salt provably never changes results (oracle = the plain join)",
+    "q232_basket_pair_lift",
+    survey="net-new market-basket association pairs (co-purchased part pairs per order: support + lift from order-distinct counts — the A-priori first pass as a bounded self-join; classic basket analytics the registry lacked)",
     oracle="""
-        SELECT c.c_mktsegment, count(*) AS n_events,
-               count(DISTINCT e.user_id) AS n_users,
-               round(CAST(sum(CAST(round(e.value, 2) AS DECIMAL(18,2)))
-                          AS DOUBLE), 2) AS total_value
-        FROM events e JOIN customer c ON c.c_custkey = e.user_id
-        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pr AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey),
+        ic AS (SELECT l_partkey, count(*) AS cnt FROM op
+               GROUP BY l_partkey),
+        t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
+        SELECT pr.pa, pr.pb, pr.support,
+               ia.cnt AS n_a, ib.cnt AS n_b,
+               CAST(t.n_orders * pr.support AS DOUBLE)
+                 / CAST(ia.cnt * ib.cnt AS DOUBLE) AS lift
+        FROM pr JOIN ic ia ON ia.l_partkey = pr.pa
+                JOIN ic ib ON ib.l_partkey = pr.pb
+                CROSS JOIN t
+        WHERE pr.support >= 2
+        ORDER BY lift DESC, pa ASC, pb ASC LIMIT 15
     """,
 )
-def q232_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted equi-join certified value-invariant: the events fact joins
-    the customer segment dim through ``rel.salted_join`` (big side gets
-    an UNSEEDED random salt, small side explodes buckets×, join key
-    becomes (key, salt)) and the per-segment rollup must hash-match the
-    plain join — the salt balances load, never results, and this
-    certificate is that claim as a driver row. At fixture scale AQE
-    broadcasts the exploded dim and the salt is inert scheduling-wise;
-    the operator earns its keep at 100 TB when one hot user_id would
-    otherwise pin a shuffle partition (AQE skew-split covers joins, NOT
-    aggregation/window skew — the explicit rewrite stays necessary)."""
-    cat = Catalog(spark, sf_dir)
-    ev = cat.events.select(
-        "user_id", F.round("value", 2).cast("decimal(18,2)").alias("v"))
-    seg = cat.customer.select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment")
-    j = rel.salted_join(ev, seg, "user_id", salt_buckets=8)
-    return (j.groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.countDistinct("user_id").alias("n_users"),
-                 F.round(F.sum("v").cast("double"), 2)
-                 .alias("total_value"))
-            .orderBy("c_mktsegment"))
+def q232_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs: co-purchased (part, part) pairs
+    per order with support and lift — the A-priori first pass. The
+    self-join runs on the ORDER-DISTINCT (order, part) relation keyed
+    by order, so pair fan-out is C(k,2) of the order's item count —
+    bounded by basket size, never by corpus size (the same
+    bounded-fan-out argument as the CDC overlap operators; at 100 TB
+    the shuffle key is l_orderkey and no all-pairs relation ever
+    forms). Lift is ONE IEEE divide of exact integer products
+    (n·support / n_a·n_b, operands < 2^53), emitted UNROUNDED — a
+    single correctly-rounded op is bit-identical cross-engine, so no
+    rounding boundary exists (the q241 discipline); the top-15 order
+    tiebreaks on the pair itself."""
+    li = Catalog(spark, sf_dir).lineitem
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+             .join(op.select("l_orderkey",
+                             F.col("l_partkey").alias("pb")),
+                   "l_orderkey")
+             .filter(F.col("pa") < F.col("pb")))
+    pr = (pairs.groupBy("pa", "pb")
+          .agg(F.count(F.lit(1)).alias("support"))
+          .filter(F.col("support") >= 2))
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    t = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    j = (pr.join(ic.select(F.col("l_partkey").alias("pa"),
+                           F.col("cnt").alias("n_a")), "pa")
+         .join(ic.select(F.col("l_partkey").alias("pb"),
+                         F.col("cnt").alias("n_b")), "pb")
+         .crossJoin(F.broadcast(t)))
+    lift = ((F.col("n_orders") * F.col("support")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"))
+    return (j.select("pa", "pb", "support", "n_a", "n_b",
+                     lift.alias("lift"))
+            .orderBy(F.col("lift").desc(), F.col("pa").asc(),
+                     F.col("pb").asc())
+            .limit(15))
 
 
 @_register(
-    "q233_cohort_retention",
-    survey="net-new weekly cohort retention matrix (classic growth analytics: users bucketed by first-active week, distinct-user counts per week offset, pivoted wide — the activation/churn read event dashboards lead with)",
+    "q233_growth_accounting",
+    survey="net-new growth accounting (weekly new/retained/resurrected/churned user decomposition from one user-keyed lag/lead window — the week-over-week state-transition read q137's cohort matrix cannot express)",
     oracle="""
         WITH uw AS (
           SELECT DISTINCT user_id,
@@ -10281,50 +10307,76 @@ def q232_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       CAST(ts AS DATE)) / 7) AS INTEGER)
                    AS wk
           FROM events),
-        co AS (SELECT user_id, min(wk) AS cohort_wk FROM uw
-               GROUP BY user_id)
-        SELECT co.cohort_wk,
-               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 0
-                             THEN 1 ELSE 0 END) AS BIGINT) AS w0,
-               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 1
-                             THEN 1 ELSE 0 END) AS BIGINT) AS w1,
-               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 2
-                             THEN 1 ELSE 0 END) AS BIGINT) AS w2,
-               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 3
-                             THEN 1 ELSE 0 END) AS BIGINT) AS w3,
-               CAST(sum(CASE WHEN uw.wk - co.cohort_wk = 4
-                             THEN 1 ELSE 0 END) AS BIGINT) AS w4
-        FROM uw JOIN co USING (user_id)
-        GROUP BY co.cohort_wk ORDER BY cohort_wk
+        st AS (
+          SELECT user_id, wk,
+                 lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                   AS prev_wk,
+                 lead(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                   AS next_wk
+          FROM uw),
+        a AS (
+          SELECT wk,
+                 sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END)
+                   AS n_new,
+                 sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+                   AS n_retained,
+                 sum(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                          THEN 1 ELSE 0 END) AS n_resurrected
+          FROM st GROUP BY wk),
+        c AS (
+          SELECT wk + 1 AS wk, count(*) AS n_churned
+          FROM st WHERE next_wk IS NULL OR next_wk > wk + 1
+          GROUP BY wk + 1)
+        SELECT a.wk, CAST(a.n_new AS BIGINT) AS n_new,
+               CAST(a.n_retained AS BIGINT) AS n_retained,
+               CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+               CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+        FROM a LEFT JOIN c USING (wk) ORDER BY a.wk
     """,
 )
-def q233_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention: cohort = a user's first-active week
-    (integer week index from the dataset epoch — pure day arithmetic,
-    no week-start convention to disagree on), cells = distinct users of
-    that cohort active at each week offset, pivoted to the classic
-    wide matrix. The (user, week) relation is DISTINCT-deduped FIRST,
-    so every downstream count is a plain count (never a
-    count-distinct-per-cell — the cell explosion that kills retention
-    queries at scale); the pivot has explicit offset values (0-4, the
-    fixture horizon), so the plan is one partial-aggregating hash agg,
-    no second pass to discover columns."""
+def q233_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each week's active users decompose into NEW
+    (no prior active week), RETAINED (active the immediately preceding
+    week) and RESURRECTED (returning after a gap), plus the CHURNED
+    count attributed to the week a user went dark (active in w, not in
+    w+1 — observable only inside the horizon, so the final week shows
+    churn INTO it, never out of it). One user-keyed lag/lead window
+    over the DISTINCT (user, week) relation does all four states —
+    weeks per user are horizon-bounded, the exchange parallelizes by
+    population, and every count is a conditional sum in one hash agg.
+    The week index is pure day arithmetic from the dataset epoch (no
+    week-start convention). This is the state-transition read the q137
+    cohort matrix cannot express: q137 counts cohort activity at
+    offsets; this names WHY this week's number moved."""
     ev = Catalog(spark, sf_dir).events
     wk = F.floor(
         F.datediff(F.col("ts").cast("date"),
                    F.lit("2024-01-01").cast("date")) / 7).cast("int")
     uw = ev.select("user_id", wk.alias("wk")).distinct()
-    co = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    ret = (uw.join(co, "user_id")
-           .select("cohort_wk",
-                   (F.col("wk") - F.col("cohort_wk")).alias("off")))
-    mat = (ret.groupBy("cohort_wk").pivot("off", list(range(5)))
-           .agg(F.count(F.lit(1))))
-    return (mat.select(
-        "cohort_wk",
-        *[F.coalesce(F.col(str(i)), F.lit(0)).cast("long")
-          .alias(f"w{i}") for i in range(5)])
-        .orderBy("cohort_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    st = uw.select(
+        "wk", F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"))
+    a = st.groupBy("wk").agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0))
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1)
+              .otherwise(0)).alias("n_retained"),
+        F.sum(F.when(F.col("prev_wk").isNotNull()
+                     & (F.col("prev_wk") < F.col("wk") - 1), 1)
+              .otherwise(0)).alias("n_resurrected"))
+    c = (st.filter(F.col("next_wk").isNull()
+                   | (F.col("next_wk") > F.col("wk") + 1))
+         .groupBy((F.col("wk") + 1).alias("wk"))
+         .agg(F.count(F.lit(1)).alias("n_churned")))
+    return (a.join(c, "wk", "left")
+            .select("wk", F.col("n_new").cast("long").alias("n_new"),
+                    F.col("n_retained").cast("long").alias("n_retained"),
+                    F.col("n_resurrected").cast("long")
+                    .alias("n_resurrected"),
+                    F.coalesce("n_churned", F.lit(0)).cast("long")
+                    .alias("n_churned"))
+            .orderBy("wk"))
 
 
 @_register(
@@ -10460,7 +10512,14 @@ def q235_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     >0.01 violation predicate can never flip on float noise between
     engines. Checks are independent single-row aggregates crossJoined
     to their denominators (1-row × 1-row frames) and unioned — the
-    whole audit is four parallel scans, no driver-side counting."""
+    whole audit is four parallel scans, no driver-side counting.
+    Extends q99's one-row quality report: q99 counts lineitem orphans/
+    nulls/dup-keys in one wide row; this is the long-format audit over
+    the whole star (childless orders, missing customers) plus the
+    reconciliation check q99 lacks — the one that actually fires on
+    the fixture (o_totalprice disagrees with its lineitem recompute on
+    most orders, an intentional synthetic-data property worth
+    asserting rather than discovering)."""
     cat = Catalog(spark, sf_dir)
     li, od, cu = cat.lineitem, cat.orders, cat.customer
     dec = "decimal(18,2)"
@@ -11046,8 +11105,8 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q225_value_trend_slopes", "q226_gapfill_hourly",
     "q227_session_paths", "q228_session_concurrency",
     "q229_token_gini", "q230_stream_funnel_stages",
-    "q231_topk_recommend_twin", "q232_skew_salted_join",
-    "q233_cohort_retention", "q234_rfm_segments",
+    "q231_topk_recommend_twin", "q232_basket_pair_lift",
+    "q233_growth_accounting", "q234_rfm_segments",
     "q235_referential_audit", "q236_residual_outlier_hours",
     "q237_last_touch_attribution", "q238_interarrival_burstiness",
     "q239_winsorized_stats", "q240_weekly_top_movers",
@@ -11225,8 +11284,8 @@ _ANCHOR = "q01_top_parts"
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
     "q231_topk_recommend_twin",
-    "q232_skew_salted_join",
-    "q233_cohort_retention",
+    "q232_basket_pair_lift",
+    "q233_growth_accounting",
     "q234_rfm_segments",
     "q235_referential_audit",
     "q236_residual_outlier_hours",

@@ -591,11 +591,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 18a. top-k recommend twin (q53's unnest path, oracled) --")
     REGISTRY["q231_topk_recommend_twin"].build(spark, sf_dir).show(5)
 
-    print("-- 18b. salted join, value-invariant (skew rewrite) --")
-    REGISTRY["q232_skew_salted_join"].build(spark, sf_dir).show()
+    print("-- 18b. market-basket pair lift (co-purchase mining) --")
+    REGISTRY["q232_basket_pair_lift"].build(spark, sf_dir).show(5)
 
-    print("-- 18c. weekly cohort retention matrix --")
-    REGISTRY["q233_cohort_retention"].build(spark, sf_dir).show()
+    print("-- 18c. growth accounting (new/retained/resurrected/churned) --")
+    REGISTRY["q233_growth_accounting"].build(spark, sf_dir).show()
 
     print("-- 18d. RFM segmentation (value-domain quartiles) --")
     REGISTRY["q234_rfm_segments"].build(spark, sf_dir).show(5)

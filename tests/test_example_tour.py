@@ -321,12 +321,12 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "recommend-twin": ((
         "q231_topk_recommend_twin",),
         "top-k recommend twin", None),
-    "salted-join": ((
-        "q232_skew_salted_join",),
-        "salted join, value-invariant", None),
-    "cohort-retention": ((
-        "q233_cohort_retention",),
-        "weekly cohort retention", None),
+    "basket-pairs": ((
+        "q232_basket_pair_lift",),
+        "market-basket pair lift", None),
+    "growth-accounting": ((
+        "q233_growth_accounting",),
+        "growth accounting", None),
     "rfm": ((
         "q234_rfm_segments",),
         "RFM segmentation", None),
