@@ -11176,6 +11176,12 @@ _CHANGED_SINCE_CERTIFIED: tuple[tuple[str, int], ...] = (
     ("q157_domain_selection", 12),
     ("q182_ccnet_buckets", 12),
     ("q199_doremi_reweight", 12),
+    # Round 13: stream_upsert_latest gained restart-safe manifest
+    # persistence (ADVICE r12 closed in code: _manifest.json beside the
+    # state, epoch-offset namespace, load-time orphan sweep). Values
+    # unchanged by construction (keep-latest idempotence); the state
+    # lifecycle changed, so its one consumer re-certifies.
+    ("q202_stream_upsert_latest", 13),
 )
 
 

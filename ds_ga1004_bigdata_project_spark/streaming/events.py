@@ -367,16 +367,19 @@ def stream_upsert_latest(stream_df: DataFrame, state_dir: str,
     stays bounded by one live copy per bucket plus at most one
     superseded epoch in flight.
 
-    SCOPE (ADVICE r12): the guards cover foreachBatch retries WITHIN one
-    driver run — manifest/prior/refs are driver-resident dicts, not
-    persisted next to the checkpoint. Restarting a NEW driver against an
-    existing checkpoint replays epochs into an empty manifest: earlier
-    version dirs are orphaned (never reclaimed, never read) and the
-    returned manifest covers only buckets touched after the restart.
-    This function is the availableNow drain shape — one bounded run per
-    invocation — where that scope is the whole lifecycle; a restart-safe
-    variant would persist the manifest as JSON beside ``_ckpt`` and is
-    the lakehouse-MERGE territory noted above."""
+    RESTART SAFETY (ADVICE r12, closed in code): the bookkeeping is no
+    longer driver-resident-only — after every committed batch it
+    persists as ``_manifest.json`` beside the state (write-tmp + atomic
+    rename) and is loaded on construction, so a NEW driver resuming
+    against an existing ``state_dir`` merges into the committed state
+    instead of an empty manifest. A fresh checkpoint restarts epoch ids
+    at 0, so effective epochs carry a persisted offset past every
+    version this dir ever wrote — a replayed v0 can never overwrite
+    live buckets — and load-time sweeps version dirs the bookkeeping
+    does not claim (the crash-between-write-and-save leak). Guards
+    (1)-(3) are unchanged; keep-latest makes cross-restart re-merges
+    idempotent. Exercised end-to-end by
+    ``test_streaming.py::test_upsert_state_survives_driver_restart``."""
     import os
 
     state = _BucketedUpsertState(state_dir, key_col, order_cols,
@@ -406,6 +409,74 @@ class _BucketedUpsertState:
         #   its newest update (the replay fallback of guard (2))
         self.refs: dict[str, set[int]] = {}  # version dir -> its buckets
         self.deferred: dict[str, int] = {}  # superseded dir -> epoch
+        #: restart epoch namespace: a fresh checkpoint restarts epoch
+        #: ids at 0, and reusing v0 would OVERWRITE buckets the loaded
+        #: manifest still serves — so effective epoch = epoch_id +
+        #: offset, where offset clears every version this state dir has
+        #: ever written. Constant within a run, so same-epoch retries
+        #: still hit their own vdir (guards (1)-(3) unchanged).
+        self._offset = 0
+        self._max_epoch = -1
+        self._load_manifest()
+
+    #: RESTART SAFETY (ADVICE r12, upgraded from a scope note to code):
+    #: the bookkeeping is persisted as JSON beside the state after every
+    #: committed batch via write-tmp + atomic rename, and loaded on
+    #: construction — so a NEW driver resuming against an existing
+    #: state_dir (same or fresh checkpoint) sees the committed manifest
+    #: instead of an empty one: no orphaned version dirs, and replayed
+    #: epochs merge against the real prior state (keep-latest makes the
+    #: re-merge idempotent). A crash BETWEEN the parquet write and the
+    #: manifest save leaves the previous manifest in place — exactly the
+    #: retry contract guards (1)-(3) already cover in-process.
+    _MANIFEST = "_manifest.json"
+
+    def _manifest_path(self) -> str:
+        import os
+        return os.path.join(self.state_dir, self._MANIFEST)
+
+    def _load_manifest(self) -> None:
+        import json
+        import os
+        import shutil
+        path = self._manifest_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            d = json.load(fh)
+        self.manifest = {int(k): v for k, v in d["manifest"].items()}
+        self.prior = {int(k): v for k, v in d["prior"].items()}
+        self.refs = {k: set(v) for k, v in d["refs"].items()}
+        self.deferred = dict(d["deferred"])
+        self._max_epoch = d.get("max_epoch", -1)
+        self._offset = self._max_epoch + 1
+        # Sweep orphans: a crash between a parquet write and its
+        # manifest save leaves an uncommitted version dir no record
+        # references — delete anything the loaded bookkeeping does not
+        # claim (manifest/prior bucket paths, live refs, deferred).
+        live = ({os.path.dirname(p) for p in self.manifest.values()}
+                | {os.path.dirname(p) for p in self.prior.values()}
+                | set(self.refs) | set(self.deferred))
+        for entry in os.listdir(self.state_dir):
+            full = os.path.join(self.state_dir, entry)
+            if (entry.startswith("v") and os.path.isdir(full)
+                    and full not in live):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def _save_manifest(self) -> None:
+        import json
+        import os
+        path = self._manifest_path()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({
+                "manifest": {str(k): v for k, v in self.manifest.items()},
+                "prior": {str(k): v for k, v in self.prior.items()},
+                "refs": {k: sorted(v) for k, v in self.refs.items()},
+                "deferred": self.deferred,
+                "max_epoch": self._max_epoch,
+            }, fh)
+        os.replace(tmp, path)  # atomic on POSIX
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         import os
@@ -414,6 +485,8 @@ class _BucketedUpsertState:
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
+        epoch_id += self._offset  # restart namespace (constant per run)
+        self._max_epoch = max(self._max_epoch, epoch_id)
         vdir = os.path.join(self.state_dir, f"v{epoch_id}")
         batch = batch_df.withColumn("bucket", self.bucket_of)
         touched = sorted(r[0] for r in
@@ -462,6 +535,7 @@ class _BucketedUpsertState:
         for d in [d for d, e in self.deferred.items() if e < epoch_id]:
             shutil.rmtree(d, ignore_errors=True)
             del self.deferred[d]
+        self._save_manifest()
 
     def finish(self) -> list[str]:
         import shutil
@@ -469,6 +543,7 @@ class _BucketedUpsertState:
         for d in self.deferred:  # stream done — no retry possible
             shutil.rmtree(d, ignore_errors=True)
         self.deferred.clear()
+        self._save_manifest()
         assert self.manifest, "stream produced no batches"
         return sorted(self.manifest.values())
 

@@ -569,3 +569,54 @@ def test_funnel_stage_stream_cross_batch_carry(spark, tmp_path):
     single = drain([sum(batches, [])], "one")
     assert incremental == want, incremental
     assert single == want, single
+
+
+def test_upsert_state_survives_driver_restart(spark, tmp_path):
+    """ADVICE r12 (restart safety, closed in code): a NEW driver resuming
+    against an existing state_dir — fresh checkpoint, epoch ids
+    restarting at 0 — must merge into the COMMITTED state, never an
+    empty manifest. The nastiest shape: the restarted run's epoch 0
+    would reuse the v0 name and mode('overwrite') away live buckets;
+    the persisted epoch offset namespaces it past every prior version.
+    Also covers the crash-between-write-and-save leak: an orphan vdir
+    with no manifest record is swept on load."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    ddl = "event_id long, ts timestamp, user_id long, value double"
+    sdir = str(tmp_path / "state")
+
+    run1 = SE._BucketedUpsertState(sdir, "user_id", ("ts", "event_id"),
+                                   num_buckets=8)
+    run1.write_batch(spark.createDataFrame(
+        [(i, t0, i, float(i)) for i in range(16)], ddl), 0)
+    run1.write_batch(spark.createDataFrame(
+        [(100, t0 + dt.timedelta(hours=1), 3, -1.0)], ddl), 1)
+    run1.finish()
+
+    # simulate a crash AFTER a parquet write but BEFORE its manifest
+    # save: an unclaimed version dir appears on disk
+    os.makedirs(os.path.join(sdir, "v99", "bucket=0"))
+
+    # --- driver restart: new state object, epoch ids restart at 0 ---
+    run2 = SE._BucketedUpsertState(sdir, "user_id", ("ts", "event_id"),
+                                   num_buckets=8)
+    assert run2.manifest, "restart must load the committed manifest"
+    assert not os.path.isdir(os.path.join(sdir, "v99")), \
+        "unclaimed orphan dir must be swept on load"
+    # epoch 0 again — touches EVERY user, the full-overwrite hazard
+    run2.write_batch(spark.createDataFrame(
+        [(200 + i, t0 + dt.timedelta(hours=2), i, 7.0)
+         for i in range(8)], ddl), 0)
+    final = run2.finish()
+
+    got = {(r.user_id, r.event_id, r.value)
+           for r in spark.read.parquet(*final).collect()}
+    want = ({(i, 200 + i, 7.0) for i in range(8)}          # run-2 winners
+            | {(i, i, float(i)) for i in range(8, 16)})    # run-1 carry
+    assert got == want, got
+    # run 2's version dir is namespaced PAST run 1's, never v0 again
+    vdirs = sorted(d for d in os.listdir(sdir) if d.startswith("v")
+                   and os.path.isdir(os.path.join(sdir, d)))
+    assert "v2" in vdirs and "v0" in vdirs, vdirs
