@@ -10198,7 +10198,14 @@ def q231_topk_recommend_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     users = (cat.customer.select(F.col("c_custkey").alias("user_id"))
              .filter(F.col("user_id") % 50 == 0))
-    items = cat.part.select(F.col("p_partkey").alias("item"))
+    # The scoring pipeline's width is the ITEM scan's split count — a
+    # single small parquet file is ONE split, so the 6M-row score+sort
+    # would run in one task regardless of downstream exchanges (the r10
+    # serial-scan class). Conditional fan-out: interleaved warm-JVM A/B
+    # at sf0.1 measured 4.23 -> 0.84 s min-of-3 (SCALE.md r13); a real
+    # parts table has more splits than cores and this is a no-op.
+    items = rel.fan_out_small_scan(
+        cat.part.select(F.col("p_partkey").alias("item")))
     score = None
     for d in range(1, 5):
         term = (((F.col("user_id") * 31 + d * 17) % 97)
