@@ -585,7 +585,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 17k. stateful funnel on the streaming engine --")
     REGISTRY["q230_stream_funnel_stages"].build(spark, sf_dir).show()
 
-    print("== 18. round-13 wave: the q53 oracle twin, skew salting, "
+    print("== 18. round-13 wave: the q53 oracle twin, basket mining, "
           "customer analytics, robust stats ==")
 
     print("-- 18a. top-k recommend twin (q53's unnest path, oracled) --")
