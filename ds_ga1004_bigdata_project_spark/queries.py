@@ -10,6 +10,15 @@ value-hash comparison is engine-independent.
 Determinism rule: any query with a LIMIT/top-k carries a total-order tiebreak;
 any grouped list is order-embedded (``sort_array``); floats are rounded after
 exact arithmetic.
+
+Build-time contract (ADVICE r13, documented): builders are plan constructors
+— calling one normally runs NO Spark job — with one narrow exception, the
+driver-metadata-probe class: a builder may run a bounded metadata-scale
+action (a 1-row bounds ``first()``, a partition-offset read) when the PLAN
+itself depends on the value (q226's grid size; ``ranks.py`` offsets;
+events.py's touched-bucket probe). Such builders say so in their docstring;
+plan dumps / schema probes / tour enumeration of those queries therefore
+touch the source once at metadata scale.
 """
 
 from __future__ import annotations
@@ -9873,8 +9882,13 @@ def q226_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(0))
     lo, hi = row["lo"], row["hi"]
     n_hours = int((hi - lo).total_seconds()) // 3600 + 1
+    # lit(lo) of a naive datetime is TIMESTAMP; the counts' hr is
+    # TIMESTAMP_NTZ (date_trunc of the parquet NTZ column). Cast the
+    # grid anchor to NTZ so the join key is homogeneous BY TYPE, not
+    # merely value-equal under the session's pinned UTC (ADVICE r13).
     hours = spark.range(n_hours).select(
-        F.timestamp_add("HOUR", F.col("id").cast("int"), F.lit(lo))
+        F.timestamp_add("HOUR", F.col("id").cast("int"),
+                        F.lit(lo).cast("timestamp_ntz"))
         .alias("hr"))
     types = ev.select("event_type").distinct()
     w = Window.partitionBy("event_type").orderBy("hr")
@@ -10681,13 +10695,13 @@ def q237_last_touch_attribution(spark: SparkSession, sf_dir: str
                round(CAST(s1 AS DOUBLE) / (n * 1000000.0), 6)
                  AS mean_gap_s,
                round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                          / CAST(n * (n - 1) AS DOUBLE))
+                          / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
                      / (CAST(s1 AS DOUBLE) / n), 6) AS cv,
                round((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                           / CAST(n * (n - 1) AS DOUBLE))
+                           / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
                       - CAST(s1 AS DOUBLE) / n)
                      / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                             / CAST(n * (n - 1) AS DOUBLE))
+                             / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
                         + CAST(s1 AS DOUBLE) / n), 6) AS burstiness
         FROM m ORDER BY event_type
     """,
@@ -10722,8 +10736,10 @@ def q238_interarrival_burstiness(spark: SparkSession, sf_dir: str
         F.sum(F.col("gap_us").cast(deci) * F.col("gap_us")).alias("s2"))
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     mean_us = s1.cast("double") / n
+    # n*(n-1) in decimal too: int64 would overflow at n ≈ 3.04e9 —
+    # below the 10^12-gap scale the docstring claims safe (ADVICE r13).
     var_us2 = ((n.cast(deci) * s2 - s1 * s1).cast("double")
-               / (n * (n - 1)).cast("double"))
+               / (n.cast(deci) * (n - 1)).cast("double"))
     sd = F.sqrt(var_us2)
     return (m.select(
         "event_type", n.alias("n_gaps"),
@@ -11189,6 +11205,17 @@ _CHANGED_SINCE_CERTIFIED: tuple[tuple[str, int], ...] = (
     # unchanged by construction (keep-latest idempotence); the state
     # lifecycle changed, so its one consumer re-certifies.
     ("q202_stream_upsert_latest", 13),
+    # Round 14: manifest entries persist RELATIVE to state_dir (ADVICE
+    # r13 medium — absolute spellings made a respelled resume sweep
+    # committed state). Values unchanged by construction (keep-latest
+    # idempotence; same-run behavior identical); the persisted state
+    # format changed, so its one consumer re-certifies.
+    ("q202_stream_upsert_latest", 14),
+    # Round 14: q226's grid anchor casts to timestamp_ntz so the hour
+    # join key is homogeneous by TYPE (ADVICE r13 — previously
+    # value-equal only under the session's pinned UTC). Values
+    # unchanged; the join-key types in the plan changed.
+    ("q226_gapfill_hourly", 14),
 )
 
 

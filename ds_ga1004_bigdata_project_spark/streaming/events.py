@@ -378,8 +378,12 @@ def stream_upsert_latest(stream_df: DataFrame, state_dir: str,
     live buckets — and load-time sweeps version dirs the bookkeeping
     does not claim (the crash-between-write-and-save leak). Guards
     (1)-(3) are unchanged; keep-latest makes cross-restart re-merges
-    idempotent. Exercised end-to-end by
-    ``test_streaming.py::test_upsert_state_survives_driver_restart``."""
+    idempotent. Manifest entries are RELATIVE to ``state_dir`` (ADVICE
+    r13): absolute spellings made a resume via a relative path /
+    trailing slash / symlink mis-identify every live version dir as an
+    orphan and sweep committed state. Exercised end-to-end by
+    ``test_streaming.py::test_upsert_state_survives_driver_restart``
+    and the respelled-path variant beside it."""
     import os
 
     state = _BucketedUpsertState(state_dir, key_col, order_cols,
@@ -435,6 +439,32 @@ class _BucketedUpsertState:
         import os
         return os.path.join(self.state_dir, self._MANIFEST)
 
+    def _rel(self, p: str) -> str:
+        """Manifest entries persist RELATIVE to ``state_dir`` (ADVICE
+        r13): absolute spellings tied the bookkeeping to ONE spelling of
+        the directory — a resume via a relative path, trailing slash, or
+        symlinked mount rebuilt different absolute strings, every
+        committed version dir looked unclaimed, and the orphan sweep
+        deleted live state. Relative entries rebase against whatever
+        spelling the resuming driver uses."""
+        import os
+        return os.path.relpath(p, self.state_dir)
+
+    def _abs(self, p: str) -> str:
+        """Rebase a persisted entry onto THIS run's ``state_dir``
+        spelling. Legacy (pre-relative) manifests stored absolute paths;
+        the layout is fixed (``v{epoch}[/bucket={b}]``), so rebasing the
+        trailing components recovers them regardless of how the writing
+        run spelled the directory."""
+        import os
+        if os.path.isabs(p):
+            tail = os.path.basename(p.rstrip("/"))
+            if tail.startswith("bucket="):
+                vdir = os.path.basename(os.path.dirname(p.rstrip("/")))
+                return os.path.join(self.state_dir, vdir, tail)
+            return os.path.join(self.state_dir, tail)
+        return os.path.join(self.state_dir, p)
+
     def _load_manifest(self) -> None:
         import json
         import os
@@ -444,10 +474,12 @@ class _BucketedUpsertState:
             return
         with open(path) as fh:
             d = json.load(fh)
-        self.manifest = {int(k): v for k, v in d["manifest"].items()}
-        self.prior = {int(k): v for k, v in d["prior"].items()}
-        self.refs = {k: set(v) for k, v in d["refs"].items()}
-        self.deferred = dict(d["deferred"])
+        self.manifest = {int(k): self._abs(v)
+                         for k, v in d["manifest"].items()}
+        self.prior = {int(k): self._abs(v) for k, v in d["prior"].items()}
+        self.refs = {self._abs(k): set(v) for k, v in d["refs"].items()}
+        self.deferred = {self._abs(k): v
+                         for k, v in d["deferred"].items()}
         self._max_epoch = d.get("max_epoch", -1)
         self._offset = self._max_epoch + 1
         # Sweep orphans: a crash between a parquet write and its
@@ -470,10 +502,14 @@ class _BucketedUpsertState:
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({
-                "manifest": {str(k): v for k, v in self.manifest.items()},
-                "prior": {str(k): v for k, v in self.prior.items()},
-                "refs": {k: sorted(v) for k, v in self.refs.items()},
-                "deferred": self.deferred,
+                "manifest": {str(k): self._rel(v)
+                             for k, v in self.manifest.items()},
+                "prior": {str(k): self._rel(v)
+                          for k, v in self.prior.items()},
+                "refs": {self._rel(k): sorted(v)
+                         for k, v in self.refs.items()},
+                "deferred": {self._rel(k): v
+                             for k, v in self.deferred.items()},
                 "max_epoch": self._max_epoch,
             }, fh)
         os.replace(tmp, path)  # atomic on POSIX

@@ -620,3 +620,63 @@ def test_upsert_state_survives_driver_restart(spark, tmp_path):
     vdirs = sorted(d for d in os.listdir(sdir) if d.startswith("v")
                    and os.path.isdir(os.path.join(sdir, d)))
     assert "v2" in vdirs and "v0" in vdirs, vdirs
+
+
+def test_upsert_state_survives_respelled_state_dir(spark, tmp_path):
+    """ADVICE r13 (manifest path portability): the restart sweep must
+    recognize committed state when the resuming driver spells the SAME
+    state_dir differently — trailing slash, a symlinked parent, or a
+    relative path. Pre-fix, absolute entries in _manifest.json made
+    every live version dir look unclaimed under a new spelling and the
+    load-time orphan sweep rmtree'd committed state (a data-loss hazard
+    inside the durability feature). Entries now persist relative to
+    state_dir and rebase on load; a legacy absolute-entry manifest is
+    rebased by its fixed v{epoch}[/bucket={b}] layout."""
+    import datetime as dt
+    import json
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+    ddl = "event_id long, ts timestamp, user_id long, value double"
+    sdir = str(tmp_path / "state")
+
+    run1 = SE._BucketedUpsertState(sdir, "user_id", ("ts", "event_id"),
+                                   num_buckets=4)
+    run1.write_batch(spark.createDataFrame(
+        [(i, t0, i, float(i)) for i in range(8)], ddl), 0)
+    run1.finish()
+    with open(os.path.join(sdir, "_manifest.json")) as fh:
+        persisted = json.load(fh)
+    assert all(not os.path.isabs(p)
+               for p in persisted["manifest"].values()), \
+        "manifest entries must persist relative to state_dir"
+
+    # resume via a symlinked spelling of the SAME directory
+    alias = str(tmp_path / "alias")
+    os.symlink(sdir, alias)
+    run2 = SE._BucketedUpsertState(alias + "/", "user_id",
+                                   ("ts", "event_id"), num_buckets=4)
+    assert run2.manifest, "respelled resume must load committed state"
+    final = run2.finish()
+    got = {(r.user_id, r.value) for r in spark.read.parquet(*final).collect()}
+    assert got == {(i, float(i)) for i in range(8)}, got
+
+    # legacy manifest shape: absolute entries written by a pre-r14 run
+    # under a spelling that no longer exists — rebased by layout
+    legacy = {
+        "manifest": {k: os.path.join("/gone/old-spelling/state",
+                                     os.path.relpath(v, ""))
+                     for k, v in persisted["manifest"].items()},
+        "prior": {}, "refs": {os.path.join("/gone/old-spelling/state",
+                                           os.path.dirname(p)): [int(k)]
+                              for k, p in persisted["manifest"].items()},
+        "deferred": {}, "max_epoch": persisted["max_epoch"],
+    }
+    with open(os.path.join(sdir, "_manifest.json"), "w") as fh:
+        json.dump(legacy, fh)
+    run3 = SE._BucketedUpsertState(sdir, "user_id", ("ts", "event_id"),
+                                   num_buckets=4)
+    final3 = run3.finish()
+    got3 = {(r.user_id, r.value)
+            for r in spark.read.parquet(*final3).collect()}
+    assert got3 == {(i, float(i)) for i in range(8)}, got3

@@ -111,7 +111,12 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str,
         def replica(i: int):
             shifted = base.withColumn(
                 "vec_id", F.col("vec_id") + F.lit(i * max_id))
-            k = i % dim
+            # roll amount cycles 1..dim-1 for i>0 (ADVICE r13: a plain
+            # i % dim sent every i = dim, 2*dim, ... replica through the
+            # k == 0 identity branch, silently reintroducing the
+            # distance-0 cliques whenever --factor exceeds dim); only
+            # replica 0 is the exact copy.
+            k = 0 if i == 0 else 1 + ((i - 1) % (dim - 1))
             if corpus == "replica" or k == 0:
                 # plain copies: every vector gains N-1 exact duplicates —
                 # ADVERSARIAL for kNN/near-dup tiers (distance-0 cliques),
