@@ -55,8 +55,12 @@ REGISTRY: dict[str, Query] = {}
 #: ``tests/test_oracle_parity.py`` parametrizes over
 #: ``REGISTRY ∪ RETIRED_PARITY``, so its value parity vs DuckDB keeps
 #: running EVERY session at sf0.01. Coverage proofs never lapse; only
-#: driver slots are reclaimed. Empty until rule 3 engages (projected
-#: r14); the named first batch lives in COVERAGE.md.
+#: driver slots are reclaimed. Rule 3 ENGAGED round 14: the first seven
+#: of the COVERAGE.md named batch (q68/q77/q86/q69/q70/q79/q76) retired
+#: via ``@_register_retired`` so the r14 wave fits under the 245
+#: ceiling (240 − 7 + 12 = 245); their COVERAGE rows repoint to the
+#: surviving driver-certified supersets. Remaining named batch
+#: (q75/q65/q88) stays registered until the ceiling forces more.
 RETIRED_PARITY: dict[str, Query] = {}
 
 
@@ -1733,7 +1737,7 @@ def q67_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cume_dist", 6).alias("cum_dist"))
 
 
-@_register(
+@_register_retired(
     "q68_exists_counts",
     survey="net-new EXISTS/NOT EXISTS (semi/anti-join rewrite; J4/J5 generalized)",
     oracle="""
@@ -1759,7 +1763,7 @@ def q68_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_has").isNull(), 1)).alias("n_without_orders"))
 
 
-@_register(
+@_register_retired(
     "q69_above_brand_avg",
     survey="net-new correlated-scalar-subquery shape (price above brand average)",
     oracle="""
@@ -1792,7 +1796,7 @@ def q69_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("_avg", 2).alias("brand_avg")))
 
 
-@_register(
+@_register_retired(
     "q70_stats_suite",
     survey="net-new statistical aggregates (corr / covar_samp / stddev / variance)",
     oracle="""
@@ -1945,7 +1949,7 @@ def q75_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace_chars"))
 
 
-@_register(
+@_register_retired(
     "q76_date_math",
     survey="net-new date/time arithmetic (SURVEY §2.8 note: net-new surface over events/orders ts)",
     oracle="""
@@ -1975,7 +1979,7 @@ def q76_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(d).alias("yr"), F.quarter(d).alias("qtr"), F.month(d).alias("mon"))
 
 
-@_register(
+@_register_retired(
     "q77_distinct_aggs",
     survey="net-new distinct-inside-aggregate (SURVEY §2.4 'not present' gap closed)",
     oracle="""
@@ -2023,7 +2027,7 @@ def q78_string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"))
 
 
-@_register(
+@_register_retired(
     "q79_bool_bit_aggs",
     survey="net-new boolean/bitwise aggregates (bool_and/bool_or/bit_and/bit_or/bit_xor)",
     oracle="""
@@ -2271,7 +2275,7 @@ def q85_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"))
 
 
-@_register(
+@_register_retired(
     "q86_multiset_ops",
     survey="net-new EXCEPT ALL / INTERSECT ALL (multiset semantics; U2 generalized)",
     oracle="""
@@ -11456,7 +11460,14 @@ def _reorder_for_certification_window() -> None:
                                  reg_pos[n]))
     ordered = front + rest
     assert sorted(ordered) == sorted(REGISTRY), "registry reorder lost entries"
-    REGISTRY = {n: REGISTRY[n] for n in ordered}
+    # Reorder IN PLACE: modules bind REGISTRY by ``from queries import
+    # REGISTRY`` at import, so rebinding the global to a fresh dict
+    # would strand every such alias on a stale object the moment a
+    # mid-session reorder runs (the retirement dry-run does exactly
+    # that) — order-sensitive only by test file order, i.e. a trap.
+    snapshot = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(snapshot)
 
 
 #: Artifact-derived at import by ``_reorder_for_certification_window``;

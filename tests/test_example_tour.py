@@ -27,12 +27,12 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
         "q06_join_chain_revenue", "q11_argmax_per_order",
         "q13_rank_suppliers", "q14_topk_per_brand", "q15_global_topn_orders",
         "q37_topn_other", "q44_having_filter", "q45_conditional_share",
-        "q69_above_brand_avg", "q87_ship_priority", "q97_revenue_share"),
+        "q87_ship_priority", "q97_revenue_share"),
         "revenue per nation", None),
     "join-variants": ((
         "q04_semi_join", "q05_anti_join", "q07_full_outer_counts",
         "q42_range_join", "q48_merge_upsert", "q49_asof_join",
-        "q68_exists_counts", "q88_cross_join", "q119_salted_join",
+        "q88_cross_join", "q119_salted_join",
         "q130_correlated_subquery", "q139_point_in_time_join"),
         "text-quality funnel + exact dedup", None),  # stage 2's semi-join
     "dedup-exact-funnel": ((
@@ -362,9 +362,9 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "aggregate-surface": ((
         "q08_distinct_flags", "q09_count_distinct", "q10_sorted_collect_list",
         "q12_quantity_histogram", "q26_map_aggregation", "q43_grouping_sets",
-        "q47_pivot", "q65_unpivot", "q66_rollup_totals", "q70_stats_suite",
-        "q71_group_percentiles", "q77_distinct_aggs",
-        "q78_string_agg_regions", "q79_bool_bit_aggs", "q94_zscore_groups",
+        "q47_pivot", "q65_unpivot", "q66_rollup_totals",
+        "q71_group_percentiles",
+        "q78_string_agg_regions", "q94_zscore_groups",
         "q99_data_quality_report", "q121_approx_percentiles"),
         None,
         "single-call groupBy/pivot/describe aggregates; stage 1 prints the "
@@ -373,15 +373,14 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "scalar-exprs": ((
         "q19_scalar_string_funcs", "q20_null_sentinel",
         "q25_nested_projection", "q46_json_extract", "q75_string_suite",
-        "q76_date_math", "q89_json_typed"),
+        "q89_json_typed"),
         None,
         "pure expression surface (string/date/json/null scalars) riding "
         "every tour stage's projections; no standalone stage to tell"),
     "set-ops": ((
-        "q16_union_distinct_keys", "q17_except_keys", "q18_intersect_keys",
-        "q86_multiset_ops"),
+        "q16_union_distinct_keys", "q17_except_keys", "q18_intersect_keys"),
         None,
-        "one-call DataFrame set algebra (union/except/intersect/exceptAll)"),
+        "one-call DataFrame set algebra (union/except/intersect)"),
     "token-stats": ((
         "q23_token_explode_count", "q35_token_stats", "q82_doc_repetition",
         "q84_bigram_counts", "q90_tfidf_top_terms", "q91_vocab_stats"),
