@@ -136,7 +136,15 @@ def merge_distinct_sketches(partials: DataFrame, group_by: Sequence[str],
     """Merge persisted HLL partials (``hll_union_agg``) and estimate. The
     merge is associative/commutative, so any slicing of the data into
     partials yields the same cardinality information — only the sketch
-    registers travel through the rollup."""
+    registers travel through the rollup.
+
+    RESTART NOTE (VERDICT r13 #7): the union is also IDEMPOTENT —
+    registers merge by MAX, so unioning the same partial twice is a
+    no-op. A persisted-partials pipeline that replays a shard after a
+    crash (at-least-once writers, duplicated manifest entries) cannot
+    corrupt the estimate; restart-safe by construction, unlike
+    sum-merged CMS cells (``sketches.write_cms_batch_partials``, which
+    need deterministic per-batch paths)."""
     return partials.groupBy(*group_by).agg(
         F.hll_sketch_estimate(
             F.hll_union_agg(sketch_col)).alias(est_alias))

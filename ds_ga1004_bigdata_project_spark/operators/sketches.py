@@ -88,24 +88,53 @@ def cms_merge(*grids: DataFrame) -> DataFrame:
     return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def write_cms_batch_partials(batch_df: DataFrame, batch_id: int,
+                             out_dir: str, token_col: str = "token",
+                             depth: int = DEFAULT_DEPTH,
+                             width: int = DEFAULT_WIDTH) -> None:
+    """One micro-batch's d×w cell partials, written to the DETERMINISTIC
+    per-batch path ``out_dir/batch={batch_id}`` with mode('overwrite') —
+    module-level so the crash-replay contract is directly unit-testable
+    (``test_streaming.py::test_cms_partials_batch_replay_idempotent``).
+
+    RESTART SAFETY (VERDICT r13 #7): CMS cells merge by SUM, which is
+    NOT idempotent — the pre-r14 blind ``mode('append')`` double-counted
+    a batch whenever a crash landed between the parquet append and the
+    checkpoint commit (foreachBatch is at-least-once across restarts).
+    Keying the write by batch_id makes the replay overwrite its own
+    directory instead: committed batches are never replayed (checkpoint
+    contract), and an uncommitted replay is idempotent. Contrast the
+    HLL partials (``aggregates.merge_distinct_sketches``): register-MAX
+    union is idempotent, so duplicate HLL partials are harmless by
+    construction and need no per-batch keying."""
+    (cms_build(batch_df, token_col, depth=depth, width=width)
+     .write.mode("overwrite")
+     .parquet(f"{out_dir}/batch={batch_id}"))
+
+
 def run_streaming_cms_partials(token_stream: DataFrame, out_dir: str,
                                checkpoint_dir: str, token_col: str = "token",
                                depth: int = DEFAULT_DEPTH,
                                width: int = DEFAULT_WIDTH) -> None:
     """Maintain the sketch INCREMENTALLY over a stream: each micro-batch
-    appends its own d×w cell partials to ``out_dir`` — no read-modify-write,
-    no state store. Mergeability does the work: the "grid" is an append-only
-    log of partials that :func:`read_cms_grid` folds on read (and a periodic
-    batch compaction can fold in place). Exactly-once is inherited from the
-    file sink's idempotent-append + checkpoint contract; a replayed batch
-    appends ≤ d·w duplicate cells which compaction folds away only if the
-    sink committed — the checkpoint prevents the replay in the first place.
+    writes its own d×w cell partials under ``out_dir`` — no
+    read-modify-write, no state store. Mergeability does the work: the
+    "grid" is a log of per-batch partials that :func:`read_cms_grid`
+    folds on read (and a periodic batch compaction can fold in place).
+    Exactly-once across CRASH RESTARTS comes from deterministic
+    per-batch paths (:func:`write_cms_batch_partials`): a replayed
+    uncommitted batch overwrites its own ``batch={id}`` directory
+    rather than appending a duplicate — sum-merged cells are not
+    duplicate-safe the way HLL's max-union is. Lifecycle note:
+    ``out_dir`` and ``checkpoint_dir`` are ONE unit — a fresh
+    checkpoint restarts batch ids at 0 and means "recount the stream",
+    so it must come with a fresh ``out_dir``.
 
     This is the 100 TB streaming-frequency design: per batch, only ≤ d·w
     aggregated cells are written, independent of batch row count."""
-    def append_partials(batch_df: DataFrame, _batch_id: int) -> None:
-        (cms_build(batch_df, token_col, depth=depth, width=width)
-         .write.mode("append").parquet(out_dir))
+    def append_partials(batch_df: DataFrame, batch_id: int) -> None:
+        write_cms_batch_partials(batch_df, batch_id, out_dir, token_col,
+                                 depth, width)
 
     (token_stream.writeStream.foreachBatch(append_partials)
      .option("checkpointLocation", checkpoint_dir)
@@ -113,7 +142,9 @@ def run_streaming_cms_partials(token_stream: DataFrame, out_dir: str,
 
 
 def read_cms_grid(spark, out_dir: str) -> DataFrame:
-    """Fold the append-only partial log back into one d×w grid."""
+    """Fold the per-batch partial log back into one d×w grid. The
+    ``batch={id}`` layout reads as a Hive-partitioned column the fold
+    simply ignores — the groupBy is on (row, bucket) alone."""
     return (spark.read.parquet(out_dir)
             .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
 

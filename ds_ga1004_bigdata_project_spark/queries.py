@@ -58,7 +58,7 @@ REGISTRY: dict[str, Query] = {}
 #: driver slots are reclaimed. Rule 3 ENGAGED round 14: the first seven
 #: of the COVERAGE.md named batch (q68/q77/q86/q69/q70/q79/q76) retired
 #: via ``@_register_retired`` so the r14 wave fits under the 245
-#: ceiling (240 − 7 + 12 = 245); their COVERAGE rows repoint to the
+#: ceiling (240 − 7 + 10 = 243); their COVERAGE rows repoint to the
 #: surviving driver-certified supersets. Remaining named batch
 #: (q75/q65/q88) stays registered until the ceiling forces more.
 RETIRED_PARITY: dict[str, Query] = {}
@@ -11047,6 +11047,790 @@ def q242_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-14 wave: audit / experimentation / robust-statistics operators
+# =====================================================================
+
+#: Benford first-digit expected shares log10(1 + 1/d), shortest-repr
+#: double literals shared VERBATIM by the Spark builder and the DuckDB
+#: oracle so both engines parse the identical binary double — every
+#: derived column is then a fixed tree of IEEE ops over identical
+#: operands (the q241/q232 bit-identical discipline).
+_BENFORD_EXPECTED: dict[int, float] = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+#: DuckDB parses a bare decimal literal as DECIMAL, not DOUBLE — cast
+#: each so the oracle column is the same IEEE double the builder emits.
+_BENFORD_SQL_CASE = ("CASE g.first_digit " + " ".join(
+    f"WHEN {d} THEN CAST({v!r} AS DOUBLE)"
+    for d, v in _BENFORD_EXPECTED.items()) + " END")
+
+
+@_register(
+    "q243_benford_first_digit",
+    survey="net-new Benford first-digit audit (leading-digit distribution of order totals vs the Benford expectation — the fraud/synthetic-data screen; digit extracted by exact integer-cents string math, per-digit rows so no cross-row float sum exists)",
+    oracle=f"""
+        WITH c AS (
+          SELECT CAST(substr(CAST(CAST(CAST(round(o_totalprice, 2)
+                       AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+                      1, 1) AS INT) AS first_digit
+          FROM orders),
+        g AS (SELECT first_digit, count(*) AS n_orders FROM c GROUP BY 1),
+        t AS (SELECT sum(n_orders) AS total FROM g)
+        SELECT g.first_digit, g.n_orders,
+               CAST(g.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE)
+                 AS obs_share,
+               {_BENFORD_SQL_CASE} AS exp_share,
+               CAST(g.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE)
+                 - {_BENFORD_SQL_CASE} AS excess
+        FROM g CROSS JOIN t ORDER BY first_digit
+    """,
+)
+def q243_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit on order totals — the classic
+    fraud / synthetic-data screen. The leading digit comes from EXACT
+    integer math (2-dp decimal cents -> bigint -> string head), never
+    log10 of a double whose 1-ulp boundary the two engines could place
+    differently at exact powers of ten. The output is ONE ROW PER
+    DIGIT: observed share, expected share (a shared shortest-repr
+    literal, see ``_BENFORD_EXPECTED``), and the excess — each a fixed
+    IEEE expression over exact counts, emitted UNROUNDED; no cross-row
+    float aggregation exists anywhere, so there is no accumulation
+    order to drift. 100 TB: one map-side-combined groupBy onto nine
+    rows; the 1-row total joins back as a broadcast."""
+    o = Catalog(spark, sf_dir).orders
+    cents = (F.round("o_totalprice", 2).cast("decimal(18,2)")
+             * F.lit(100)).cast("bigint")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (o.select(d.alias("first_digit"))
+         .groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders")))
+    t = g.agg(F.sum("n_orders").alias("total"))
+    exp = F.lit(None).cast("double")
+    for dig, share in _BENFORD_EXPECTED.items():
+        exp = F.when(F.col("first_digit") == dig, F.lit(share)) \
+               .otherwise(exp)
+    obs = F.col("n_orders").cast("double") / F.col("total").cast("double")
+    return (g.crossJoin(F.broadcast(t))
+            .select("first_digit", "n_orders",
+                    obs.alias("obs_share"), exp.alias("exp_share"),
+                    (obs - exp).alias("excess"))
+            .orderBy("first_digit"))
+
+
+@_register(
+    "q244_theil_sen_trend",
+    survey="net-new robust trend estimation (per event type: Theil-Sen median-of-pairwise-slopes over daily counts + the Mann-Kendall S statistic — the outlier-robust twin of q225's OLS slopes; pair fan-out is C(days,2), horizon-bounded, never event-bounded)",
+    oracle="""
+        WITH dc AS (
+          SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        pr AS (
+          SELECT a.event_type,
+                 CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                   AS slope,
+                 CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                      ELSE 0 END AS sgn
+          FROM dc a JOIN dc b ON a.event_type = b.event_type
+                             AND a.d < b.d),
+        r AS (
+          SELECT event_type, slope, sgn,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY slope) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS np
+          FROM pr),
+        m AS (
+          SELECT event_type,
+                 min(CASE WHEN rn = (np + 1) // 2 THEN slope END) AS lo,
+                 min(CASE WHEN rn = np // 2 + 1 THEN slope END) AS hi,
+                 min(np) AS n_pairs,
+                 CAST(sum(sgn) AS BIGINT) AS mk_s
+          FROM r GROUP BY 1),
+        nd AS (SELECT event_type, count(*) AS n_days FROM dc GROUP BY 1)
+        SELECT m.event_type, nd.n_days, m.n_pairs, m.mk_s,
+               (m.lo + m.hi) / 2 AS ts_slope
+        FROM m JOIN nd USING (event_type) ORDER BY event_type
+    """,
+)
+def q244_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    C(days,2) pairwise slopes of the DAILY count series, plus the
+    Mann-Kendall S statistic (exact integer sign sum) — the
+    outlier-robust drift detector beside q225's least-squares slopes
+    (one wild day moves OLS, not the pairwise median). The event
+    stream reduces to (type, epoch-day, count) FIRST — map-side
+    combined — so the self-join fan-out is horizon-bounded (days²),
+    never event-bounded; at 100 TB a decade of days is ~6.6M pairs per
+    type, dimension-scale. Each slope is ONE IEEE divide of exact
+    integers (bit-identical cross-engine); the median is SELECTION,
+    not summation — row_number over the value order, the even case
+    averaging two identical doubles (add + exact halving), so no
+    accumulation order exists. Output emitted UNROUNDED."""
+    ev = Catalog(spark, sf_dir).events
+    dc = (ev.select("event_type",
+                    F.datediff(F.col("ts").cast("date"),
+                               F.lit("1970-01-01").cast("date")).alias("d"))
+          .groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c")))
+    a = dc.select("event_type", F.col("d").alias("da"),
+                  F.col("c").alias("ca"))
+    b = dc.select("event_type", F.col("d").alias("db"),
+                  F.col("c").alias("cb"))
+    pr = (a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+          .select("event_type",
+                  ((F.col("cb") - F.col("ca")).cast("double")
+                   / (F.col("db") - F.col("da")).cast("double"))
+                  .alias("slope"),
+                  F.when(F.col("cb") > F.col("ca"), 1)
+                  .when(F.col("cb") < F.col("ca"), -1)
+                  .otherwise(0).alias("sgn")))
+    w = Window.partitionBy("event_type").orderBy("slope")
+    r = (pr.withColumn("rn", F.row_number().over(w))
+         .withColumn("np", F.count(F.lit(1)).over(
+             Window.partitionBy("event_type"))))
+    m = r.groupBy("event_type").agg(
+        F.min(F.when(F.expr("rn = (np + 1) div 2"), F.col("slope")))
+        .alias("lo"),
+        F.min(F.when(F.expr("rn = np div 2 + 1"), F.col("slope")))
+        .alias("hi"),
+        F.min("np").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("mk_s"))
+    nd = dc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (m.join(nd, "event_type")
+            .select("event_type", "n_days", "n_pairs", "mk_s",
+                    ((F.col("lo") + F.col("hi")) / 2).alias("ts_slope"))
+            .orderBy("event_type"))
+
+
+@_register(
+    "q245_activity_streaks",
+    survey="net-new consecutive-day activity streaks (per-user longest run of consecutive active DAYS via the date-minus-row_number islands rewrite keyed by USER — population keys, never an enum — rolled into the streak-length histogram; the habit/engagement read)",
+    oracle="""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events),
+        s AS (
+          SELECT user_id,
+                 date_diff('day', DATE '1970-01-01', d)
+                   - row_number() OVER (PARTITION BY user_id
+                                        ORDER BY d) AS grp
+          FROM ud),
+        sl AS (SELECT user_id, count(*) AS len FROM s
+               GROUP BY user_id, grp),
+        mx AS (SELECT user_id, max(len) AS streak_days FROM sl GROUP BY 1)
+        SELECT CAST(streak_days AS BIGINT) AS streak_days,
+               count(*) AS n_users
+        FROM mx GROUP BY 1 ORDER BY streak_days
+    """,
+)
+def q245_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled up into
+    the streak-length histogram — the engagement/habit read behind
+    retention dashboards. The islands rewrite (epoch-day minus
+    row_number is constant within a run) runs on the DISTINCT
+    (user, day) relation — already reduced by a map-side distinct —
+    and every window is keyed by user_id: population-scale partitions
+    (the q238 lesson), never an enum. Exact integers end to end; at
+    100 TB the relation is bounded by users x horizon days, and the
+    histogram output by the horizon alone."""
+    ev = Catalog(spark, sf_dir).events
+    ud = (ev.select("user_id", F.col("ts").cast("date").alias("d"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    s = ud.select(
+        "user_id",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+         - F.row_number().over(w)).alias("grp"))
+    sl = (s.groupBy("user_id", "grp")
+          .agg(F.count(F.lit(1)).alias("len")))
+    mx = sl.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    return (mx.groupBy(F.col("streak_days").cast("bigint")
+                       .alias("streak_days"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("streak_days"))
+
+
+@_register(
+    "q246_lead_time_sla",
+    survey="net-new order-to-ship lead-time SLA profile (per order month: on-time share within 30 days, negative-lead data-quality anomalies, exact average lead and value-domain p90 — interval arithmetic + histogram quantiles per calendar bucket)",
+    oracle="""
+        WITH j AS (
+          SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                   AS order_month,
+                 date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS lead_d
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        h AS (SELECT order_month, lead_d, count(*) AS c FROM j
+              GROUP BY 1, 2),
+        w AS (
+          SELECT order_month, lead_d, c,
+                 sum(c) OVER (PARTITION BY order_month ORDER BY lead_d
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY order_month) AS n
+          FROM h)
+        SELECT order_month,
+               CAST(min(n) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN lead_d < 0 THEN c ELSE 0 END)
+                    AS BIGINT) AS n_negative,
+               CAST(sum(CASE WHEN lead_d BETWEEN 0 AND 30 THEN c
+                             ELSE 0 END) AS DOUBLE)
+                 / CAST(min(n) AS DOUBLE) AS on_time_share,
+               CAST(sum(lead_d * c) AS DOUBLE)
+                 / CAST(min(n) AS DOUBLE) AS avg_lead_days,
+               CAST(min(CASE WHEN 10 * cum >= 9 * n THEN lead_d END)
+                    AS BIGINT) AS p90_lead_days
+        FROM w GROUP BY order_month ORDER BY order_month
+    """,
+)
+def q246_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time SLA per order month: on-time share
+    (0-30 days), negative-lead anomaly count (ship date BEFORE the
+    order date — on this synthetic fixture a sizable data-quality
+    signal, reported honestly rather than filtered), exact average
+    lead (DECIMAL(38) day-sum, one IEEE divide, UNROUNDED) and the
+    value-domain p90 (the q239 cumulative-histogram discipline — lead
+    days are small integers, so the quantile needs no global sort).
+    100 TB: the join shuffles on l_orderkey once, then everything is
+    a (month, lead-day) histogram — months x day-range rows."""
+    cat = Catalog(spark, sf_dir)
+    j = (cat.lineitem.select("l_orderkey", "l_shipdate")
+         .join(cat.orders.select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .select(F.trunc("o_orderdate", "month").alias("order_month"),
+                 F.datediff(F.col("l_shipdate").cast("date"),
+                            F.col("o_orderdate").cast("date"))
+                 .alias("lead_d")))
+    h = (j.groupBy("order_month", "lead_d")
+         .agg(F.count(F.lit(1)).alias("c")))
+    wm = Window.partitionBy("order_month")
+    w = (h.withColumn("cum", F.sum("c").over(
+            wm.orderBy("lead_d").rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("n", F.sum("c").over(wm)))
+    return (w.groupBy("order_month").agg(
+        F.min("n").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("lead_d") < 0, F.col("c")).otherwise(0))
+        .cast("bigint").alias("n_negative"),
+        (F.sum(F.when(F.col("lead_d").between(0, 30), F.col("c"))
+               .otherwise(0)).cast("double")
+         / F.min("n").cast("double")).alias("on_time_share"),
+        (F.sum(F.col("lead_d").cast("decimal(38,0)") * F.col("c"))
+         .cast("double") / F.min("n").cast("double"))
+        .alias("avg_lead_days"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"),
+                     F.col("lead_d"))).cast("bigint")
+        .alias("p90_lead_days"))
+        .orderBy("order_month"))
+
+
+@_register(
+    "q247_aa_proportion_ztest",
+    survey="net-new two-proportion z-test on a deterministic A/A split (first-event-is-purchase rate per user_id-parity arm, pooled z — the experiment-harness null calibration every A/B pipeline runs before trusting a real assignment)",
+    oracle="""
+        WITH f AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        a AS (
+          SELECT user_id % 2 AS arm, count(*) AS n,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM f WHERE rn = 1 GROUP BY 1),
+        p AS (
+          SELECT CAST(min(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+                 CAST(min(CASE WHEN arm = 0 THEN conv END) AS BIGINT)
+                   AS conv_a,
+                 CAST(min(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+                 CAST(min(CASE WHEN arm = 1 THEN conv END) AS BIGINT)
+                   AS conv_b
+          FROM a)
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               CASE WHEN conv_a + conv_b > 0
+                     AND conv_a + conv_b < n_a + n_b THEN
+                 (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                  - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE)))
+               END AS z_score
+        FROM p
+    """,
+)
+def q247_aa_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on a DETERMINISTIC A/A split —
+    arms are user_id parity (a hash-free assignment both engines
+    reproduce exactly), the response is 'the user's FIRST event is a
+    purchase' (every user purchases eventually on this fixture, so
+    any-purchase would be degenerate at 100%). This is the null
+    calibration every experimentation pipeline runs before trusting a
+    real A/B assignment: z should be well inside +-1.96. The statistic
+    is one fixed tree of IEEE ops (divides, sqrt — all correctly
+    rounded) over four exact integers, emitted UNROUNDED and guarded
+    against the zero-variance pool; bit-identical cross-engine by the
+    q241 argument. 100 TB: one user-keyed window for the first event,
+    one 2-row aggregate, one 1-row pivot."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = (ev.withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") == 1))
+    a = (f.groupBy(F.pmod("user_id", F.lit(2)).alias("arm"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("conv")))
+    p = a.agg(
+        F.min(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint")
+        .alias("n_a"),
+        F.min(F.when(F.col("arm") == 0, F.col("conv"))).cast("bigint")
+        .alias("conv_a"),
+        F.min(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint")
+        .alias("n_b"),
+        F.min(F.when(F.col("arm") == 1, F.col("conv"))).cast("bigint")
+        .alias("conv_b"))
+    ca, na = F.col("conv_a").cast("double"), F.col("n_a").cast("double")
+    cb, nb = F.col("conv_b").cast("double"), F.col("n_b").cast("double")
+    pool = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double"))
+    z = ((cb / nb - ca / na)
+         / F.sqrt(pool * (F.lit(1.0) - pool)
+                  * (F.lit(1.0) / na + F.lit(1.0) / nb)))
+    guard = ((F.col("conv_a") + F.col("conv_b") > 0)
+             & (F.col("conv_a") + F.col("conv_b")
+                < F.col("n_a") + F.col("n_b")))
+    return p.select("n_a", "conv_a", "n_b", "conv_b",
+                    (ca / na).alias("rate_a"), (cb / nb).alias("rate_b"),
+                    F.when(guard, z).alias("z_score"))
+
+
+@_register(
+    "q248_supplier_hhi",
+    survey="net-new market-concentration audit (per nation: Herfindahl-Hirschman index of supplier revenue shares from exact integer-cents moments — sum(rev^2)/total^2, one fixed IEEE tree, no per-share float sum — plus top-1 share; the procurement-risk read)",
+    oracle="""
+        WITH rv AS (
+          SELECT s.s_nationkey, l.l_suppkey,
+                 sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS rev_u
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        ag AS (
+          SELECT s_nationkey, count(*) AS n_suppliers,
+                 sum(rev_u) AS total_u,
+                 sum(rev_u * rev_u) AS ssq_u,
+                 max(rev_u) AS max_u
+          FROM rv GROUP BY 1)
+        SELECT n.n_name, ag.n_suppliers,
+               round(CAST(ag.total_u AS DOUBLE) / 10000, 4)
+                 AS total_revenue,
+               CAST(ag.ssq_u AS DOUBLE)
+                 / (CAST(ag.total_u AS DOUBLE) * CAST(ag.total_u AS DOUBLE))
+                 AS hhi,
+               CAST(ag.max_u AS DOUBLE) / CAST(ag.total_u AS DOUBLE)
+                 AS top1_share
+        FROM ag JOIN nation n ON n.n_nationkey = ag.s_nationkey
+        ORDER BY n.n_name
+    """,
+)
+def q248_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the
+    Herfindahl-Hirschman index, computed WITHOUT summing per-share
+    floats — HHI = sum(rev_i^2) / total^2 over exact integer
+    revenue units (the q06 DECIMAL(18,4) revenue idiom scaled to
+    units), so the only IEEE ops are the final casts, one multiply and
+    one divide of identical exact operands: bit-identical
+    cross-engine, emitted UNROUNDED. Squares sum in DECIMAL(38,0)
+    (~1e26 per term at 100 TB — far inside range); the total re-enters
+    as a double product rather than a DECIMAL square to stay inside
+    precision 38. Top-1 share rides the same aggregate. 100 TB: two
+    map-side-combined aggregates (supplier revenue, then nation
+    rollup) and a 25-row dimension join."""
+    cat = Catalog(spark, sf_dir)
+    unit = F.expr(
+        "CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+        " * 10000 AS BIGINT)")
+    rv = (cat.lineitem.select("l_suppkey", unit.alias("u"))
+          .join(F.broadcast(cat.supplier.select("s_suppkey",
+                                                "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+          .groupBy("s_nationkey", "l_suppkey")
+          .agg(F.sum(F.col("u").cast("decimal(38,0)")).alias("rev_u")))
+    ag = rv.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_u").alias("total_u"),
+        F.sum(F.col("rev_u") * F.col("rev_u")).alias("ssq_u"),
+        F.max("rev_u").alias("max_u"))
+    tot_d = F.col("total_u").cast("double")
+    n = Catalog(spark, sf_dir).nation
+    return (ag.join(F.broadcast(n),
+                    F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("n_name", "n_suppliers",
+                    F.round(tot_d / 10000, 4).alias("total_revenue"),
+                    (F.col("ssq_u").cast("double") / (tot_d * tot_d))
+                    .alias("hhi"),
+                    (F.col("max_u").cast("double") / tot_d)
+                    .alias("top1_share"))
+            .orderBy("n_name"))
+
+
+@_register(
+    "q249_spearman_rank_corr",
+    survey="net-new Spearman rank correlation (per region: supplier rank-by-revenue vs rank-by-line-volume with a deterministic suppkey tiebreak, rho = 1 - 6*sum(d^2)/(n(n^2-1)) from exact integer ranks — the do-two-scoring-rules-agree eval read)",
+    oracle="""
+        WITH sv AS (
+          SELECT s.s_suppkey, s.s_nationkey,
+                 sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS rev,
+                 count(*) AS n_lines
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        rg AS (
+          SELECT r.r_name, sv.s_suppkey, sv.rev, sv.n_lines
+          FROM sv JOIN nation n ON n.n_nationkey = sv.s_nationkey
+                  JOIN region r ON r.r_regionkey = n.n_regionkey),
+        rk AS (
+          SELECT r_name,
+                 row_number() OVER (PARTITION BY r_name
+                                    ORDER BY rev DESC, s_suppkey)
+                   AS rank_rev,
+                 row_number() OVER (PARTITION BY r_name
+                                    ORDER BY n_lines DESC, s_suppkey)
+                   AS rank_vol
+          FROM rg),
+        ag AS (
+          SELECT r_name, count(*) AS n_suppliers,
+                 sum((rank_rev - rank_vol) * (rank_rev - rank_vol)) AS d2
+          FROM rk GROUP BY 1)
+        SELECT r_name, n_suppliers, CAST(d2 AS DOUBLE) AS sum_d2,
+               CASE WHEN n_suppliers >= 2 THEN
+                 1.0 - CAST(6 * d2 AS DOUBLE)
+                   / CAST(n_suppliers * (n_suppliers * n_suppliers - 1)
+                          AS DOUBLE)
+               END AS spearman_rho
+        FROM ag ORDER BY r_name
+    """,
+)
+def q249_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two supplier scoring rules —
+    revenue vs line volume — per region: the 'do two rankings agree'
+    eval read (the rank-space analog of q198's Pearson moments; used
+    on scoring-rule pairs before swapping one for the other in a
+    selection pipeline). Ranks are row_number with a DETERMINISTIC
+    suppkey tiebreak (documented: dense deterministic ranks, not
+    average-tie ranks — both engines compute the identical integer
+    rank vectors because revenue sums are exact decimals). rho is one
+    fixed IEEE tree over the exact integer d^2 sum (DECIMAL(38)
+    before the sum; n^3 likewise — the q238 overflow discipline),
+    emitted UNROUNDED, guarded for n < 2. 100 TB: supplier-grain
+    aggregate (dimension-scale), two in-partition rank windows keyed
+    by region, a 5-row rollup."""
+    cat = Catalog(spark, sf_dir)
+    rev = F.expr(
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+    sv = (cat.lineitem.select("l_suppkey", rev.alias("r"))
+          .groupBy("l_suppkey")
+          .agg(F.sum("r").alias("rev"),
+               F.count(F.lit(1)).alias("n_lines")))
+    dims = (cat.supplier.select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(cat.nation.select("n_nationkey",
+                                                "n_regionkey")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(cat.region.select("r_regionkey",
+                                                "r_name")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "r_name"))
+    rg = sv.join(F.broadcast(dims),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+    wr = Window.partitionBy("r_name").orderBy(F.col("rev").desc(),
+                                              F.col("s_suppkey"))
+    wv = Window.partitionBy("r_name").orderBy(F.col("n_lines").desc(),
+                                              F.col("s_suppkey"))
+    rk = rg.select("r_name",
+                   F.row_number().over(wr).alias("rank_rev"),
+                   F.row_number().over(wv).alias("rank_vol"))
+    d = F.col("rank_rev") - F.col("rank_vol")
+    ag = rk.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum((d * d).cast("decimal(38,0)")).alias("d2"))
+    nsup = F.col("n_suppliers")
+    rho = (F.lit(1.0) - (F.lit(6) * F.col("d2")).cast("double")
+           / (nsup.cast("decimal(38,0)")
+              * (nsup * nsup - 1)).cast("double"))
+    return (ag.select("r_name", "n_suppliers",
+                      F.col("d2").cast("double").alias("sum_d2"),
+                      F.when(nsup >= 2, rho).alias("spearman_rho"))
+            .orderBy("r_name"))
+
+
+@_register(
+    "q250_join_key_skew_audit",
+    survey="net-new join-key skew audit (per candidate shuffle key across lineitem and events: key multiplicity max / value-domain p99 / mean and top-1 row share — the pre-join diagnosis that decides broadcast vs salt vs AQE before a 100 TB shuffle)",
+    oracle="""
+        WITH m1 AS (SELECT l_orderkey AS k, count(*) AS mult
+                    FROM lineitem GROUP BY 1),
+        m2 AS (SELECT l_partkey AS k, count(*) AS mult
+               FROM lineitem GROUP BY 1),
+        m3 AS (SELECT l_suppkey AS k, count(*) AS mult
+               FROM lineitem GROUP BY 1),
+        m4 AS (SELECT user_id AS k, count(*) AS mult
+               FROM events GROUP BY 1),
+        h1 AS (SELECT 'lineitem.l_orderkey' AS key_name, mult,
+                      count(*) AS ck FROM m1 GROUP BY 2),
+        h2 AS (SELECT 'lineitem.l_partkey' AS key_name, mult,
+                      count(*) AS ck FROM m2 GROUP BY 2),
+        h3 AS (SELECT 'lineitem.l_suppkey' AS key_name, mult,
+                      count(*) AS ck FROM m3 GROUP BY 2),
+        h4 AS (SELECT 'events.user_id' AS key_name, mult,
+                      count(*) AS ck FROM m4 GROUP BY 2),
+        h AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+              UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4),
+        w AS (
+          SELECT key_name, mult, ck,
+                 sum(ck) OVER (PARTITION BY key_name ORDER BY mult
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(ck) OVER (PARTITION BY key_name) AS nk
+          FROM h),
+        s AS (
+          SELECT key_name,
+                 CAST(min(nk) AS BIGINT) AS n_keys,
+                 CAST(sum(mult * ck) AS BIGINT) AS n_rows,
+                 CAST(max(mult) AS BIGINT) AS max_mult,
+                 CAST(min(CASE WHEN 100 * cum >= 99 * nk THEN mult END)
+                      AS BIGINT) AS p99_mult
+          FROM w GROUP BY 1)
+        SELECT key_name, n_rows, n_keys, max_mult, p99_mult,
+               CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+                 AS avg_mult,
+               CAST(max_mult AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 AS top1_share
+        FROM s ORDER BY key_name
+    """,
+)
+def q250_join_key_skew_audit(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Shuffle-key skew audit over the candidate join keys a planner
+    actually shuffles on (lineitem's three FKs + events.user_id): per
+    key, the multiplicity maximum, value-domain p99 (the q239
+    cumulative-histogram discipline over the MULTIPLICITY domain — no
+    global sort), mean, and the top-1 key's share of all rows. This is
+    the pre-join diagnosis that decides broadcast vs salting vs AQE
+    skew-join before committing a 100 TB shuffle — the engine's own
+    q119 salting and AQE notes reference exactly these statistics.
+    Each audit is two map-side-combined aggregates (rows -> key
+    multiplicity -> multiplicity histogram); the four audits union
+    into four rows. Shares are single IEEE divides over exact counts,
+    UNROUNDED."""
+    cat = Catalog(spark, sf_dir)
+    li, ev = cat.lineitem, cat.events
+
+    def audit(df: DataFrame, col: str, name: str) -> DataFrame:
+        m = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("mult"))
+        h = m.groupBy("mult").agg(F.count(F.lit(1)).alias("ck"))
+        wk = Window.orderBy("mult").rowsBetween(
+            Window.unboundedPreceding, 0)
+        w = (h.withColumn("cum", F.sum("ck").over(wk))
+             .withColumn("nk", F.sum("ck").over(
+                 Window.partitionBy(F.lit(1)))))
+        return (w.agg(
+            F.min("nk").cast("bigint").alias("n_keys"),
+            F.sum(F.col("mult").cast("decimal(38,0)") * F.col("ck"))
+            .cast("bigint").alias("n_rows"),
+            F.max("mult").cast("bigint").alias("max_mult"),
+            F.min(F.when(100 * F.col("cum") >= 99 * F.col("nk"),
+                         F.col("mult"))).cast("bigint")
+            .alias("p99_mult"))
+            .select(F.lit(name).alias("key_name"), "n_keys", "n_rows",
+                    "max_mult", "p99_mult"))
+
+    s = (audit(li, "l_orderkey", "lineitem.l_orderkey")
+         .unionByName(audit(li, "l_partkey", "lineitem.l_partkey"))
+         .unionByName(audit(li, "l_suppkey", "lineitem.l_suppkey"))
+         .unionByName(audit(ev, "user_id", "events.user_id")))
+    return (s.select(
+        "key_name", "n_rows", "n_keys", "max_mult", "p99_mult",
+        (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+        .alias("avg_mult"),
+        (F.col("max_mult").cast("double") / F.col("n_rows").cast("double"))
+        .alias("top1_share"))
+        .orderBy("key_name"))
+
+
+@_register(
+    "q251_decile_lift",
+    survey="net-new decile lift / gains table (customers ranked by order count into ntile deciles with a deterministic tiebreak; label = top-quintile lifetime revenue by exact value-domain threshold; per-decile response rate, lift and cumulative capture — the targeting-model eval read)",
+    oracle="""
+        WITH cs AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        h AS (SELECT rev, count(*) AS c FROM cs GROUP BY 1),
+        w AS (SELECT rev,
+                     sum(c) OVER (ORDER BY rev
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER () AS n
+              FROM h),
+        thr AS (SELECT min(CASE WHEN 5 * cum >= 4 * n THEN rev END)
+                  AS p80 FROM w),
+        lab AS (
+          SELECT cs.o_custkey, cs.n_orders,
+                 CASE WHEN cs.rev >= thr.p80 THEN 1 ELSE 0 END AS pos
+          FROM cs CROSS JOIN thr),
+        d AS (SELECT pos,
+                     CAST(ntile(10) OVER (ORDER BY n_orders DESC,
+                                          o_custkey) AS BIGINT) AS decile
+              FROM lab),
+        g AS (SELECT decile, count(*) AS n_customers,
+                     CAST(sum(pos) AS BIGINT) AS n_positives
+              FROM d GROUP BY 1),
+        t AS (SELECT sum(n_customers) AS tc, sum(n_positives) AS tp
+              FROM g)
+        SELECT g.decile, g.n_customers, g.n_positives,
+               CAST(g.n_positives AS DOUBLE)
+                 / CAST(g.n_customers AS DOUBLE) AS response_rate,
+               (CAST(g.n_positives AS DOUBLE)
+                 / CAST(g.n_customers AS DOUBLE))
+                 / (CAST(t.tp AS DOUBLE) / CAST(t.tc AS DOUBLE)) AS lift,
+               CAST(sum(g.n_positives) OVER (ORDER BY g.decile
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(t.tp AS DOUBLE) AS cum_capture
+        FROM g CROSS JOIN t ORDER BY decile
+    """,
+)
+def q251_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the standard
+    targeting-model eval: customers rank into ntile(10) deciles by a
+    score (order count, suppkey-free deterministic tiebreak on
+    custkey), the positive label is 'lifetime revenue in the top
+    quintile' with the threshold taken from the EXACT value-domain
+    cumulative histogram over exact DECIMAL revenue (the q239
+    discipline — no approx percentile, no global sort beyond the
+    dimension-scale customer grain), and each decile reports response
+    rate, lift vs the base rate, and cumulative capture. Rates and
+    lift are fixed IEEE trees over exact counts, UNROUNDED; ntile
+    over a strict total order is engine-independent. 100 TB: the only
+    non-dimension work is the customer-grain aggregate; deciles and
+    the 10-row rollup are customer-dimension-scale."""
+    o = Catalog(spark, sf_dir).orders
+    cs = (o.groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+               .alias("rev")))
+    h = cs.groupBy("rev").agg(F.count(F.lit(1)).alias("c"))
+    w = (h.withColumn("cum", F.sum("c").over(
+            Window.orderBy("rev").rowsBetween(
+                Window.unboundedPreceding, 0)))
+         .withColumn("n", F.sum("c").over(
+             Window.partitionBy(F.lit(1)))))
+    thr = w.agg(F.min(F.when(5 * F.col("cum") >= 4 * F.col("n"),
+                             F.col("rev"))).alias("p80"))
+    lab = (cs.crossJoin(F.broadcast(thr))
+           .select("o_custkey", "n_orders",
+                   F.when(F.col("rev") >= F.col("p80"), 1)
+                   .otherwise(0).alias("pos")))
+    d = lab.select("pos", F.ntile(10).over(
+        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
+        .cast("bigint").alias("decile"))
+    g = (d.groupBy("decile")
+         .agg(F.count(F.lit(1)).alias("n_customers"),
+              F.sum("pos").cast("bigint").alias("n_positives")))
+    t = g.agg(F.sum("n_customers").alias("tc"),
+              F.sum("n_positives").alias("tp"))
+    rate = (F.col("n_positives").cast("double")
+            / F.col("n_customers").cast("double"))
+    base = F.col("tp").cast("double") / F.col("tc").cast("double")
+    cum = F.sum("n_positives").over(
+        Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, 0))
+    return (g.crossJoin(F.broadcast(t))
+            .select("decile", "n_customers", "n_positives",
+                    rate.alias("response_rate"),
+                    (rate / base).alias("lift"),
+                    (cum.cast("double") / F.col("tp").cast("double"))
+                    .alias("cum_capture"))
+            .orderBy("decile"))
+
+
+@_register(
+    "q252_centroid_confusion",
+    survey="net-new nearest-centroid confusion matrix (embeddings scored against exact scaled-integer label centroids — squared distance compared as n-scaled DECIMAL integers, argmin deterministic cross-engine — the which-labels-confuse eval beside q193's kNN accuracy)",
+    oracle="""
+        WITH e AS (
+          SELECT vec_id, label AS true_label, CAST(t.i AS INT) AS dim,
+                 CAST(round(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                      * 10000, 0) AS BIGINT) AS xi
+          FROM embeddings, range(1, 65) t(i)),
+        ln AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        cent AS (
+          SELECT e.true_label AS label, e.dim, sum(e.xi) AS s
+          FROM e GROUP BY 1, 2),
+        sc AS (
+          SELECT e.vec_id, e.true_label, c.label AS cand,
+                 sum((ln.n * e.xi - c.s) * (ln.n * e.xi - c.s)) AS dn
+          FROM e JOIN cent c ON c.dim = e.dim
+                 JOIN ln ON ln.label = c.label
+          GROUP BY 1, 2, 3),
+        pick AS (
+          SELECT true_label, cand AS pred_label,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY CAST(sc.dn AS DOUBLE)
+                            / (CAST(ln.n AS DOUBLE)
+                               * CAST(ln.n AS DOUBLE)),
+                            cand) AS rk
+          FROM sc JOIN ln ON ln.label = sc.cand)
+        SELECT true_label, pred_label, count(*) AS n_vectors
+        FROM pick WHERE rk = 1
+        GROUP BY 1, 2 ORDER BY true_label, pred_label
+    """,
+)
+def q252_centroid_confusion(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Nearest-centroid confusion matrix over the embedding column —
+    WHICH labels confuse with which, the eval read beside q193's kNN
+    accuracy scalar. Exactness is the point: components scale to
+    integers (round(x*1e4) — away-from-zero in both engines), label
+    centroids stay as (sum S, count n) EXACT DECIMAL pairs (no float
+    mean), and the squared distance to label L is compared via
+    D_L = sum_dims (n_L*x_i - S_{L,i})^2 — an exact integer — divided
+    by n_L^2 as ONE correctly-rounded IEEE divide, so the argmin (with
+    a label tiebreak) is deterministic cross-engine; a float-summed
+    centroid mean would make the comparison order-dependent. 100 TB:
+    centroids are a labels x dims relation (dimension-scale,
+    broadcast); scoring is a linear explode of each vector against
+    the candidate labels — no pairwise vector join ever forms."""
+    emb = Catalog(spark, sf_dir).embeddings
+    e = (emb.select("vec_id", F.col("label").alias("true_label"),
+                    F.posexplode("embedding").alias("pos", "x"))
+         .select("vec_id", "true_label",
+                 (F.col("pos") + 1).alias("dim"),
+                 F.round(F.col("x").cast("double") * 10000, 0)
+                 .cast("bigint").alias("xi")))
+    ln = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cent = (e.groupBy(F.col("true_label").alias("label"), "dim")
+            .agg(F.sum(F.col("xi").cast("decimal(38,0)")).alias("s")))
+    cj = (cent.join(F.broadcast(ln), "label")
+          .select(F.col("label").alias("cand"), "dim", "s", "n"))
+    diff = F.col("n").cast("decimal(38,0)") * F.col("xi") - F.col("s")
+    sc = (e.join(F.broadcast(cj), "dim")
+          .groupBy("vec_id", "true_label", "cand")
+          .agg(F.sum(diff * diff).alias("dn"),
+               F.min("n").alias("n")))
+    d2 = (F.col("dn").cast("double")
+          / (F.col("n").cast("double") * F.col("n").cast("double")))
+    pick = (sc.withColumn("rk", F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cand"))))
+        .filter(F.col("rk") == 1))
+    return (pick.groupBy("true_label",
+                         F.col("cand").alias("pred_label"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("true_label", "pred_label"))
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 # The driver certifies the FIRST 50 entries of ``queries()`` in dict
@@ -11138,6 +11922,11 @@ _NEVER_CERTIFIED_FALLBACK: tuple[str, ...] = (
     "q237_last_touch_attribution", "q238_interarrival_burstiness",
     "q239_winsorized_stats", "q240_weekly_top_movers",
     "q241_ewma_daily", "q242_time_to_convert",
+    "q243_benford_first_digit", "q244_theil_sen_trend",
+    "q245_activity_streaks", "q246_lead_time_sla",
+    "q247_aa_proportion_ztest", "q248_supplier_hhi",
+    "q249_spearman_rank_corr", "q250_join_key_skew_audit",
+    "q251_decile_lift", "q252_centroid_confusion",
 )
 
 
@@ -11327,18 +12116,16 @@ _ANCHOR = "q01_top_parts"
 #: (tests/test_oracle_parity.py) + the strict driver replica
 #: (tools/driver_replica.py).
 _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
-    "q231_topk_recommend_twin",
-    "q232_basket_pair_lift",
-    "q233_growth_accounting",
-    "q234_rfm_segments",
-    "q235_referential_audit",
-    "q236_residual_outlier_hours",
-    "q237_last_touch_attribution",
-    "q238_interarrival_burstiness",
-    "q239_winsorized_stats",
-    "q240_weekly_top_movers",
-    "q241_ewma_daily",
-    "q242_time_to_convert",
+    "q243_benford_first_digit",
+    "q244_theil_sen_trend",
+    "q245_activity_streaks",
+    "q246_lead_time_sla",
+    "q247_aa_proportion_ztest",
+    "q248_supplier_hhi",
+    "q249_spearman_rank_corr",
+    "q250_join_key_skew_audit",
+    "q251_decile_lift",
+    "q252_centroid_confusion",
 )
 
 #: The deferral self-expires: it only applies while the newest
@@ -11368,7 +12155,14 @@ _DEFERRED_TO_NEXT_WINDOW: tuple[str, ...] = (
 #: r8-vintage tier VERDICT r12 #2 ordered plus ten r9 rows); the
 #: round-13 additions (q231–q242, the last unconstrained wave before
 #: the 245 ceiling) defer in their place.
-_DEFERRED_AS_OF_ROUND = 12
+#: Round 14: the r13 wave's deferral (q231–q242) dissolved on
+#: CORRECTNESS_r13 — those twelve lead the r14 window (with the two
+#: r14 changed-tier entries q202/q226 and the anchor: 15-slot front,
+#: 35 refresh slots for the oldest r9-vintage certificates); the
+#: round-14 additions (q243–q252, sized WITH the first rule-3
+#: retirement batch so the registry lands at 243 ≤ 245) defer in
+#: their place.
+_DEFERRED_AS_OF_ROUND = 13
 
 
 def _active_deferrals(latest: dict[str, int]) -> set[str]:

@@ -624,6 +624,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("-- 18l. conversion-latency cohorts --")
     REGISTRY["q242_time_to_convert"].build(spark, sf_dir).show()
 
+    print("== 19. round-14 wave: audits, experimentation, "
+          "robust statistics ==")
+
+    print("-- 19a. Benford first-digit audit (fraud screen) --")
+    REGISTRY["q243_benford_first_digit"].build(spark, sf_dir).show()
+
+    print("-- 19b. Theil-Sen robust trend + Mann-Kendall S --")
+    REGISTRY["q244_theil_sen_trend"].build(spark, sf_dir).show()
+
+    print("-- 19c. consecutive-day activity streaks --")
+    REGISTRY["q245_activity_streaks"].build(spark, sf_dir).show(5)
+
+    print("-- 19d. order-to-ship lead-time SLA profile --")
+    REGISTRY["q246_lead_time_sla"].build(spark, sf_dir).show(5)
+
+    print("-- 19e. A/A two-proportion z-test (experiment null check) --")
+    REGISTRY["q247_aa_proportion_ztest"].build(spark, sf_dir).show()
+
+    print("-- 19f. supplier revenue concentration (HHI) --")
+    REGISTRY["q248_supplier_hhi"].build(spark, sf_dir).show(5)
+
+    print("-- 19g. Spearman rank correlation of scoring rules --")
+    REGISTRY["q249_spearman_rank_corr"].build(spark, sf_dir).show()
+
+    print("-- 19h. join-key skew audit (broadcast/salt/AQE triage) --")
+    REGISTRY["q250_join_key_skew_audit"].build(spark, sf_dir).show()
+
+    print("-- 19i. decile lift / cumulative gains table --")
+    REGISTRY["q251_decile_lift"].build(spark, sf_dir).show()
+
+    print("-- 19j. nearest-centroid confusion matrix --")
+    REGISTRY["q252_centroid_confusion"].build(spark, sf_dir).show(5)
+
     spark.stop()
 
 

@@ -354,6 +354,36 @@ FAMILIES: dict[str, tuple[tuple[str, ...], str | None, str | None]] = {
     "time-to-convert": ((
         "q242_time_to_convert",),
         "conversion-latency cohorts", None),
+    "benford": ((
+        "q243_benford_first_digit",),
+        "Benford first-digit audit", None),
+    "theil-sen": ((
+        "q244_theil_sen_trend",),
+        "Theil-Sen robust trend", None),
+    "streaks": ((
+        "q245_activity_streaks",),
+        "consecutive-day activity streaks", None),
+    "lead-time-sla": ((
+        "q246_lead_time_sla",),
+        "lead-time SLA profile", None),
+    "aa-ztest": ((
+        "q247_aa_proportion_ztest",),
+        "A/A two-proportion z-test", None),
+    "hhi": ((
+        "q248_supplier_hhi",),
+        "supplier revenue concentration", None),
+    "spearman": ((
+        "q249_spearman_rank_corr",),
+        "Spearman rank correlation", None),
+    "skew-audit": ((
+        "q250_join_key_skew_audit",),
+        "join-key skew audit", None),
+    "decile-lift": ((
+        "q251_decile_lift",),
+        "decile lift / cumulative gains", None),
+    "centroid-confusion": ((
+        "q252_centroid_confusion",),
+        "nearest-centroid confusion matrix", None),
     "sweep": ((
         "q53_als_recommend",) if False else (),
         None, "placeholder"),  # kept empty; M7 sweep is its own banner

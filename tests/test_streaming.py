@@ -680,3 +680,43 @@ def test_upsert_state_survives_respelled_state_dir(spark, tmp_path):
     got3 = {(r.user_id, r.value)
             for r in spark.read.parquet(*final3).collect()}
     assert got3 == {(i, float(i)) for i in range(8)}, got3
+
+
+def test_cms_partials_batch_replay_idempotent(spark, tmp_path):
+    """VERDICT r13 #7 (stateful-sink restart audit): CMS cells merge by
+    SUM — not idempotent — so a crash between a batch's parquet write
+    and its checkpoint commit must not double-count on replay. The sink
+    writes each batch to a deterministic batch={id} path with overwrite
+    (sketches.write_cms_batch_partials); replaying the SAME batch_id
+    leaves the folded grid bit-identical, while a genuinely new batch
+    still accumulates. (HLL partials need no such keying: register-MAX
+    union is idempotent by construction — aggregates.py restart note.)"""
+    from ds_ga1004_bigdata_project_spark.operators import sketches as SK
+
+    out = str(tmp_path / "cms")
+    toks = spark.createDataFrame(
+        [(f"tok{i % 7}",) for i in range(100)], "token string")
+
+    SK.write_cms_batch_partials(toks, 0, out, depth=2, width=32)
+    once = {(r["row"], r["bucket"]): r["cnt"]
+            for r in SK.read_cms_grid(spark, out).collect()}
+    # crash-replay of batch 0: same batch_id, same data — overwrite
+    SK.write_cms_batch_partials(toks, 0, out, depth=2, width=32)
+    replay = {(r["row"], r["bucket"]): r["cnt"]
+              for r in SK.read_cms_grid(spark, out).collect()}
+    assert replay == once, "replayed batch double-counted"
+    # a NEW batch id still accumulates
+    SK.write_cms_batch_partials(toks, 1, out, depth=2, width=32)
+    two = {(r["row"], r["bucket"]): r["cnt"]
+           for r in SK.read_cms_grid(spark, out).collect()}
+    assert two == {k: 2 * v for k, v in once.items()}
+    # the end-to-end streaming wrapper produces the same fold from a
+    # real availableNow run against a fresh out/checkpoint pair
+    src = str(tmp_path / "src")
+    toks.write.parquet(src)
+    stream = spark.readStream.schema("token string").parquet(src)
+    out2, ckpt = str(tmp_path / "cms2"), str(tmp_path / "ckpt")
+    SK.run_streaming_cms_partials(stream, out2, ckpt, depth=2, width=32)
+    streamed = {(r["row"], r["bucket"]): r["cnt"]
+                for r in SK.read_cms_grid(spark, out2).collect()}
+    assert streamed == once
