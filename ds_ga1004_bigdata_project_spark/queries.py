@@ -11256,8 +11256,7 @@ def q245_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="net-new order-to-ship lead-time SLA profile (per order month: on-time share within 30 days, negative-lead data-quality anomalies, exact average lead and value-domain p90 — interval arithmetic + histogram quantiles per calendar bucket)",
     oracle="""
         WITH j AS (
-          SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE)
-                   AS order_month,
+          SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
                  date_diff('day', CAST(o.o_orderdate AS DATE),
                            CAST(l.l_shipdate AS DATE)) AS lead_d
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -11297,7 +11296,8 @@ def q246_lead_time_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (cat.lineitem.select("l_orderkey", "l_shipdate")
          .join(cat.orders.select("o_orderkey", "o_orderdate"),
                F.col("l_orderkey") == F.col("o_orderkey"))
-         .select(F.trunc("o_orderdate", "month").alias("order_month"),
+         .select(F.date_format("o_orderdate", "yyyy-MM")
+                 .alias("order_month"),
                  F.datediff(F.col("l_shipdate").cast("date"),
                             F.col("o_orderdate").cast("date"))
                  .alias("lead_d")))

@@ -105,7 +105,8 @@ def test_lead_time_sla_month_hand_recomputed(spark):
     month = rows[0]["order_month"]
     leads = [r[0] for r in
              li.join(o, li.l_orderkey == o.o_orderkey)
-             .filter(F.trunc("o_orderdate", "month") == F.lit(month))
+             .filter(F.date_format("o_orderdate", "yyyy-MM")
+                     == F.lit(month))
              .select(F.datediff(F.col("l_shipdate").cast("date"),
                                 F.col("o_orderdate").cast("date")))
              .collect()]
