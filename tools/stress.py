@@ -34,6 +34,12 @@ Corpus constructions (`--corpus`):
   ``replica`` keeps plain copies (distance-0 cliques — adversarial for
   kNN tiers, right for quantization/rollup shapes).
 
+``--table sales`` (r14) stages lineitem AND orders jointly — orderkeys
+shifted in lockstep (join pairs intact), custkeys shifted (N× fresh
+customers), dimensions left 1× — the fact-vs-dimension growth shape
+for the TPC-H-shaped half of the registry. ``--corpus`` is ignored for
+sales (fact ids are opaque).
+
 Usage:
   python tools/stress.py --query q211_mad_outliers q218_source_vocab_overlap
   python tools/stress.py --query q149_cdc_overlap_clusters --corpus salted
@@ -103,7 +109,7 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str,
                                 F.col("event_id") + F.lit(i * max_e))
                     .withColumn("user_id",
                                 F.col("user_id") + F.lit(i * max_u)))
-    else:  # embeddings (VERDICT r12 #7 — completes three-table coverage)
+    elif table == "embeddings":  # VERDICT r12 #7 — three-table coverage
         base = cat.embeddings
         max_id = base.agg(F.max("vec_id")).collect()[0][0] + 1
         dim = len(base.select("embedding").first()[0])
@@ -133,20 +139,51 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str,
                 "embedding",
                 F.concat(F.slice(e, k + 1, dim - k), F.slice(e, 1, k)))
 
+    else:  # sales (r14 — the TPC-H fact-shape mode)
+        # Joint lineitem+orders fact growth: orderkeys shift in
+        # LOCKSTEP across both tables so every join pair stays intact;
+        # custkeys shift too (N× fresh customers with the original
+        # per-customer order structure). Dimension tables (part,
+        # supplier, customer, nation, region) stay 1× — the realistic
+        # fact-vs-dimension growth shape: per-dimension-key
+        # multiplicities grow N×, dimension-grain relations stay
+        # dimension-sized. Orders referencing i>0 custkeys are orphans
+        # vs the unreplicated customer dim — adversarial-heavier for
+        # referential audits, irrelevant to queries that never join
+        # customer. No salted variant: fact ids are opaque.
+        li, od = cat.lineitem, cat.orders
+        max_ok = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        max_ck = od.agg(F.max("o_custkey")).collect()[0][0] + 1
+
+        def replica(i: int):
+            return {
+                "lineitem.parquet": li.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok)),
+                "orders.parquet": od.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
+                .withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(i * max_ck)),
+            }
+
+    def _as_dict(rep):
+        return rep if isinstance(rep, dict) else {f"{table}.parquet": rep}
+
     root = tempfile.mkdtemp(prefix="stress_")
     dirs = []
+    staged_names = set(_as_dict(replica(0)))
     for tag_name, n_reps in (("1x", 1), (f"{factor}x", factor)):
         d = os.path.join(root, tag_name)
         os.makedirs(d)
         for entry in os.listdir(sf_dir):
-            if entry != f"{table}.parquet":
+            if entry not in staged_names:
                 os.symlink(os.path.join(sf_dir, entry),
                            os.path.join(d, entry))
-        big = replica(0)
+        big = _as_dict(replica(0))
         for i in range(1, n_reps):
-            big = big.unionByName(replica(i))
-        big.write.mode("overwrite").parquet(
-            os.path.join(d, f"{table}.parquet"))
+            for name, df in _as_dict(replica(i)).items():
+                big[name] = big[name].unionByName(df)
+        for name, df in big.items():
+            df.write.mode("overwrite").parquet(os.path.join(d, name))
         dirs.append(d)
     return dirs[0], dirs[1]
 
@@ -159,7 +196,7 @@ def main() -> None:
     ap.add_argument("--corpus", choices=("replica", "salted"),
                     default="replica")
     ap.add_argument("--table", choices=("documents", "events",
-                                        "embeddings"),
+                                        "embeddings", "sales"),
                     default="documents")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
