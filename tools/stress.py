@@ -34,11 +34,11 @@ Corpus constructions (`--corpus`):
   ``replica`` keeps plain copies (distance-0 cliques — adversarial for
   kNN tiers, right for quantization/rollup shapes).
 
-``--table sales`` (r14) stages lineitem AND orders jointly — orderkeys
-shifted in lockstep (join pairs intact), custkeys shifted (N× fresh
-customers), dimensions left 1× — the fact-vs-dimension growth shape
-for the TPC-H-shaped half of the registry. ``--corpus`` is ignored for
-sales (fact ids are opaque).
+``--table sales`` (r14) stages lineitem, orders AND customer jointly —
+orderkeys and custkeys shifted in lockstep (every join pair intact, N×
+fresh customers), part/supplier/nation/region left 1× — TPC-H's own
+fact-vs-dimension growth shape for that half of the registry.
+``--corpus`` is ignored for sales (fact ids are opaque).
 
 Usage:
   python tools/stress.py --query q211_mad_outliers q218_source_vocab_overlap
@@ -140,20 +140,17 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str,
                 F.concat(F.slice(e, k + 1, dim - k), F.slice(e, 1, k)))
 
     else:  # sales (r14 — the TPC-H fact-shape mode)
-        # Joint lineitem+orders fact growth: orderkeys shift in
-        # LOCKSTEP across both tables so every join pair stays intact;
-        # custkeys shift too (N× fresh customers with the original
-        # per-customer order structure). Dimension tables (part,
-        # supplier, customer, nation, region) stay 1× — the realistic
-        # fact-vs-dimension growth shape: per-dimension-key
-        # multiplicities grow N×, dimension-grain relations stay
-        # dimension-sized. Orders referencing i>0 custkeys are orphans
-        # vs the unreplicated customer dim — adversarial-heavier for
-        # referential audits, irrelevant to queries that never join
-        # customer. No salted variant: fact ids are opaque.
-        li, od = cat.lineitem, cat.orders
+        # Joint lineitem+orders+customer fact growth: orderkeys shift
+        # in LOCKSTEP across lineitem/orders and custkeys across
+        # orders/customer, so EVERY join pair stays intact — N× fresh
+        # customers each with the original order structure (TPC-H's own
+        # scaling shape: customers/orders/lineitem scale with SF, while
+        # part/supplier/nation/region stay 1× here, growing
+        # per-dimension-key multiplicities N×). No salted variant:
+        # fact ids are opaque.
+        li, od, cu = cat.lineitem, cat.orders, cat.customer
         max_ok = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
-        max_ck = od.agg(F.max("o_custkey")).collect()[0][0] + 1
+        max_ck = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
 
         def replica(i: int):
             return {
@@ -163,6 +160,8 @@ def _stage(spark, sf_dir: str, factor: int, corpus: str,
                     "o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
                 .withColumn(
                     "o_custkey", F.col("o_custkey") + F.lit(i * max_ck)),
+                "customer.parquet": cu.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(i * max_ck)),
             }
 
     def _as_dict(rep):
