@@ -79,16 +79,23 @@ def test_activity_streaks_conserve_users_and_bound(spark):
     n_days = ev.select(F.col("ts").cast("date")).distinct().count()
     assert sum(r["n_users"] for r in rows) == n_users
     assert all(1 <= r["streak_days"] <= n_days for r in rows)
-    uid = ev.select(F.min("user_id")).first()[0]
-    days = sorted(r[0].toordinal() for r in
-                  ev.filter(F.col("user_id") == uid)
-                  .select(F.col("ts").cast("date")).distinct().collect())
-    best = run = 1
-    for a, b in zip(days, days[1:]):
-        run = run + 1 if b == a + 1 else 1
-        best = max(best, run)
+    # full-population recompute: longest streak for EVERY user from the
+    # raw (user, day) pairs — the whole histogram must match, not one
+    # probe user
+    per_user: dict[int, set] = {}
+    for r in ev.select("user_id",
+                       F.col("ts").cast("date").alias("d")).collect():
+        per_user.setdefault(r["user_id"], set()).add(r["d"].toordinal())
+    hist: dict[int, int] = {}
+    for days_set in per_user.values():
+        days = sorted(days_set)
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        hist[best] = hist.get(best, 0) + 1
     got = {r["streak_days"]: r["n_users"] for r in rows}
-    assert best in got, f"user {uid} longest streak {best} missing"
+    assert got == hist
 
 
 def test_lead_time_sla_month_hand_recomputed(spark):
@@ -265,17 +272,20 @@ def test_centroid_confusion_conserves_and_hand_scores_one_vector(spark):
         for i, v in enumerate(r["embedding"]):
             s[i] += xi(v)
         cnt[r["label"]] = cnt.get(r["label"], 0) + 1
-    probe = min(emb, key=lambda r: r["vec_id"])
-    px = [xi(v) for v in probe["embedding"]]
-    best = None
-    for lab in sorted(cent):
-        n = cnt[lab]
-        dn = sum((n * px[i] - cent[lab][i]) ** 2 for i in range(dim))
-        d2 = float(dn) / (float(n) * float(n))
-        if best is None or d2 < best[0]:
-            best = (d2, lab)
-    # The probe vector's predicted label must appear as a confusion
-    # cell (true_label(probe), best-label) with mass >= 1.
-    cell = [r for r in rows if r["true_label"] == probe["label"]
-            and r["pred_label"] == best[1]]
-    assert cell and cell[0]["n_vectors"] >= 1
+    # full-population recompute: predict EVERY vector in exact Python
+    # integers and compare the whole confusion matrix cell-for-cell
+    want: dict[tuple, int] = {}
+    for r in emb:
+        px = [xi(v) for v in r["embedding"]]
+        best = None
+        for lab in sorted(cent):
+            n = cnt[lab]
+            dn = sum((n * px[i] - cent[lab][i]) ** 2 for i in range(dim))
+            d2 = float(dn) / (float(n) * float(n))
+            if best is None or d2 < best[0]:
+                best = (d2, lab)
+        key = (r["label"], best[1])
+        want[key] = want.get(key, 0) + 1
+    got = {(r["true_label"], r["pred_label"]): r["n_vectors"]
+           for r in rows}
+    assert got == want
