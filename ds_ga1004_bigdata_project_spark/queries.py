@@ -11710,10 +11710,15 @@ def q251_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline — no approx percentile, no global sort beyond the
     dimension-scale customer grain), and each decile reports response
     rate, lift vs the base rate, and cumulative capture. Rates and
-    lift are fixed IEEE trees over exact counts, UNROUNDED; ntile
-    over a strict total order is engine-independent. 100 TB: the only
-    non-dimension work is the customer-grain aggregate; deciles and
-    the 10-row rollup are customer-dimension-scale."""
+    lift are fixed IEEE trees over exact counts, UNROUNDED; the decile
+    over a strict total order is engine-independent. 100 TB: the
+    customer grain SCALES with data (TPC-H customers grow with SF), so
+    the decile does NOT come from a global ntile window (the
+    single-partition trap q101 exists to kill) — it rides
+    ``ranks.global_distribution_ranks``: adaptive dispatch to a plain
+    window when the size probe bounds the input, a range-partitioned
+    sort + partition-offset arithmetic NTILE above it, value-identical
+    to SQL NTILE either way (q67/q101 certify both forms)."""
     o = Catalog(spark, sf_dir).orders
     cs = (o.groupBy("o_custkey")
           .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -11731,9 +11736,11 @@ def q251_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("o_custkey", "n_orders",
                    F.when(F.col("rev") >= F.col("p80"), 1)
                    .otherwise(0).alias("pos")))
-    d = lab.select("pos", F.ntile(10).over(
-        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
-        .cast("bigint").alias("decile"))
+    from .operators.ranks import global_distribution_ranks
+    d = (global_distribution_ranks(
+            lab, key_cols=["n_orders"], tiebreak_cols=["o_custkey"],
+            ascending=False, ntile=10)
+         .select("pos", F.col("ntile").cast("bigint").alias("decile")))
     g = (d.groupBy("decile")
          .agg(F.count(F.lit(1)).alias("n_customers"),
               F.sum("pos").cast("bigint").alias("n_positives")))
