@@ -130,18 +130,30 @@ def _range_numbered(df: DataFrame, order_cols: list[Column],
 def global_prefix_sum(df: DataFrame, order_cols: list[Column], value_col: str,
                       out_col: str = "_prefix_sum",
                       num_partitions: int | None = None,
-                      caches: list[DataFrame] | None = None) -> DataFrame:
+                      caches: list[DataFrame] | None = None,
+                      small_input_max: int = 0) -> DataFrame:
     """Running total of ``value_col`` along a total order, INCLUSIVE of the
     current row — the scalable form of
     ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
 
     Same construction as :func:`global_row_numbers`: range-partitioned sort,
     per-partition weight sums collected as metadata, partition offset + local
-    window cumsum. No unpartitioned window at any input size.
+    window cumsum. No unpartitioned window at any input size by default.
+
+    ``small_input_max`` (r14, OPT-IN — default 0 keeps the range path so
+    existing certified consumers' plans are untouched): a positive bound
+    enables the same adaptive dispatch :func:`global_row_numbers` has —
+    when the size probe bounds the input, one plain window runs instead of
+    the range machinery's ~3 fixed jobs (measured 2× on a
+    fixture-scale relation in the q251 A/B).
 
     The caller must supply a TOTAL order; ``caches`` receives the internally
     persisted range-sorted table (see module docstring for the ownership
     contract)."""
+    if small_input_max and _fits_small_path(df, small_input_max):
+        w = (Window.orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return df.withColumn(out_col, F.sum(value_col).over(w))
     sorted_df, offset_expr, _ = _range_sorted_offsets(
         df, order_cols, num_partitions, caches, weight=F.col(value_col))
     local = (Window.partitionBy("_pid").orderBy(*order_cols)

@@ -11724,12 +11724,16 @@ def q251_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).alias("n_orders"),
                F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
                .alias("rev")))
+    # Exact-decimal revenue is NEAR-UNIQUE per customer, so the
+    # threshold "histogram" is customer-scale — its cumulative count
+    # must not run through an unpartitioned window (same class as the
+    # decile below). global_prefix_sum is the scalable
+    # sum-OVER-(ORDER BY) form; the grand total joins back as one row.
+    from .operators.ranks import RANKS_SMALL_INPUT_MAX, global_prefix_sum
     h = cs.groupBy("rev").agg(F.count(F.lit(1)).alias("c"))
-    w = (h.withColumn("cum", F.sum("c").over(
-            Window.orderBy("rev").rowsBetween(
-                Window.unboundedPreceding, 0)))
-         .withColumn("n", F.sum("c").over(
-             Window.partitionBy(F.lit(1)))))
+    w = (global_prefix_sum(h, [F.col("rev").asc()], "c", out_col="cum",
+                           small_input_max=RANKS_SMALL_INPUT_MAX)
+         .crossJoin(F.broadcast(h.agg(F.sum("c").alias("n")))))
     thr = w.agg(F.min(F.when(5 * F.col("cum") >= 4 * F.col("n"),
                              F.col("rev"))).alias("p80"))
     lab = (cs.crossJoin(F.broadcast(thr))
