@@ -622,3 +622,80 @@ def q260_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(0).cast("bigint").alias("in_degree"),
                     (F.col("_nt") - F.col("_na")).alias("n_vectors")))
     return hist.unionByName(zero).orderBy("in_degree")
+
+
+@_stage(
+    "q261_cohort_ltv_curve",
+    survey="net-new weekly-cohort LTV accumulation curve (per first-purchase-week cohort: cumulative revenue per user by cohort age in weeks — the revenue-accumulation read q137's retention counts, q237's state transitions, and q242's latency quantiles all miss; exact integer-cents cumulative sums over the horizon-bounded (cohort x age) grid)",
+    oracle="""
+        WITH p AS (
+          SELECT user_id,
+                 (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  // 7) AS wk,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase'),
+        f AS (SELECT user_id, min(wk) AS cw FROM p GROUP BY 1),
+        cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+               FROM f GROUP BY 1),
+        a AS (
+          SELECT f.cw, p.wk - f.cw AS age, sum(p.c) AS rev_c
+          FROM p JOIN f ON p.user_id = f.user_id
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT cw, age,
+                 sum(rev_c) OVER (PARTITION BY cw ORDER BY age
+                                  ROWS UNBOUNDED PRECEDING) AS cum_c
+          FROM a)
+        SELECT CAST(cum.cw AS BIGINT) AS cohort_week,
+               CAST(cum.age AS BIGINT) AS age_weeks,
+               cs.n_users,
+               round(CAST(cum.cum_c AS DOUBLE) / 100, 2) AS cum_revenue,
+               CAST(cum.cum_c AS DOUBLE)
+                 / (100.0 * CAST(cs.n_users AS DOUBLE)) AS ltv_per_user
+        FROM cum JOIN cs ON cum.cw = cs.cw
+        ORDER BY cohort_week, age_weeks
+    """,
+)
+def q261_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation: users cohorted by FIRST-purchase
+    calendar week, revenue accumulated by cohort age — "how much has a
+    week-w signup cohort spent per head by age k", the curve whose
+    flattening point prices acquisition. Week indexes are integer day
+    arithmetic from the q241 epoch (never date_trunc — engine week
+    conventions differ); revenue accumulates as exact integer cents
+    (DECIMAL(18,2)·100); the cumulative window runs per cohort over
+    the AGE domain (horizon-bounded — the q244 exception class);
+    per-user LTV is the fixed tree cents/(100·n_users), two
+    correctly-rounded IEEE ops over exact operands, emitted UNROUNDED
+    beside the q254-convention rounded total. Ages with zero purchases
+    are simply absent (the cumulative is still correct at every
+    observed age; a reporting layer can forward-fill). 100 TB: one
+    row-grain first-purchase aggregate keyed by user, one
+    (cohort, age) aggregate — both map-side combined; everything after
+    is grid-sized."""
+    cat = Catalog(spark, sf_dir)
+    p = (cat.events.filter(F.col("event_type") == "purchase")
+         .select("user_id",
+                 F.floor(F.datediff(F.col("ts").cast("date"),
+                                    F.lit("2024-01-01").cast("date")) / 7)
+                 .alias("wk"),
+                 F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                        " AS BIGINT)").alias("c")))
+    f = p.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    cs = f.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    a = (p.join(f, "user_id")
+         .groupBy("cw", (F.col("wk") - F.col("cw")).alias("age"))
+         .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("rev_c")))
+    wc = (Window.partitionBy("cw").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = a.withColumn("cum_c", F.sum("rev_c").over(wc))
+    return (cum.join(cs, "cw")
+            .select(F.col("cw").cast("bigint").alias("cohort_week"),
+                    F.col("age").cast("bigint").alias("age_weeks"),
+                    "n_users",
+                    F.round(F.col("cum_c").cast("double") / 100, 2)
+                    .alias("cum_revenue"),
+                    (F.col("cum_c").cast("double")
+                     / (F.lit(100.0) * F.col("n_users").cast("double")))
+                    .alias("ltv_per_user"))
+            .orderBy("cohort_week", "age_weeks"))

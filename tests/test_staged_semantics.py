@@ -228,3 +228,41 @@ def test_hubness_hand(spark):
     # conservation: every probe contributes exactly k=5 graph edges
     n_probes = sum(1 for i in qv if i % 16 == 0)
     assert sum(d * c for d, c in hist.items()) == 5 * n_probes
+
+
+def test_cohort_ltv_hand(spark):
+    rows = {(r["cohort_week"], r["age_weeks"]): r
+            for r in _rows(spark, "q261_cohort_ltv_curve")}
+    ev = _pq(spark, "events").where("event_type = 'purchase'") \
+        .selectExpr("user_id",
+                    "floor(datediff(cast(ts as date),"
+                    " cast('2024-01-01' as date)) / 7) AS wk",
+                    "value").collect()
+    first: dict[int, int] = {}
+    for r in ev:
+        first[r["user_id"]] = min(first.get(r["user_id"], 10**9), r["wk"])
+    cohort_n: dict[int, int] = defaultdict(int)
+    for cw in first.values():
+        cohort_n[cw] += 1
+    rev: dict[tuple, int] = defaultdict(int)
+    for r in ev:
+        cw = first[r["user_id"]]
+        rev[(cw, r["wk"] - cw)] += _cents(r["value"])
+    cum: dict[tuple, int] = {}
+    for cw in cohort_n:
+        run = 0
+        for age in sorted(a for c, a in rev if c == cw):
+            run += rev[(cw, age)]
+            cum[(cw, age)] = run
+    assert set(rows) == set(cum)
+    for (cw, age), c in cum.items():
+        r = rows[(cw, age)]
+        assert r["n_users"] == cohort_n[cw]
+        assert r["ltv_per_user"] == float(c) / (100.0 * float(cohort_n[cw]))
+        assert float(Decimal(repr(float(c) / 100)).quantize(
+            Decimal("0.01"), ROUND_HALF_UP)) == r["cum_revenue"]
+    # LTV curves are monotone non-decreasing in age within a cohort
+    for cw in cohort_n:
+        ages = sorted(a for c, a in rows if c == cw)
+        ltv = [rows[(cw, a)]["ltv_per_user"] for a in ages]
+        assert ltv == sorted(ltv)
