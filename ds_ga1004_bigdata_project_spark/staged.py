@@ -1,4 +1,5 @@
-"""Round-15 wave, STAGED (written r14 post-close, registered r15).
+"""Round-15 wave, STAGED (written r14 post-close, registered r15): the
+eight probed core slots plus the LTV-curve spare — nine queries.
 
 The registry growth policy (COVERAGE.md rule 2) budgets ~10-12 new
 driver slots per round so every certification window keeps ≥35 refresh
