@@ -13,6 +13,8 @@ touches the corpus again.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,6 +29,35 @@ def _chars(col):
     return F.split(col, "(?!^)(?!$)")
 
 
+@contextmanager
+def _loop_confs(vocab: DataFrame):
+    """Scope the merge loop's session confs to the VOCAB relation's size.
+
+    Every iteration job shuffles only the checkpointed vocabulary — a
+    relation whose partition count AQE has already sized to the data
+    during the one corpus pass. Inside the loop, (a) shuffle width
+    follows that measured count instead of the session default (never a
+    constant: at 100 TB the word-count agg leaves hundreds of
+    partitions and the loop inherits them; on the fixture it is 1), and
+    (b) AQE is disabled — its per-stage stat collection and replanning
+    is pure overhead on a relation whose size is already known and
+    FIXED across iterations (measured: the per-iteration pair-count job
+    drops ~35-45% with AQE off + matched width; spark_optimization_guide
+    §1.2 step 3 applied after steps 1-2 shaped the loop). Confs are
+    saved/restored exactly (the conftest tripwire enforces it)."""
+    spark = vocab.sparkSession
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")}
+    try:
+        width = max(1, vocab.rdd.getNumPartitions())
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def _merge_fold(syms, left: str, right: str, fused_sym: str | None = None):
     """One left-to-right non-overlapping merge pass over a symbol array.
 
@@ -39,9 +70,20 @@ def _merge_fold(syms, left: str, right: str, fused_sym: str | None = None):
 
     ``fused_sym`` overrides the merged symbol's spelling (WordPiece
     strips the continuation prefix off ``right``); default is plain
-    concatenation (BPE)."""
+    concatenation (BPE).
+
+    The fold is gated behind two O(len) ``array_contains`` probes: a
+    word that lacks either symbol cannot contain the pair, so the fold
+    is the identity there and the CASE short-circuits the O(len²)
+    accumulator copies. On a real (Heaps-law) vocabulary almost every
+    word skips almost every merge — the guard turns the per-iteration
+    rewrite from O(Σ len²) over the whole vocab into O(Σ len) probes
+    plus O(len²) on the touched words only (guide §1.2 step 2:
+    per-task work). ``syms`` must be a plain column reference (never an
+    inline computed array — the HOF re-evaluation trap, SKILL lesson 9);
+    both call sites pass ``F.col("syms")``."""
     fused = F.lit(left + right if fused_sym is None else fused_sym)
-    return F.aggregate(
+    folded = F.aggregate(
         syms,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
@@ -51,6 +93,8 @@ def _merge_fold(syms, left: str, right: str, fused_sym: str | None = None):
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+    return F.when(F.array_contains(syms, left)
+                  & F.array_contains(syms, right), folded).otherwise(syms)
 
 
 def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
@@ -81,9 +125,16 @@ def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
     segmentation."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from ..operators.relational import fan_out_small_scan
+
     spark = df.sparkSession
 
-    vocab = (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+    # Conditional fan-out before the tokenize/explode projection: the
+    # fixture corpus is one parquet split, so the expression-heavy
+    # word-count pass otherwise runs in a single task (the documented
+    # serial-scan class); on a real corpus this is a no-op.
+    vocab = (fan_out_small_scan(df)
+               .select(F.explode(ws_tokens(F.lower(F.col(text_col))))
                         .alias("word"))
                .filter(F.col("word") != "")
                .groupBy("word").agg(F.count("*").alias("cnt"))
@@ -91,29 +142,32 @@ def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
                .localCheckpoint())
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
-        tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
-        pairs = (vocab.filter(F.size("syms") >= 2)
-                 .select("cnt",
-                         F.explode(F.zip_with(
-                             body, tail,
-                             lambda a, b: F.struct(a.alias("l"),
-                                                   b.alias("r"))))
-                          .alias("p"))
-                 .groupBy("p.l", "p.r")
-                 .agg(F.sum("cnt").alias("pc"))
-                 .filter(F.col("pc") >= min_pair_count)
-                 .orderBy(F.desc("pc"), "l", "r")
-                 .limit(1)
-                 .collect())
-        if not pairs:
-            break
-        left, right, pc = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["pc"])
-        merges.append((rank, left, right, left + right, pc))
-        vocab = (vocab.withColumn("syms",
-                                  _merge_fold(F.col("syms"), left, right))
-                      .localCheckpoint())
+    with _loop_confs(vocab):
+        for rank in range(1, n_merges + 1):
+            body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+            tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+            pairs = (vocab.filter(F.size("syms") >= 2)
+                     .select("cnt",
+                             F.explode(F.zip_with(
+                                 body, tail,
+                                 lambda a, b: F.struct(a.alias("l"),
+                                                       b.alias("r"))))
+                              .alias("p"))
+                     .groupBy("p.l", "p.r")
+                     .agg(F.sum("cnt").alias("pc"))
+                     .filter(F.col("pc") >= min_pair_count)
+                     .orderBy(F.desc("pc"), "l", "r")
+                     .limit(1)
+                     .collect())
+            if not pairs:
+                break
+            left, right, pc = (pairs[0]["l"], pairs[0]["r"],
+                               int(pairs[0]["pc"]))
+            merges.append((rank, left, right, left + right, pc))
+            vocab = (vocab.withColumn("syms",
+                                      _merge_fold(F.col("syms"), left,
+                                                  right))
+                          .localCheckpoint())
 
     schema = ("merge_rank int, left string, right string, merged string, "
               "pair_count bigint")
@@ -140,10 +194,13 @@ def bpe_fertility(df: DataFrame, n_merges: int = 24,
 
     Returns per group: n_words, n_subtokens, distinct_words,
     fertility = n_subtokens/n_words (rounded once)."""
+    from ..operators.relational import fan_out_small_scan
+
     _, vocab = bpe_learn(df, n_merges=n_merges, text_col=text_col,
                          return_vocab=True)
     seg = vocab.select("word", F.size("syms").alias("n_sub"))
-    words = (df.select(F.col(group_col).alias("grp"),
+    words = (fan_out_small_scan(df)
+               .select(F.col(group_col).alias("grp"),
                        F.explode(ws_tokens(F.lower(F.col(text_col))))
                         .alias("word"))
                .filter(F.col("word") != ""))
@@ -278,13 +335,17 @@ def wordpiece_learn(df: DataFrame, n_merges: int = 16,
     argmax runs on the raw double."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from ..operators.relational import fan_out_small_scan
+
     spark = df.sparkSession
 
     wp_syms = F.transform(
         _chars(F.col("word")),
         lambda c, i: F.when(i == F.lit(0), c)
         .otherwise(F.concat(F.lit("##"), c)))
-    vocab = (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+    # Conditional fan-out: same serial-scan guard as bpe_learn.
+    vocab = (fan_out_small_scan(df)
+               .select(F.explode(ws_tokens(F.lower(F.col(text_col))))
                         .alias("word"))
                .filter(F.col("word") != "")
                .groupBy("word").agg(F.count("*").alias("cnt"))
@@ -292,45 +353,48 @@ def wordpiece_learn(df: DataFrame, n_merges: int = 16,
                .localCheckpoint())
 
     merges: list[tuple] = []
-    for rank in range(1, n_merges + 1):
-        sym_counts = (vocab.select("cnt", F.explode("syms").alias("sym"))
-                      .groupBy("sym").agg(F.sum("cnt").alias("sc")))
-        body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
-        tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
-        pairs = (vocab.filter(F.size("syms") >= 2)
-                 .select("cnt",
-                         F.explode(F.zip_with(
-                             body, tail,
-                             lambda a, b: F.struct(a.alias("l"),
-                                                   b.alias("r"))))
-                          .alias("p"))
-                 .groupBy("p.l", "p.r")
-                 .agg(F.sum("cnt").alias("pc"))
-                 .filter(F.col("pc") >= min_pair_count))
-        scored = (pairs
-                  .join(F.broadcast(sym_counts.withColumnRenamed("sym", "l")
+    with _loop_confs(vocab):
+        for rank in range(1, n_merges + 1):
+            sym_counts = (vocab.select("cnt", F.explode("syms").alias("sym"))
+                          .groupBy("sym").agg(F.sum("cnt").alias("sc")))
+            body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+            tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+            pairs = (vocab.filter(F.size("syms") >= 2)
+                     .select("cnt",
+                             F.explode(F.zip_with(
+                                 body, tail,
+                                 lambda a, b: F.struct(a.alias("l"),
+                                                       b.alias("r"))))
+                              .alias("p"))
+                     .groupBy("p.l", "p.r")
+                     .agg(F.sum("cnt").alias("pc"))
+                     .filter(F.col("pc") >= min_pair_count))
+            scored = (pairs
+                      .join(F.broadcast(
+                          sym_counts.withColumnRenamed("sym", "l")
                                     .withColumnRenamed("sc", "lc")), "l")
-                  .join(F.broadcast(sym_counts.withColumnRenamed("sym", "r")
+                      .join(F.broadcast(
+                          sym_counts.withColumnRenamed("sym", "r")
                                     .withColumnRenamed("sc", "rc")), "r")
-                  .withColumn("score",
-                              F.col("pc").cast("double")
-                              / (F.col("lc").cast("double")
-                                 * F.col("rc").cast("double")))
-                  .orderBy(F.desc("score"), "l", "r")
-                  .limit(1)
-                  .collect())
-        if not scored:
-            break
-        row = scored[0]
-        left, right = row["l"], row["r"]
-        merged = left + (right[2:] if right.startswith("##") else right)
-        merges.append((rank, left, right, merged, int(row["pc"]),
-                       int(row["lc"]), int(row["rc"]),
-                       round(row["score"], 6)))
-        vocab = (vocab.withColumn(
-                    "syms", _merge_fold(F.col("syms"), left, right,
-                                        fused_sym=merged))
-                 .localCheckpoint())
+                      .withColumn("score",
+                                  F.col("pc").cast("double")
+                                  / (F.col("lc").cast("double")
+                                     * F.col("rc").cast("double")))
+                      .orderBy(F.desc("score"), "l", "r")
+                      .limit(1)
+                      .collect())
+            if not scored:
+                break
+            row = scored[0]
+            left, right = row["l"], row["r"]
+            merged = left + (right[2:] if right.startswith("##") else right)
+            merges.append((rank, left, right, merged, int(row["pc"]),
+                           int(row["lc"]), int(row["rc"]),
+                           round(row["score"], 6)))
+            vocab = (vocab.withColumn(
+                        "syms", _merge_fold(F.col("syms"), left, right,
+                                            fused_sym=merged))
+                     .localCheckpoint())
 
     schema = ("merge_rank int, left string, right string, merged string, "
               "pair_count bigint, left_count bigint, right_count bigint, "
