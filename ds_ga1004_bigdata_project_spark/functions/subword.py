@@ -125,16 +125,14 @@ def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
     segmentation."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    from ..operators.relational import fan_out_small_scan
-
     spark = df.sparkSession
 
-    # Conditional fan-out before the tokenize/explode projection: the
-    # fixture corpus is one parquet split, so the expression-heavy
-    # word-count pass otherwise runs in a single task (the documented
-    # serial-scan class); on a real corpus this is a no-op.
-    vocab = (fan_out_small_scan(df)
-               .select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+    # NO fan_out_small_scan here: the word-count pass is exactly the
+    # bigram_lm_nll shape (explode feeding a map-side-combined token
+    # agg whose downstream already parallelizes) where the r11/r12
+    # interleaved A/B measured the fan-out COSTING +14-51% — see
+    # bigram_lm_nll's docstring and the SCALE.md A/B table.
+    vocab = (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
                         .alias("word"))
                .filter(F.col("word") != "")
                .groupBy("word").agg(F.count("*").alias("cnt"))
@@ -194,13 +192,11 @@ def bpe_fertility(df: DataFrame, n_merges: int = 24,
 
     Returns per group: n_words, n_subtokens, distinct_words,
     fertility = n_subtokens/n_words (rounded once)."""
-    from ..operators.relational import fan_out_small_scan
-
     _, vocab = bpe_learn(df, n_merges=n_merges, text_col=text_col,
                          return_vocab=True)
     seg = vocab.select("word", F.size("syms").alias("n_sub"))
-    words = (fan_out_small_scan(df)
-               .select(F.col(group_col).alias("grp"),
+    # No fan-out: same bigram_lm_nll-class shape (see bpe_learn).
+    words = (df.select(F.col(group_col).alias("grp"),
                        F.explode(ws_tokens(F.lower(F.col(text_col))))
                         .alias("word"))
                .filter(F.col("word") != ""))
@@ -335,17 +331,14 @@ def wordpiece_learn(df: DataFrame, n_merges: int = 16,
     argmax runs on the raw double."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    from ..operators.relational import fan_out_small_scan
-
     spark = df.sparkSession
 
     wp_syms = F.transform(
         _chars(F.col("word")),
         lambda c, i: F.when(i == F.lit(0), c)
         .otherwise(F.concat(F.lit("##"), c)))
-    # Conditional fan-out: same serial-scan guard as bpe_learn.
-    vocab = (fan_out_small_scan(df)
-               .select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+    # No fan-out: same bigram_lm_nll-class shape (see bpe_learn).
+    vocab = (df.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
                         .alias("word"))
                .filter(F.col("word") != "")
                .groupBy("word").agg(F.count("*").alias("cnt"))

@@ -775,10 +775,20 @@ def stupid_backoff_nll(df, train_df=None, alpha: float = 0.4,
                   F.lit(alpha * alpha)
                   * (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(k))
                   / (F.col("n_tok") + F.lit(k) * F.col("v"))))
-    lp = (tri.join(c123, ["w1", "w2", "w3"], "left")
-             .join(c12, ["w1", "w2"], "left")
-             .join(c23, ["w2", "w3"], "left")
-             .join(c2, ["w2"], "left")
+    # Scoring attaches the model in THREE instance-keyed joins, not five
+    # (r14 optimization round, guide §2.4): the backoff score consumes
+    # c12 ONLY on tier 0 (c123 > 0) and c2 ONLY on tier 1 (c23 > 0), so
+    # the lower-order counts pre-join onto their parent count relations
+    # — model-vocab-sized joins — instead of each re-shuffling the
+    # corpus-sized trigram-instance relation on a new key. A trigram
+    # missing from cc123 leaves c12 null exactly when c12 is never read
+    # (and likewise c2 via cc23), so every emitted score is identical.
+    # At fixture scale the count relations broadcast either way; at
+    # 100 TB this is two fewer corpus-wide exchanges (5 → 3).
+    cc123 = c123.join(c12, ["w1", "w2"])
+    cc23 = c23.join(c2, ["w2"])
+    lp = (tri.join(cc123, ["w1", "w2", "w3"], "left")
+             .join(cc23, ["w2", "w3"], "left")
              .join(muni.select(F.col("t").alias("w3"), "c3"),
                    ["w3"], "left")
              .crossJoin(F.broadcast(nv))
