@@ -107,6 +107,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         caches.append(shingled)
     sizes = shingled.select("id", F.size("shingles").alias("set_size"))
     posting = shingled.select("id", F.explode("shingles").alias("shingle"))
+    # Threshold-gated LENGTH prune (r14 optimization round, guide §3.2 /
+    # PPJoin's length lemma, the q173 discipline): J ≥ t implies
+    # t·max(|A|,|B|) ≤ min(|A|,|B|), so when the caller sets a positive
+    # ``min_jaccard`` the candidate self-join can drop every collision
+    # of a size-incompatible pair BEFORE the per-pair intersection
+    # aggregation — those pairs exit via the final jaccard filter anyway,
+    # so the output is identical row-for-row. The prune costs one int
+    # per posting row; the rationalized p/q ≤ t underestimates t, which
+    # only weakens the prune (never drops a qualifying pair). int64
+    # arithmetic throughout (int32 products overflow under ANSI).
+    _len_pred = None
+    if min_jaccard > 0:
+        _lp = F.lit(math.floor(min_jaccard * 1_000_000_000)).cast("long")
+        _lq = F.lit(1_000_000_000).cast("long")
+        posting = shingled.select(
+            "id", F.size("shingles").alias("_sz"),
+            F.explode("shingles").alias("shingle"))
+
+        def _len_pred(x, y):  # noqa: E731 — join-side size compatibility
+            sx = F.col(f"{x}._sz").cast("long")
+            sy = F.col(f"{y}._sz").cast("long")
+            return _lp * F.greatest(sx, sy) <= _lq * F.least(sx, sy)
     if max_doc_freq is not None:
         # Stop-list tier: sub-cap postings only GENERATE candidates (and
         # count the sub-cap share of the intersection map-side, exactly
@@ -127,9 +149,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         stop = dfreq.filter(F.col("df") > max_doc_freq).select("shingle")
         cand_posting = posting.join(rare, "shingle")
         a, b = cand_posting.alias("a"), cand_posting.alias("b")
+        _cond = (F.col("a.shingle") == F.col("b.shingle")) \
+            & (F.col("a.id") < F.col("b.id"))
+        if _len_pred is not None:
+            _cond = _cond & _len_pred("a", "b")
         pairs_sub = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.id") < F.col("b.id")))
+            a.join(b, _cond)
             .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
             .agg(F.count(F.lit(1)).alias("_inter_sub"))
         )
@@ -150,9 +175,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         .otherwise(F.lit(0))).alias("inter_cnt")))
     else:
         a, b = posting.alias("a"), posting.alias("b")
+        _cond = (F.col("a.shingle") == F.col("b.shingle")) \
+            & (F.col("a.id") < F.col("b.id"))
+        if _len_pred is not None:
+            _cond = _cond & _len_pred("a", "b")
         pairs = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.id") < F.col("b.id")))
+            a.join(b, _cond)
             .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
             .agg(F.count(F.lit(1)).alias("inter_cnt"))
         )
