@@ -162,10 +162,16 @@ def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
             left, right, pc = (pairs[0]["l"], pairs[0]["r"],
                                int(pairs[0]["pc"]))
             merges.append((rank, left, right, left + right, pc))
+            # Lazy checkpoint (r15, guide §2.4): the NEXT iteration's
+            # pair-count collect (or the caller's first action on the
+            # returned vocab) materializes the fold in the same job —
+            # per-iteration jobs drop 2 → 1 while lineage still cuts one
+            # iteration deep at materialization. The LAST fold is never
+            # materialized at all unless return_vocab consumes it.
             vocab = (vocab.withColumn("syms",
                                       _merge_fold(F.col("syms"), left,
                                                   right))
-                          .localCheckpoint())
+                          .localCheckpoint(eager=False))
 
     schema = ("merge_rank int, left string, right string, merged string, "
               "pair_count bigint")
@@ -348,19 +354,46 @@ def wordpiece_learn(df: DataFrame, n_merges: int = 16,
     merges: list[tuple] = []
     with _loop_confs(vocab):
         for rank in range(1, n_merges + 1):
-            sym_counts = (vocab.select("cnt", F.explode("syms").alias("sym"))
-                          .groupBy("sym").agg(F.sum("cnt").alias("sc")))
+            # Per-iteration job fusion (r15, VERDICT r14 next-round #3 /
+            # guide §2.4): the likelihood argmax needs pair counts AND
+            # per-symbol counts, and the old form paid THREE vocab-wide
+            # aggregation jobs per iteration for them — the pair agg plus
+            # one broadcast-build per sym_counts reference (each build
+            # re-executed the whole symbol explode+agg). One combined
+            # explode now emits both grains — struct(l, r) pair rows and
+            # struct(sym, NULL) symbol rows (syms are never NULL, so the
+            # NULL tag is unambiguous) — into ONE aggregation over the
+            # vocab, lazily localCheckpointed so the scoring job
+            # materializes it; the argmax's two broadcast joins then read
+            # the checkpointed model-sized relation instead of re-running
+            # vocab passes. Counts, score arithmetic (one IEEE divide of
+            # one IEEE product), and the (score desc, l, r) argmax are
+            # unchanged — the merge table is byte-identical (pinned by
+            # tests/test_r15_optimizations.py against the unfused form).
             body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
             tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
-            pairs = (vocab.filter(F.size("syms") >= 2)
-                     .select("cnt",
-                             F.explode(F.zip_with(
-                                 body, tail,
-                                 lambda a, b: F.struct(a.alias("l"),
-                                                       b.alias("r"))))
-                              .alias("p"))
-                     .groupBy("p.l", "p.r")
-                     .agg(F.sum("cnt").alias("pc"))
+            pair_structs = F.when(
+                F.size("syms") >= 2,
+                F.zip_with(body, tail,
+                           lambda a, b: F.struct(a.alias("l"),
+                                                 b.alias("r")))
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            sym_structs = F.transform(
+                F.col("syms"),
+                lambda s: F.struct(s.alias("l"),
+                                   F.lit(None).cast("string").alias("r")))
+            counts = (vocab.select(
+                          "cnt",
+                          F.explode(F.concat(pair_structs, sym_structs))
+                           .alias("p"))
+                      .groupBy("p.l", "p.r")
+                      .agg(F.sum("cnt").alias("c"))
+                      .localCheckpoint(eager=False))
+            sym_counts = (counts.filter(F.col("r").isNull())
+                          .select(F.col("l").alias("sym"),
+                                  F.col("c").alias("sc")))
+            pairs = (counts.filter(F.col("r").isNotNull())
+                     .select("l", "r", F.col("c").alias("pc"))
                      .filter(F.col("pc") >= min_pair_count))
             scored = (pairs
                       .join(F.broadcast(
@@ -384,10 +417,14 @@ def wordpiece_learn(df: DataFrame, n_merges: int = 16,
             merges.append((rank, left, right, merged, int(row["pc"]),
                            int(row["lc"]), int(row["rc"]),
                            round(row["score"], 6)))
+            # Lazy checkpoint: the NEXT iteration's counts job (or the
+            # caller's first action) materializes the fold — the
+            # dedicated per-iteration fold job is gone (r15; lineage
+            # still cut one iteration deep once materialized).
             vocab = (vocab.withColumn(
                         "syms", _merge_fold(F.col("syms"), left, right,
                                             fused_sym=merged))
-                     .localCheckpoint())
+                     .localCheckpoint(eager=False))
 
     schema = ("merge_rank int, left string, right string, merged string, "
               "pair_count bigint, left_count bigint, right_count bigint, "
