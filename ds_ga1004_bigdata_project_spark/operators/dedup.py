@@ -523,6 +523,21 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
         .select(F.col("src").alias("id"),
                 F.least(F.col("src"), F.col("nbr_min")).alias("keep_id")))
     steps_done = 1
+    # Loop-scoped shuffle width (r15, VERDICT r14 next-round #1b — the
+    # subword _loop_confs pattern, with AQE kept ON: the label-propagation
+    # shuffles are frontier-scale and can be skewed by hub components, so
+    # skew splitting must stay live, unlike the fixed-size vocab loop).
+    # Width follows the MEASURED partition count of the cached pair
+    # relation — data-sized, never a constant: at 100 TB the edge cache
+    # holds hundreds of scan partitions and the loop inherits them; on a
+    # fixture it is 1-2, so the per-batch jobs stop paying 32-partition
+    # scheduling for KB-sized frontiers. Saved/restored exactly (the
+    # conftest tripwire enforces restoration).
+    spark = ids.sparkSession
+    _width_key = "spark.sql.shuffle.partitions"
+    _saved_width = spark.conf.get(_width_key)
+    spark.conf.set(_width_key,
+                   str(max(1, pairs_u.rdd.getNumPartitions())))
     try:
         # None = no convergence check has run yet. In "iterate" mode that
         # counts as NOT converged (ADVICE r7: with max_iters <= 1 the old
@@ -539,7 +554,13 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
             updated = labels
             for _ in range(batch):
                 updated = propagate(updated)
-            updated = lineage_cut(updated)
+            # Lazy cut (r15): the convergence count is the batch's
+            # materializing action — the propagation executes and
+            # checkpoints INSIDE the count job instead of paying a
+            # dedicated checkpoint job first (lineage_cut's documented
+            # eager=False case; per-batch jobs 2 → 1, plan depth
+            # unchanged once materialized).
+            updated = lineage_cut(updated, eager=False)
             changed = (updated.alias("u")
                        .join(labels.alias("l"), "id")
                        .filter(F.col("u.keep_id") != F.col("l.keep_id")).count())
@@ -563,6 +584,7 @@ def resolve_keep_list(ids: DataFrame, pairs: DataFrame,
                         .alias("keep_id"))
                 .withColumn("is_kept", F.col("id") == F.col("keep_id")))
     finally:
+        spark.conf.set(_width_key, _saved_width)
         if not caller_cached:
             pairs_u.unpersist()
 
@@ -1333,11 +1355,23 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, threshold: float,
     # shortening the prefix below the completeness lemma and silently
     # dropping qualifying pairs. t is rationalized as floor(t·10⁹)/10⁹
     # (underestimating t only LENGTHENS the prefix — extra candidates,
-    # zero recall loss); ⌈n·p/q⌉ = ⌊(n·p + q − 1)/q⌋ is exact in int64
-    # for any document below ~9·10⁹ shingles, and the double division
-    # below cannot mis-floor because the numerator (< 2⁵³) is exact and
-    # the true quotient is ≥ 10⁻⁹ away from any integer it doesn't equal.
-    _q = 1_000_000_000
+    # zero recall loss); ⌈n·p/q⌉ = ⌊(n·p + q − 1)/q⌋ is exact in int64.
+    #
+    # q = 10⁶, not 10⁹ (ADVICE r14): Spark `/` on long operands is IEEE
+    # DOUBLE division, so F.floor(num/den) is only exact-floor when the
+    # numerator is exactly representable (num < 2⁵³ ≈ 9.0·10¹⁵) — then
+    # the one rounding of the quotient is below num·2⁻⁵³/den < 1/den,
+    # the gap between the true quotient and any integer it doesn't
+    # equal, so the floor cannot move. With q = 10⁹ the alpha numerator
+    # p·(sx+sy) breaches 2⁵³ once a pair's combined set size passes
+    # ~9·10⁶ shingles and the mis-floor could STRENGTHEN the positional
+    # prune (drop a qualifying pair). q = 10⁶ bounds every numerator in
+    # this function by 10⁶·2³² ≈ 4.3·10¹⁵ < 2⁵³ for ALL int32 set
+    # sizes, making both floors provably exact at any document size the
+    # engine can represent. Rationalizing t at 10⁻⁶ instead of 10⁻⁹
+    # only weakens the prunes (p/q ≤ t still), so completeness holds
+    # and the verify stage keeps the output identical.
+    _q = 1_000_000
     _p = math.floor(threshold * _q)
     n_sh = F.size("_ord")
     ceil_tn = F.floor((n_sh.cast("long") * F.lit(_p) + F.lit(_q - 1))
@@ -1361,8 +1395,11 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, threshold: float,
     #    ANY collision passes is complete; later collisions passing
     #    only re-admit candidates the verify stage rejects anyway.
     #
-    # All arithmetic is int64 (p,q ≈ 10⁹ × sizes ≤ 2³¹ stays < 2⁶³;
-    # plain int32 products overflow under ANSI mode — measured).
+    # All arithmetic is int64 (p,q = 10⁶ × sizes ≤ 2³¹ stays < 2⁶³;
+    # plain int32 products overflow under ANSI mode — measured), and
+    # both floor-divisions are exact for all int32 set sizes (numerators
+    # < 2⁵³ — see the q = 10⁶ note above; ADVICE r14 flagged the q = 10⁹
+    # alpha division as inexact past ~9·10⁶ combined shingles).
     # Measured at sf0.1: candidates 409k → 125k (−69%), and the verify
     # stage (two shingle-array joins + array_intersect per candidate)
     # was the dominant ~70% of the query wall.
