@@ -101,20 +101,45 @@ BENCH_POLICY = "bench-v3"
 #: their raw controls for same-SF comparison.
 CONTROL_REF = {"q01_top_parts": 0.75, "q06_join_chain_revenue": 1.52}
 
+#: Mid-weight controls (round 15, VERDICT r14 "What's wrong" #1): the two
+#: sub-2 s pins are too small to adjust a 238 s suite whose cost lives in
+#: the 2-8 s band — intra-session control swings of 1.3-4.4× made r14's
+#: box-adjustment disagree with interleaved A/Bs by 40%+. These three sit
+#: where the suite's mass actually is (a 3-8 s text/retrieval query, a
+#: shuffle-heavy gram-explode query, a sketch-aggregation query), in paths
+#: untouched by the r14/r15 optimization rounds. ``box_index`` keeps its
+#: r13 definition and the ORIGINAL two pins (cross-round comparability);
+#: the payload ADDITIONALLY carries ``controls_mid``/``box_index_mid``
+#: computed the same way over these pins. NEW pinned rows in BASELINE.md —
+#: the existing q01/q06 pins are not re-pinned. Basis: the r14 round-close
+#: (BENCH_LOCAL.json, min-of-3 at box_index 0.83 — the healthiest box
+#: state that has run the current tree).
+CONTROL_REF_MID = {"q151_hybrid_rrf_retrieval": 3.334,
+                   "q153_span_dedup_rewrite": 3.887,
+                   "q129_heavy_hitters_cms": 2.238}
+
+
+def _geomean_index(times: dict[str, float], ref: dict[str, float]) -> tuple:
+    controls = {k: times[k] for k in ref if times.get(k, -1) > 0}
+    if len(controls) == len(ref):
+        prod = 1.0
+        for k, pin in ref.items():
+            prod *= controls[k] / pin
+        idx = round(prod ** (1.0 / len(ref)), 3)
+    else:
+        idx = -1.0  # a control failed — index unreadable
+    return controls, idx
+
 
 def box_controls(times: dict[str, float]) -> dict[str, object]:
     """Extract the control walls + box_index from a per-query dict."""
-    controls = {k: times[k] for k in CONTROL_REF
-                if times.get(k, -1) > 0}
-    if len(controls) == len(CONTROL_REF):
-        prod = 1.0
-        for k, ref in CONTROL_REF.items():
-            prod *= controls[k] / ref
-        idx = round(prod ** (1.0 / len(CONTROL_REF)), 3)
-    else:
-        idx = -1.0  # a control failed — index unreadable
+    controls, idx = _geomean_index(times, CONTROL_REF)
+    controls_mid, idx_mid = _geomean_index(times, CONTROL_REF_MID)
     return {"controls": controls, "control_ref": CONTROL_REF,
-            "box_index": idx}
+            "box_index": idx,
+            "controls_mid": controls_mid,
+            "control_ref_mid": CONTROL_REF_MID,
+            "box_index_mid": idx_mid}
 
 
 def merge_min(times: dict[str, float], part: dict[str, float]) -> None:
@@ -329,6 +354,19 @@ def main() -> None:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench artifact write failed: {exc}", file=sys.stderr)
+    # Round 15 (VERDICT r14 "What's wrong" #5, addition-only): the driver's
+    # stdout capture truncates the HEAD of the ~15 KB payload line (r13's
+    # PERF comparison went null because the captured tail started
+    # mid-JSON). A compact summary line printed BEFORE the payload gives a
+    # truncated capture something parseable; it deliberately carries none
+    # of the payload keys ("metric"/"value"/"queries") so no consumer can
+    # mistake it for the metric line — the LAST stdout line remains the
+    # ONE full JSON payload the driver contract specifies.
+    print(json.dumps({"bench_summary": True, "total_s": total,
+                      "n": len(times), "box_index": payload["box_index"],
+                      "box_index_mid": payload["box_index_mid"],
+                      "policy": BENCH_POLICY, "sf": sf,
+                      "close_runs": close_runs or 1}))
     print(json.dumps(payload))
 
 

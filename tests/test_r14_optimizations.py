@@ -96,8 +96,11 @@ def test_triangle_closure_joins_adjacency_once(spark):
     # ReusedExchange / the caller's persist), so the expected operator
     # count is 2x2 degree joins + ONE closure join = 5. The r13 two-join
     # closure printed 8 (a third upstream copy under the o side + a
-    # second closure join) — this pins the regression boundary.
-    assert joins == 5, f"expected 5 join operators (see comment):\n{plan}"
+    # second closure join) — this pins the regression boundary. An
+    # UPPER bound only (ADVICE r14): a Spark version bump or plan-print
+    # dedup change can legitimately print FEWER operators; only MORE
+    # joins signal the duplicated-subtree regression this guards.
+    assert joins <= 5, f"expected <=5 join operators (see comment):\n{plan}"
     # and the triangle counts themselves, on a graph with two triangles
     got = {r["node"]: r["n_triangles"] for r in df.collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
