@@ -29,7 +29,8 @@ def main() -> None:
     if tag not in ("before", "after"):
         raise SystemExit("first arg must be 'before' or 'after'")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans",
+                           os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     from ds_ga1004_bigdata_project_spark.queries import REGISTRY
