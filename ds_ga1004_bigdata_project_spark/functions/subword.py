@@ -139,18 +139,25 @@ def bpe_learn(df: DataFrame, n_merges: int = 24, text_col: str = "text",
                .withColumn("syms", _chars(F.col("word")))
                .localCheckpoint())
 
+    # Iteration-INDEPENDENT expressions hoisted out of the loop (r15,
+    # guide §1.2 step 2): Columns are immutable unresolved expression
+    # trees, safely reusable across DataFrames, and building the
+    # zip_with/struct lambda tree costs ~0.1 s of driver py4j round
+    # trips PER CONSTRUCTION (measured: 24 rebuilds = 3.0 s — a real
+    # slice of the learner's wall at ANY scale, since it is driver
+    # time, not data time).
+    body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+    tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+    pair_explode = F.explode(F.zip_with(
+        body, tail,
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")))).alias("p")
+    has_pair = F.size("syms") >= 2
+
     merges: list[tuple[int, str, str, str, int]] = []
     with _loop_confs(vocab):
         for rank in range(1, n_merges + 1):
-            body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
-            tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
-            pairs = (vocab.filter(F.size("syms") >= 2)
-                     .select("cnt",
-                             F.explode(F.zip_with(
-                                 body, tail,
-                                 lambda a, b: F.struct(a.alias("l"),
-                                                       b.alias("r"))))
-                              .alias("p"))
+            pairs = (vocab.filter(has_pair)
+                     .select("cnt", pair_explode)
                      .groupBy("p.l", "p.r")
                      .agg(F.sum("cnt").alias("pc"))
                      .filter(F.col("pc") >= min_pair_count)
@@ -351,6 +358,22 @@ def wordpiece_learn(df: DataFrame, n_merges: int = 16,
                .withColumn("syms", wp_syms)
                .localCheckpoint())
 
+    # Iteration-independent combined-grain explode, hoisted (r15 — see
+    # bpe_learn: ~0.13 s of driver py4j construction per rebuild).
+    body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+    tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+    pair_structs = F.when(
+        F.size("syms") >= 2,
+        F.zip_with(body, tail,
+                   lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    sym_structs = F.transform(
+        F.col("syms"),
+        lambda s: F.struct(s.alias("l"),
+                           F.lit(None).cast("string").alias("r")))
+    grain_explode = F.explode(
+        F.concat(pair_structs, sym_structs)).alias("p")
+
     merges: list[tuple] = []
     with _loop_confs(vocab):
         for rank in range(1, n_merges + 1):
@@ -370,22 +393,7 @@ def wordpiece_learn(df: DataFrame, n_merges: int = 16,
             # one IEEE product), and the (score desc, l, r) argmax are
             # unchanged — the merge table is byte-identical (pinned by
             # tests/test_r15_optimizations.py against the unfused form).
-            body = F.slice(F.col("syms"), 1, F.size("syms") - 1)
-            tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
-            pair_structs = F.when(
-                F.size("syms") >= 2,
-                F.zip_with(body, tail,
-                           lambda a, b: F.struct(a.alias("l"),
-                                                 b.alias("r")))
-            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-            sym_structs = F.transform(
-                F.col("syms"),
-                lambda s: F.struct(s.alias("l"),
-                                   F.lit(None).cast("string").alias("r")))
-            counts = (vocab.select(
-                          "cnt",
-                          F.explode(F.concat(pair_structs, sym_structs))
-                           .alias("p"))
+            counts = (vocab.select("cnt", grain_explode)
                       .groupBy("p.l", "p.r")
                       .agg(F.sum("cnt").alias("c"))
                       .localCheckpoint(eager=False))
